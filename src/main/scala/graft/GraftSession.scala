@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the settings every entry point shares.
+  *
+  * Local mode is a stand-in for a real cluster: shuffle partitions are
+  * sized to the core count (not Spark's default 200), AQE is on so
+  * skewed joins re-plan at runtime, and the session timezone is pinned
+  * to UTC for oracle parity.
+  */
+object GraftSession {
+  def builder(appName: String, cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String, cpus: Int = 32): SparkSession = {
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Typed access to the driver-generated test tables (TESTDATA.md).
+  *
+  * All readers are plain parquet scans — Catalyst pushes projections and
+  * filters down to the scan, so callers should NOT pre-select columns
+  * here; declare the full query and let the optimizer prune.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert to a microsecond
+    * timestamp (a pure projection — still one scan, pushdown intact). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+  }
+
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

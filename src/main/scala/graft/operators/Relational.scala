@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query suite — the declarative core the graph and pipeline
+  * operators compose on. Each query is written plan-first: filters and
+  * projections sit directly on the scans (pushdown), dimension tables go
+  * through [[broadcast]], aggregates are partial-aggregate friendly.
+  *
+  * Float aggregates are rounded on BOTH the Spark and the DuckDB oracle
+  * side so summation order (which differs between engines and between
+  * partitionings) cannot flip the hash compare.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: wide scan-aggregate with computed measures.
+    * One shuffle on the (tiny) group key; everything else map-side. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: fact-fact join + agg + deterministic top-k.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join over all dims. region/nation/supplier are
+    * broadcast; the lineitem⋈orders backbone shuffles once on orderkey. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window-function shape: top-3 customers by account balance per market
+    * segment. One shuffle on the partition key; rank is computed inside
+    * whole-stage codegen. */
+  def qMktsegWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t.customer
+      .withColumn("rank_in_seg", row_number().over(w))
+      .filter(col("rank_in_seg") <= 3)
+      .select("c_mktsegment", "rank_in_seg", "c_custkey", "c_name")
+      .orderBy("c_mktsegment", "rank_in_seg")
+  }
+
+  /** Event-time tumbling window aggregation — the batch twin of the
+    * Structured Streaming path (streaming/EventStreams.scala). Windowing
+    * is a pure projection (date_trunc); single shuffle on (hour, type). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .groupBy("hour", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Semi-join shape (EXISTS): order-priority counts for orders that have
+    * at least one lineitem shipped after the order date. The semi-join
+    * keeps the probe side deduplicated without a distinct. */
+  def qOrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val shipped = t.lineitem.select(col("l_orderkey"))
+    t.orders
+      .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+}
