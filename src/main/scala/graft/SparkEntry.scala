@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
+import graft.graph.GraphQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,7 +19,43 @@ object SparkEntry {
     "q_mktseg_window" -> (Relational.qMktsegWindow _),
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "q_order_priority" -> (Relational.qOrderPriority _),
+    "g_edges" -> (GraphQueries.edges _),
+    "g_degree" -> (GraphQueries.degree _),
+    "g_degree_histogram" -> (GraphQueries.degreeHistogram _),
+    "g_avg_degree" -> (GraphQueries.avgDegree _),
+    "g_triangles" -> (GraphQueries.triangles _),
+    "g_clustering_coeff" -> (GraphQueries.clusteringCoeff _),
+    "g_avg_clustering" -> (GraphQueries.avgClustering _),
+    "g_transitivity" -> (GraphQueries.transitivity _),
+    "g_induced_subgraph" -> (GraphQueries.inducedSubgraph _),
   )
+
+  /** Shared oracle CTE: canonical co-purchase edge list + degree +
+    * id-ordered triangle enumeration (each triangle a<b<c once). The
+    * Spark side enumerates via degree-ordered orientation instead —
+    * different traversal, identical counts. */
+  private val GraphCte: String =
+    """WITH e AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |tv AS (
+      |  SELECT v AS id, count(*) AS triangles FROM (
+      |    SELECT a AS v FROM tri UNION ALL
+      |    SELECT b AS v FROM tri UNION ALL
+      |    SELECT c AS v FROM tri)
+      |  GROUP BY 1),
+      |tvd AS (
+      |  SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles
+      |  FROM deg d LEFT JOIN tv t USING (id))
+      |""".stripMargin
 
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
@@ -77,5 +114,35 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "g_edges" -> (GraphCte +
+      "SELECT src, dst FROM e ORDER BY src, dst"),
+    "g_degree" -> (GraphCte +
+      "SELECT id, degree FROM deg ORDER BY id"),
+    "g_degree_histogram" -> (GraphCte +
+      """SELECT degree, count(*) AS n_vertices FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin),
+    "g_avg_degree" -> (GraphCte +
+      "SELECT round(avg(degree), 4) AS avg_degree FROM deg"),
+    "g_triangles" -> (GraphCte +
+      "SELECT id, triangles FROM tvd ORDER BY id"),
+    "g_clustering_coeff" -> (GraphCte +
+      """SELECT id, degree, triangles,
+        |  round(CASE WHEN degree >= 2
+        |    THEN 2.0 * triangles / (degree * (degree - 1))
+        |    ELSE 0.0 END, 6) AS clustering_coeff
+        |FROM tvd ORDER BY id""".stripMargin),
+    "g_avg_clustering" -> (GraphCte +
+      """SELECT round(avg(CASE WHEN degree >= 2
+        |  THEN 2.0 * triangles / (degree * (degree - 1))
+        |  ELSE 0.0 END), 6) AS avg_clustering FROM tvd""".stripMargin),
+    "g_transitivity" -> (GraphCte +
+      """SELECT round(3.0 * (SELECT sum(triangles) / 3.0 FROM tvd)
+        |  / (SELECT sum(degree * (degree - 1) / 2) FROM deg), 6)
+        |  AS transitivity""".stripMargin),
+    "g_induced_subgraph" -> (GraphCte +
+      """SELECT src, dst FROM e
+        |WHERE src IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+        |  AND dst IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+        |ORDER BY src, dst""".stripMargin),
   )
 }

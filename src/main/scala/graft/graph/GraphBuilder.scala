@@ -1,0 +1,54 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
+
+/** Graph derivation from the relational test tables.
+  *
+  * The working graph is the part co-purchase graph: vertices are parts,
+  * with an undirected edge between two parts whenever they co-occur in
+  * the same order. This mirrors the reference's "load an edge list, build
+  * vertices as the distinct endpoints" construction
+  * (/root/reference/main.py:24-41) but derives the edge list
+  * relationally, so it exists at every scale factor.
+  *
+  * Scale: the self-join shuffles lineitem once on l_orderkey; orders have
+  * O(1) lines each, so the pair fan-out is a small constant per order and
+  * total work is linear in |lineitem|.
+  */
+object GraphBuilder {
+
+  /** Canonical (src < dst, distinct) co-purchase edges. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    a.join(b, "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** Vertices = all parts that appear in any lineitem (graph endpoints). */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  // One persisted graph per (session, dir): Bench runs every graph query
+  // in one JVM, and re-deriving + re-persisting the edge set per query
+  // would measure the derivation join five times instead of the
+  // algorithms. Persist is idempotent per dir; tiny footprint (two longs
+  // per edge).
+  private val cache = TrieMap.empty[String, Graph]
+
+  def coPurchase(spark: SparkSession, dir: String): Graph =
+    cache.getOrElseUpdate(dir, {
+      val e = coPurchaseEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val v = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+      Graph(v, e)
+    })
+}

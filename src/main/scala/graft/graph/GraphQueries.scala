@@ -1,0 +1,53 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SparkEntry-facing wrappers for the static graph metrics (SURVEY §2).
+  * Every function returns a deterministic, oracle-comparable DataFrame.
+  */
+object GraphQueries {
+
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).edges
+      .orderBy("src", "dst")
+
+  def degree(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).degrees
+      .orderBy("id")
+
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).degreeHistogram
+      .orderBy("degree")
+
+  def avgDegree(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).degrees
+      .agg(round(avg("degree"), 4).as("avg_degree"))
+
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).triangleVertexCounts
+      .orderBy("id")
+
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).clusteringCoefficients
+      .select(col("id"), col("degree"), col("triangles"),
+        round(col("clustering_coeff"), 6).as("clustering_coeff"))
+      .orderBy("id")
+
+  def avgClustering(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).averageClustering
+
+  def transitivity(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).transitivity
+
+  /** Induced subgraph over a deterministic vertex subset: small parts
+    * (p_size <= 10). (ref main.py:192-195 — but linear, not |V|².) */
+  def inducedSubgraph(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val keep = Tables(spark, dir).part
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey").as("id"))
+    g.inducedSubgraphEdges(keep).orderBy("src", "dst")
+  }
+}

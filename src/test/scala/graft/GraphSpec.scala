@@ -1,0 +1,57 @@
+package graft
+
+import graft.graph.{Graph, GraphBuilder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // K4 on {1,2,3,4} plus pendant 5 and isolated edge 6-7:
+  // triangles: each K4 vertex in C(3,2)=3; 5,6,7 in 0.
+  lazy val k4 = {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("src", "dst")
+    Graph(GraphBuilder.vertices(e), e)
+  }
+
+  test("degrees on known graph") {
+    val d = k4.degrees.as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 4, 5L -> 1, 6L -> 1, 7L -> 1))
+  }
+
+  test("triangle counts on known graph") {
+    val t = k4.triangleVertexCounts.as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 0, 6L -> 0, 7L -> 0))
+  }
+
+  test("clustering coefficient on known graph") {
+    val c = k4.clusteringCoefficients
+      .select($"id", round($"clustering_coeff", 6).as("cc"))
+      .as[(Long, Double)].collect().toMap
+    assert(c(1L) == 1.0 && c(2L) == 1.0 && c(3L) == 1.0)
+    assert(c(4L) == 0.5) // deg 4, 3 triangles: 2*3/(4*3)
+    assert(c(5L) == 0.0 && c(6L) == 0.0 && c(7L) == 0.0)
+  }
+
+  test("transitivity on known graph") {
+    // 4 triangles, wedges = sum C(deg,2) = 3+3+3+6+0+0+0 = 15 → 12/15
+    val t = k4.transitivity.as[Double].head()
+    assert(math.abs(t - 0.8) < 1e-9)
+  }
+
+  test("induced subgraph is linear-time semi-join and correct") {
+    val keep = Seq(1L, 2L, 4L, 5L).toDF("id")
+    val got = k4.inducedSubgraphEdges(keep).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L), (4L, 5L)))
+  }
+
+  test("co-purchase graph derives at sf0.001 with canonical edges") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val e = g.edges.cache()
+    assert(e.filter($"src" >= $"dst").count() == 0)
+    assert(e.count() == e.distinct().count())
+    assert(g.vertices.count() > 0)
+  }
+}
