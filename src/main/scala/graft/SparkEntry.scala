@@ -28,6 +28,13 @@ object SparkEntry {
     "g_avg_clustering" -> (GraphQueries.avgClustering _),
     "g_transitivity" -> (GraphQueries.transitivity _),
     "g_induced_subgraph" -> (GraphQueries.inducedSubgraph _),
+    "g_connected_components" -> (GraphQueries.connectedComponents _),
+    "g_label_propagation" -> (GraphQueries.labelPropagation _),
+    "g_community_count" -> (GraphQueries.communityCount _),
+    "g_pagerank" -> (GraphQueries.pageRank _),
+    "g_bfs_landmarks" -> (GraphQueries.bfsLandmarks _),
+    "g_closeness" -> (GraphQueries.closeness _),
+    "g_diameter" -> (GraphQueries.diameter _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +

@@ -41,6 +41,36 @@ object GraphQueries {
   def transitivity(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).transitivity
 
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame =
+    Iterative.connectedComponents(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("id")
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    Iterative.normalizeLabels(
+      Iterative.labelPropagation(GraphBuilder.coPurchase(spark, dir), maxIter = 5))
+      .orderBy("id")
+
+  def communityCount(spark: SparkSession, dir: String): DataFrame =
+    Iterative.labelPropagation(GraphBuilder.coPurchase(spark, dir), maxIter = 5)
+      .agg(countDistinct("label").as("n_communities"))
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    Iterative.pageRank(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("id")
+
+  def bfsLandmarks(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    Iterative.multiSourceBfs(g, Iterative.topDegreeLandmarks(g, 4))
+      .orderBy("landmark", "v")
+  }
+
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    Iterative.closeness(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("id")
+
+  def diameter(spark: SparkSession, dir: String): DataFrame =
+    Iterative.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
+
   /** Induced subgraph over a deterministic vertex subset: small parts
     * (p_size <= 10). (ref main.py:192-195 — but linear, not |V|².) */
   def inducedSubgraph(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,76 @@
+package graft
+
+import graft.graph.{Graph, GraphBuilder, Iterative}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IterativeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // two components: path 1-2-3-4 and triangle 10-11-12, isolated 20
+  lazy val twoComp = {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val v = GraphBuilder.vertices(e)
+      .union(Seq(20L).toDF("id")).distinct()
+    Graph(v, e)
+  }
+
+  test("connected components finds both components and isolated vertex") {
+    val cc = Iterative.connectedComponents(twoComp)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      10L -> 10, 11L -> 10, 12L -> 10, 20L -> 20))
+  }
+
+  test("label propagation labels are vertex ids and separate far components") {
+    val labels = Iterative.labelPropagation(twoComp, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    val ids = twoComp.vertices.as[Long].collect().toSet
+    assert(labels.keySet == ids)
+    assert(labels.values.toSet.subsetOf(ids))
+    // triangle and path can never share a label (disconnected)
+    assert((Set(10L, 11L, 12L).map(labels) intersect Set(1L, 2L, 3L, 4L).map(labels)).isEmpty)
+  }
+
+  test("pagerank sums to ~|V| and ranks hub highest") {
+    // star: 1 connected to 2..5
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val pr = Iterative.pageRank(g, iters = 20).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 5.0) < 0.01)
+    assert(pr(1L) > pr(2L) && math.abs(pr(2L) - pr(5L)) < 1e-6)
+  }
+
+  test("multi-source BFS distances on path graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val d = Iterative.multiSourceBfs(g, Seq(1L).toDF("id"))
+      .select("v", "dist").as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("closeness exact on path graph with all-vertex landmarks") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val c = Iterative.closeness(g, numLandmarks = 3)
+      .as[(Long, Double)].collect().toMap
+    // vertex 2: (3-1)/(1+1) = 1.0 ; vertices 1,3: 2/3
+    assert(math.abs(c(2L) - 1.0) < 1e-6)
+    assert(math.abs(c(1L) - 2.0 / 3) < 1e-6)
+  }
+
+  test("diameter estimate exact on path graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    assert(Iterative.diameterEstimate(g).as[Int].head() == 4)
+  }
+
+  test("normalizeLabels produces dense 0..k-1") {
+    val labels = Seq((1L, 100L), (2L, 100L), (3L, 7L)).toDF("id", "label")
+    val norm = Iterative.normalizeLabels(labels)
+      .as[(Long, Int)].collect().toMap
+    assert(norm == Map(1L -> 1, 2L -> 1, 3L -> 0))
+  }
+}
