@@ -35,6 +35,8 @@ object SparkEntry {
     "g_bfs_landmarks" -> (GraphQueries.bfsLandmarks _),
     "g_closeness" -> (GraphQueries.closeness _),
     "g_diameter" -> (GraphQueries.diameter _),
+    "g_betweenness" -> (GraphQueries.betweenness _),
+    "g_community_sample" -> (GraphQueries.communitySample _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +

@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** FLAGSHIP operator: community-based graph sampling via parallel random
+  * walks — the reference's core contribution
+  * (/root/reference/main.py:175-195 + single_random_walk:55-105 +
+  * technical report). One walk per community, walk length
+  * n_c / (1 + α·cc_c) + 1 where cc_c is the community's average
+  * clustering coefficient (main.py:51-52): big, loosely-clustered
+  * communities get sampled deeper; tight ones shallower.
+  *
+  * Spark-first re-expression (vs the reference's RDD groupBy +
+  * partitionBy + NetworkX-per-partition):
+  *   - communities come from the distributed LPA (no driver dict UDF);
+  *   - per-community clustering coefficients are computed with the
+  *     distributed triangle pipeline on the intra-community subgraph —
+  *     the reference rebuilds a NetworkX graph per partition instead;
+  *   - only the walk itself runs imperatively, inside mapPartitions on
+  *     rows hash-partitioned by community: per-task state is one
+  *     community's adjacency (the same memory assumption the reference
+  *     makes), never the whole graph;
+  *   - seeded per community → deterministic output, testable.
+  */
+object CommunitySample {
+
+  /** Sampled vertices: (community, id). */
+  def sample(spark: SparkSession, g: Graph, alpha: Double = 2.0,
+             lpaIters: Int = 5, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+
+    val comms = Iterative.normalizeLabels(
+      Iterative.labelPropagation(g, lpaIters))
+      .localCheckpoint(true) // (id, community)
+
+    // intra-community edges (both endpoints same community)
+    val cSrc = comms.select(col("id").as("src"), col("community").as("c1"))
+    val cDst = comms.select(col("id").as("dst"), col("community").as("c2"))
+    val intra = g.edges.join(cSrc, "src").join(cDst, "dst")
+      .filter(col("c1") === col("c2"))
+      .select(col("src"), col("dst"), col("c1").as("community"))
+      .localCheckpoint(true)
+
+    // per-community avg clustering coefficient of the induced subgraph,
+    // distributed (ref: nx.average_clustering per partition, main.py:81)
+    val sub = Graph(comms.select("id"), intra.select("src", "dst"))
+    val cc = sub.clusteringCoefficients.select("id", "clustering_coeff")
+    val commCc = comms.join(cc, Seq("id"), "left")
+      .na.fill(0.0, Seq("clustering_coeff"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_vertices"),
+        avg("clustering_coeff").as("avg_cc"))
+      // walk length n/(1+α·cc)+1 (ref get_len main.py:51-52, main.py:89)
+      .withColumn("walk_len",
+        (col("n_vertices") / (lit(1.0) + lit(alpha) * col("avg_cc")))
+          .cast("int") + 1)
+
+    // adjacency rows: (community, vertex, neighbors) — neighbors sorted
+    // for determinism under collect_list's partition-order nondeterminism
+    val sym = intra.select(col("community"), col("src").as("v"), col("dst").as("n"))
+      .union(intra.select(col("community"), col("dst").as("v"), col("src").as("n")))
+    val adj = sym.groupBy("community", "v")
+      .agg(sort_array(collect_list("n")).as("neighbors"))
+      .join(commCc.select("community", "walk_len"), "community")
+
+    // one walk per community; communities are hash-distributed over
+    // tasks, each task walks only the communities it owns
+    val nParts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sampled = adj
+      .select(col("community"), col("v"), col("neighbors"), col("walk_len"))
+      .repartition(nParts, col("community"))
+      .mapPartitions { rows =>
+        // group this task's rows by community
+        val byComm = mutable.Map.empty[Int, (mutable.Map[Long, Array[Long]], Int)]
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          val entry = byComm.getOrElseUpdate(c, (mutable.Map.empty, 0))
+          val adjMap = entry._1
+          adjMap(r.getLong(1)) = r.getSeq[Long](2).toArray
+          byComm(c) = (adjMap, r.getInt(3))
+        }
+        byComm.iterator.flatMap { case (c, (adjMap, walkLen)) =>
+          val rng = new java.util.Random(seed ^ c.toLong)
+          val vertices = adjMap.keys.toArray.sorted
+          // random start within the community (ref main.py:85)
+          var cur = vertices(rng.nextInt(vertices.length))
+          val visited = mutable.LinkedHashSet(cur)
+          var steps = 1
+          while (steps < walkLen) {
+            val nbrs = adjMap(cur)
+            if (nbrs.nonEmpty) cur = nbrs(rng.nextInt(nbrs.length))
+            visited += cur // LinkedHashSet dedups (ref main.py:100-103)
+            steps += 1
+          }
+          visited.iterator.map(v => (c, v))
+        }
+      }.toDF("community", "id")
+    sampled
+  }
+}

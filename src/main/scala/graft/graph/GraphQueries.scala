@@ -68,6 +68,15 @@ object GraphQueries {
     Iterative.closeness(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
+  def betweenness(spark: SparkSession, dir: String): DataFrame =
+    Betweenness.run(GraphBuilder.coPurchase(spark, dir), numSources = 8)
+      .orderBy("id")
+
+  /** FLAGSHIP: community-partitioned parallel random-walk sample. */
+  def communitySample(spark: SparkSession, dir: String): DataFrame =
+    CommunitySample.sample(spark, GraphBuilder.coPurchase(spark, dir))
+      .orderBy("community", "id")
+
   def diameter(spark: SparkSession, dir: String): DataFrame =
     Iterative.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
 

@@ -1,0 +1,48 @@
+package graft
+
+import graft.graph.{Betweenness, CommunitySample, Graph, GraphBuilder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("betweenness exact on path graph (sources = all vertices)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val bc = Betweenness.run(g, numSources = 4).as[(Long, Double)].collect().toMap
+    // path 1-2-3-4: bc(2)=bc(3)=2 pairs through each; ends 0
+    assert(bc(1L) == 0.0 && bc(4L) == 0.0)
+    assert(bc(2L) == 2.0 && bc(3L) == 2.0)
+  }
+
+  test("betweenness exact on star graph") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val bc = Betweenness.run(g, numSources = 5).as[(Long, Double)].collect().toMap
+    assert(bc(1L) == 6.0) // C(4,2) pairs all route through hub
+    assert(bc(2L) == 0.0)
+  }
+
+  test("community sample is deterministic, nonempty, within communities") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val s1 = CommunitySample.sample(spark, g, seed = 42L)
+      .as[(Int, Long)].collect().toSet
+    val s2 = CommunitySample.sample(spark, g, seed = 42L)
+      .as[(Int, Long)].collect().toSet
+    assert(s1 == s2, "same seed must give same sample")
+    assert(s1.nonEmpty)
+    val vertexIds = g.vertices.as[Long].collect().toSet
+    assert(s1.map(_._2).subsetOf(vertexIds))
+  }
+
+  test("walk length formula caps sample size per community") {
+    // one community (triangle + tail): walk_len = n/(1+2cc)+1 <= n+1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val s = CommunitySample.sample(spark, g, alpha = 2.0, lpaIters = 2, seed = 7L)
+    assert(s.count() <= 4)
+    assert(s.count() >= 1)
+  }
+}
