@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational}
 import graft.graph.GraphQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -37,6 +37,16 @@ object SparkEntry {
     "g_diameter" -> (GraphQueries.diameter _),
     "g_betweenness" -> (GraphQueries.betweenness _),
     "g_community_sample" -> (GraphQueries.communitySample _),
+    "d_exact_dedup" -> (Dedup.exactDedup _),
+    "d_minhash_lsh_dups" -> ((s, d) =>
+      Dedup.minhashDupPairs(Tables(s, d).documents, threshold = 0.9)
+        .orderBy("a", "b")),
+    "d_simhash_dups" -> ((s, d) =>
+      Dedup.simhashDupPairs(Tables(s, d).documents, maxHamming = 8)
+        .orderBy("a", "b")),
+    "d_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables(s, d).documents)
+        .orderBy("a", "b")),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -153,5 +163,8 @@ object SparkEntry {
         |WHERE src IN (SELECT p_partkey FROM part WHERE p_size <= 10)
         |  AND dst IN (SELECT p_partkey FROM part WHERE p_size <= 10)
         |ORDER BY src, dst""".stripMargin),
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
   )
 }
