@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Ann, Dedup, Relational}
 import graft.graph.GraphQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -47,6 +47,12 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables(s, d).documents)
         .orderBy("a", "b")),
+    "e_knn_brute" -> ((s, d) =>
+      Ann.knnBrute(s, d).orderBy("query_id", "rank")),
+    "e_knn_ivf" -> ((s, d) =>
+      Ann.knnIvf(s, d).orderBy("query_id", "rank")),
+    "d_embedding_neardup" -> ((s, d) =>
+      Ann.embeddingNearDups(s, d).orderBy("a", "b")),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.TopKByScore.topK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Similarity search over the embedding column.
+  *
+  *   - Brute-force: exact cosine top-k. Queries are broadcast, the
+  *     corpus streams through ONCE, and the per-query top-k is reduced
+  *     map-side by the TopKByScore aggregate — the shuffle carries only
+  *     k rows per (partition, query), never the |corpus|×|queries|
+  *     score matrix.
+  *   - IVF: k-means-lite centroids → inverted cell index → probe the
+  *     nProbe nearest cells per query. The scale path: search cost drops
+  *     by ~|cells|/nProbe; cells are the partitioning key, so a cluster
+  *     co-locates each cell's vectors.
+  */
+object Ann {
+
+  /** Default query set: a small deterministic slice of the corpus. */
+  private def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Exact cosine top-k. Output: (query_id, rank, neighbor_id, sim). */
+  def knnBrute(spark: SparkSession, dir: String,
+               nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(queriesOf(emb, nQueries))
+    emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        round(col("nn.score"), 6).as("sim"))
+  }
+
+  /** K-means-lite centroids: deterministic init (first `cells` vectors),
+    * `iters` Lloyd rounds, all DataFrame algebra (posexplode + per-
+    * dimension mean). Returns (cell, centroid: array<float>). */
+  def kmeansCentroids(emb: DataFrame, cells: Int = 16, iters: Int = 3): DataFrame = {
+    var centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(emb, centroids)
+      centroids = assigned
+        .join(emb, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cell). */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(cosineSim(col("embedding"), col("centroid")).as("sim"),
+          col("cell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max("sc").as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+
+  /** IVF ANN: probe the `nProbe` nearest cells per query.
+    * Output shape identical to [[knnBrute]]. */
+  def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10,
+             cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = kmeansCentroids(emb, cells).persist(StorageLevel.MEMORY_AND_DISK)
+    val index = assignCells(emb, centroids)
+      .join(emb, "vec_id") // inverted index rows: (cell, vec_id, embedding)
+    val q = queriesOf(emb, nQueries)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    probes.join(index, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        round(col("nn.score"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * 48-bit signatures → 6 bands of 8 bits → bucket join → exact cosine
+    * filter. Candidates only — never the |D|² similarity matrix. */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+                        threshold: Double = 0.35): DataFrame = {
+    val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = 64
+    val nBits = 48
+    // deterministic pseudo-random hyperplanes from xxhash64(bit, pos):
+    // plane_b[pos] = hash bit mapped to {-1,+1}; sign of dot = LSH bit.
+    // zip_with + aggregate keep codegen compact (loops, not 3072 exprs).
+    val positions = sequence(lit(0), lit(dim - 1))
+    val bits = (0 until nBits).map { b =>
+      val signedTerms = zip_with(col("embedding"), positions, (x, p) =>
+        x * when(xxhash64(lit(b), p).bitwiseAND(lit(1L)) === 0, lit(1.0d))
+          .otherwise(lit(-1.0d)))
+      val dot = aggregate(signedTerms, lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L)).otherwise(lit(0L))
+    }
+    val sig = bits.zipWithIndex
+      .map { case (bit, i) => shiftleft(bit, i) }
+      .reduce(_.bitwiseOR(_))
+    val signed = emb.select(col("vec_id"), col("embedding"), sig.as("sig"))
+    val banded = signed.select(col("vec_id"), col("embedding"), posexplode(
+      array((0 until 6).map(i =>
+        shiftrightunsigned(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+      .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosineSim(col("ea"), col("eb")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.TopKByScore.topK
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("cosineSim matches a hand-computed value and handles zero vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0),
+    ).toDF("a", "b", "want")
+    val got = df.select(cosineSim($"a", $"b").as("got"), $"want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("topK aggregate equals window-based top-k") {
+    val data = (1L to 1000L).map(i => (i % 7, i, ((i * 2654435761L) % 1000).toDouble))
+      .toDF("grp", "id", "score")
+    val viaAgg = data.groupBy("grp")
+      .agg(topK($"id", $"score", 5).as("nn"))
+      .select($"grp", explode($"nn").as("nn"))
+      .select($"grp", $"nn.neighbor_id".as("id"), $"nn.score".as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy($"score".desc, $"id".asc)
+    val viaWindow = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select("grp", "id", "score")
+    assert(viaAgg.as[(Long, Long, Double)].collect().toSet ==
+      viaWindow.as[(Long, Long, Double)].collect().toSet)
+  }
+
+  test("knnBrute returns k ranked neighbors per query, self excluded") {
+    val r = Ann.knnBrute(spark, sf, nQueries = 5, k = 8).cache()
+    assert(r.count() == 40)
+    assert(r.filter($"query_id" === $"neighbor_id").count() == 0)
+    // ranks are 1..8 and sims non-increasing within each query
+    val byQ = r.as[(Long, Int, Long, Double)].collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 8))
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+  }
+
+  test("knnIvf has decent recall vs brute at small scale") {
+    val brute = Ann.knnBrute(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.knnIvf(spark, sf, nQueries = 10, k = 5, cells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("embeddingNearDups pairs all meet the cosine threshold") {
+    val pairs = Ann.embeddingNearDups(spark, sf, threshold = 0.2)
+    assert(pairs.filter($"cos" < 0.2).count() == 0)
+  }
+}
