@@ -45,9 +45,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     * timestamp (a pure projection — still one scan, pushdown intact). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: double division loses ns precision at
+    // ~1.7e18 and shifts a boundary timestamp by 1ms
     t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
 
   def nation: DataFrame = t("nation")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Ann, Dedup, Relational}
+import graft.operators.{Ann, Dedup, Multimodal, Relational, TextAnalysis}
 import graft.graph.GraphQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -53,6 +53,12 @@ object SparkEntry {
       Ann.knnIvf(s, d).orderBy("query_id", "rank")),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
+    "q_events_sessions" -> (Relational.qEventsSessions _),
+    "d_token_count" -> (TextAnalysis.tokenCounts _),
+    "d_quality_score" -> (TextAnalysis.qualityScores _),
+    "d_lang_id" -> (TextAnalysis.langId _),
+    "d_fingerprint" -> (TextAnalysis.fingerprints _),
+    "m_multimodal_meta" -> (Multimodal.multimodalMeta _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -172,5 +178,47 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, min(epoch_ms(ts)) AS session_start_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "d_token_count" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(text, '\s+')))
+        |    AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    length(text)::DOUBLE AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
+        |    (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE AS n_upper,
+        |    len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(n_alpha / n_chars, 4) AS alpha_ratio,
+        |  round(n_upper / n_chars, 4) AS upper_ratio,
+        |  round(n_stop / n_tokens, 4) AS stopword_ratio,
+        |  round((n_chars - n_tokens + 1) / n_tokens, 4) AS mean_word_len,
+        |  round(least(n_tokens / 64.0, 1.0) * 0.5
+        |    + (n_alpha / n_chars) * 0.3
+        |    + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

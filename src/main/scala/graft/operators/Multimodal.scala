@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed in partition-local batches.
+  *
+  * The Spark-side shape is real and tested — binary column, typed
+  * `Dataset[MediaRow]`, batched `mapPartitions` feature extraction with
+  * bounded batch memory, metadata-driven routing — while the actual
+  * codec is STUBBED: this container has no image/audio libraries, so
+  * `decodeStub` derives a deterministic fake feature vector from the
+  * payload bytes. Swapping in a real decoder changes only that one
+  * function; schema, partitioning and batching stay as-is.
+  */
+object Multimodal {
+
+  /** One media object: payload + the metadata a lakehouse would carry. */
+  final case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+
+  final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+                                 features: Array[Float], feature_norm: Double)
+
+  /** Deterministic stand-in for the decode + feature-extract step
+    * (??? in spirit — replace with a real codec off-container).
+    * Features are 8 floats derived from rolling xxhash-style mixing of
+    * the payload, so downstream joins/aggregations see realistic shapes. */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val feats = new Array[Float](8)
+    var h = 0x9E3779B97F4A7C15L ^ row.doc_id
+    var i = 0
+    while (i < row.payload.length) {
+      h = (h ^ row.payload(i)) * 0x100000001B3L
+      feats(i % 8) += ((h >>> 40).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
+    MediaFeatures(row.doc_id, row.format, row.payload.length, feats, norm)
+  }
+
+  /** Build the media table from documents: payload = utf-8 bytes of the
+    * text (binary-column stand-in), format routed deterministically. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Batched feature extraction: partition-local, fixed-size batches
+    * (the shape a vectorized decoder or GPU feature extractor needs —
+    * bounded memory per batch, no driver involvement). */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** SparkEntry-facing query: per-document media features. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        round(col("feature_norm"), 4).as("feature_norm"))
+      .orderBy("doc_id")
+  }
+}

@@ -94,6 +94,27 @@ object Relational {
       .orderBy("hour", "event_type")
   }
 
+  /** Gaps-and-islands sessionization (batch twin of
+    * streaming/EventStreams.sessionize): a session breaks after a
+    * 30-minute silence. Window algebra — one shuffle on user_id. */
+  def qEventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = 30 * 60 * 1000L
+    t.events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("new_s",
+        when(lag("ms", 1).over(w).isNull ||
+          col("ms") - lag("ms", 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ms").as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "sid")
+  }
+
   /** Semi-join shape (EXISTS): order-priority counts for orders that have
     * at least one lineitem shipped after the order date. The semi-join
     * keeps the probe side deduplicated without a distinct. */

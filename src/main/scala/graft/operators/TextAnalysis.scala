@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation. Everything is
+  * built from codegen'd `functions._` expressions — single scan, no
+  * shuffle except where a groupBy is the semantics (none here: all four
+  * operators are row-local projections, embarrassingly parallel at any
+  * scale).
+  */
+object TextAnalysis {
+
+  private val toks: Column = split(col("text"), "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars — the shape of a
+    * byte-level BPE pre-tokenizer). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality signals: length, alpha/upper/digit/whitespace ratios,
+    * stopword ratio, mean word length, and a blended 0-1 score. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nAlpha = (nChars - length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast("double")
+    val nUpper = (nChars - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double")
+    val nTokens = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      round(nAlpha / nChars, 4).as("alpha_ratio"),
+      round(nUpper / nChars, 4).as("upper_ratio"),
+      round(nStop / nTokens, 4).as("stopword_ratio"),
+      round((nChars - nTokens + 1) / nTokens, 4).as("mean_word_len"),
+      round(least(nTokens / lit(64.0), lit(1.0)) * 0.5
+        + (nAlpha / nChars) * 0.3
+        + least((nStop / nTokens) * lit(5.0), lit(1.0)) * 0.2, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+
+  /** Heuristic language ID: per-language stopword hit-rate over the
+    * token stream, argmax with deterministic tie-break (lexicographic),
+    * "und" (undetermined) below a floor. Row-local; no shuffle. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        round(size(filter(toks, t => t.isin(sw: _*)))
+          .cast("double") / size(toks), 4).as("score"),
+        lit(lang).as("lang"))
+    }
+    // greatest(struct) = max score, ties fall through to the lang field
+    // (lexicographically last) — deterministic either way
+    val best = greatest(scores: _*)
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      when(best.getField("score") >= 0.02, best.getField("lang"))
+        .otherwise(lit("und")).as("lang_pred"),
+      best.getField("score").as("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprints: 3-token k-gram rolling
+    * hashes, minimum per 4-gram window, distinct survivors. Local
+    * selection is window-function algebra over (doc, position) — one
+    * shuffle on doc_id, then distinct. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val exploded = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val kgrams = exploded
+      .withColumn("t1", lead("tok", 1).over(byDoc))
+      .withColumn("t2", lead("tok", 2).over(byDoc))
+      .filter(col("t2").isNotNull)
+      .withColumn("kh", xxhash64(col("tok"), col("t1"), col("t2")))
+    val winnow = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, 3)
+    kgrams
+      .withColumn("fp", min("kh").over(winnow))
+      .select("doc_id", "fp").distinct()
+      .orderBy("doc_id", "fp")
+  }
+}

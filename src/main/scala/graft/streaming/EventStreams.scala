@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the events stream: watermarked
+  * windowed aggregation and stateful sessionization. The batch twins
+  * (`Relational.qEventsHourly`, `Relational.qEventsSessions`) go through
+  * the oracle gate; these run in `StreamingSpec` against a MemoryStream.
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows with a watermark: late events beyond
+    * 10 minutes are dropped, state is evicted as the watermark passes —
+    * bounded state regardless of stream length. */
+  def windowedCounts(events: DataFrame,
+                     window: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives for `gapMs` (event-time timeout keyed
+    * to the watermark — state for quiet users is bounded and evicted). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

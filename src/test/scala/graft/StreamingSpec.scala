@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate by event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 100, "click", 1.0),
+      Event(2, ts(2), 100, "click", 2.0),
+      Event(3, ts(11), 101, "view", 5.0))
+    val q = EventStreams.windowedCounts(in.toDF(), window = "10 minutes",
+      watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_out").start()
+    q.processAllAvailable()
+    // watermark pusher: an hour later, closes all earlier windows
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 11:30:00"), 102, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_out")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(out.contains((ts(0), "click", 2L, 3.0)))
+    assert(out.contains((ts(10), "view", 1L, 5.0)))
+  }
+
+  test("sessionize closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 100: events at 10:01 and 10:05 (one session), then 10:40
+    // (new session after >10min gap)
+    in.addData(
+      Event(1, ts(1), 100, "click", 1.0),
+      Event(2, ts(5), 100, "click", 2.0),
+      Event(3, ts(40), 100, "click", 4.0))
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    q.processAllAvailable()
+    // push the watermark far past 10:40+gap so both sessions time out
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 13:00:00"), 999, "view", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(5, Timestamp.valueOf("2024-01-01 14:00:00"), 999, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out")
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(out.contains((100L, ts(1), 2L, 3.0)), s"got $out")
+    assert(out.contains((100L, ts(40), 1L, 4.0)), s"got $out")
+  }
+}

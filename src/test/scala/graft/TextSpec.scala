@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("token counts on a known sentence") {
+    val r = TextAnalysis.tokenCounts(spark, sf)
+      .filter($"n_tokens" =!= $"n_bpe_tokens" && $"n_tokens" > 0)
+    // word-salad corpus: pure-alpha tokens, so whitespace == BPE counts
+    assert(r.count() == 0)
+  }
+
+  test("quality scores are within [0,1] and ratios sane") {
+    val r = TextAnalysis.qualityScores(spark, sf).cache()
+    assert(r.filter($"quality" < 0 || $"quality" > 1).count() == 0)
+    assert(r.filter($"alpha_ratio" < 0 || $"alpha_ratio" > 1).count() == 0)
+    assert(r.count() > 0)
+  }
+
+  test("langId labels the english word-salad as en") {
+    val r = TextAnalysis.langId(spark, sf).cache()
+    val en = r.filter($"lang_pred" === "en").count()
+    assert(en > r.count() / 2, "most docs should score as English")
+  }
+
+  test("fingerprints are deterministic and subset-stable") {
+    val a = TextAnalysis.fingerprints(spark, sf).collect().toSet
+    val b = TextAnalysis.fingerprints(spark, sf).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("minhash candidates contain the truly similar pairs (recall spot-check)") {
+    val docs = Tables(spark, sf).documents.limit(120).cache()
+    // brute-force true Jaccard >= 0.95 pairs on a small slice
+    val sets = docs.select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+    val truth = sets.as("x").join(sets.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.t"), col("y.t"))).cast("double") /
+          size(array_union(col("x.t"), col("y.t")))).as("j"))
+      .filter($"j" >= 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashDupPairs(docs, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    if (truth.nonEmpty) {
+      val recall = (truth intersect found).size.toDouble / truth.size
+      assert(recall >= 0.8, s"minhash recall $recall over ${truth.size} pairs")
+    }
+  }
+
+  test("simhash near-identical docs have small hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("multimodal feature extraction is deterministic with real plumbing") {
+    val a = Multimodal.multimodalMeta(spark, sf).collect()
+    val b = Multimodal.multimodalMeta(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.length > 0)
+    val formats = a.map(_.getString(1)).toSet
+    assert(formats == Set("image", "audio", "video"))
+  }
+}
