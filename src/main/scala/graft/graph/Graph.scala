@@ -42,18 +42,18 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
   def degreeHistogram: DataFrame =
     degrees.groupBy("degree").agg(count(lit(1)).as("n_vertices"))
 
-  /** Per-vertex triangle participation counts.
-    *
-    * Scale design: edges are ORIENTED by (degree, id) before the wedge
-    * self-join, so every wedge is enumerated exactly once from its
-    * lowest-degree endpoint — the standard orientation trick that bounds
-    * the join fan-out by graph arboricity instead of max-degree² (a hub
-    * with degree 10⁶ would otherwise explode the join at 100 TB scale).
-    * Two shuffles: wedge-build on the pivot, existence semi-join on the
-    * closing edge. */
+  /** Per-vertex triangle participation counts. */
   def triangleVertexCounts: DataFrame = {
+    // Edge-iterator with (degree, id)-ordered adjacency intersection:
+    // orient each edge lo→hi by (degree, id); triangles on edge (u,v) =
+    // |N⁺(u) ∩ N⁺(v)|. Every triangle is found exactly once, at its
+    // lowest-ordered edge. Unlike the classic wedge self-join (which
+    // materializes Σ C(outdeg,2) rows — tens of millions on a dense
+    // graph before the closing semi-join), the per-edge intersection
+    // never materializes wedges: cost is O(deg(u)+deg(v)) per edge and
+    // the only wide rows are the adjacency arrays, whose length the
+    // orientation bounds by O(√m).
     val deg = degrees
-    // orient: keep each canonical edge as lo→hi in (degree, id) order
     val e = edges.select("src", "dst")
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
@@ -66,28 +66,38 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val e1 = oriented.select(col("lo").as("pivot"), col("hi").as("v"))
-    val e2 = oriented.select(col("lo").as("pivot"), col("hi").as("w"))
-    // each unordered wedge {v,w} around pivot once (v < w by id)
-    val wedges = e1.join(e2, "pivot").filter(col("v") < col("w"))
-    // close the wedge: {v,w} must be an edge; orientation of the closing
-    // edge is unknown, so probe both (map-side union of the probe side)
-    val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
-      .union(oriented.select(col("hi").as("v"), col("lo").as("w")))
-    val triangles = wedges.join(closing, Seq("v", "w"), "left_semi")
+    val adjHi = oriented.groupBy(col("lo").as("v"))
+      .agg(collect_list(col("hi")).as("nbrs"))
+    val withU = oriented
+      .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
+    val withBoth = withU
+      .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        array_intersect(col("nu"),
+          coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common"))
 
-    val perVertex = triangles.select(col("pivot").as("id"))
-      .union(triangles.select(col("v").as("id")))
-      .union(triangles.select(col("w").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    // per-vertex participation in ONE pass over the edge stream: both
+    // endpoints count every triangle on their edge, each apex counts 1
+    val contribs = withBoth.select(explode(concat(
+      array(
+        struct(col("lo").as("id"), size(col("common")).cast("long").as("n")),
+        struct(col("hi").as("id"), size(col("common")).cast("long").as("n"))),
+      transform(col("common"), w => struct(w.as("id"), lit(1L).as("n")))))
+      .as("c"))
+    val perVertex = contribs
+      .groupBy(col("c.id").as("id")).agg(sum(col("c.n")).as("triangles"))
     vertices.select("id").join(perVertex, Seq("id"), "left")
       .na.fill(0L, Seq("triangles"))
   }
 
   /** Local clustering coefficient per vertex: 2·tri / (deg·(deg−1)),
     * zero for degree < 2. (ref: nx.average_clustering / main.py:81) */
-  def clusteringCoefficients: DataFrame =
-    degrees.join(triangleVertexCounts, "id")
+  def clusteringCoefficients: DataFrame = clusteringCoefficients(triangleVertexCounts)
+
+  /** As [[clusteringCoefficients]] but with precomputed triangle counts
+    * (lets callers reuse a memoized triangle table). */
+  def clusteringCoefficients(tri: DataFrame): DataFrame =
+    degrees.join(tri, "id")
       .withColumn("clustering_coeff",
         when(col("degree") >= 2,
           lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
@@ -95,14 +105,18 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
 
   /** Global average clustering coefficient (NetworkX semantics: vertices
     * with degree < 2 contribute 0). */
-  def averageClustering: DataFrame =
-    clusteringCoefficients.agg(
+  def averageClustering: DataFrame = averageClustering(triangleVertexCounts)
+
+  def averageClustering(tri: DataFrame): DataFrame =
+    clusteringCoefficients(tri).agg(
       round(avg("clustering_coeff"), 6).as("avg_clustering"))
 
   /** Global transitivity = 3·triangles / open-or-closed wedges.
     * (ref: nx.transitivity / main.py:158) */
-  def transitivity: DataFrame = {
-    val triTotal = triangleVertexCounts
+  def transitivity: DataFrame = transitivity(triangleVertexCounts)
+
+  def transitivity(tri: DataFrame): DataFrame = {
+    val triTotal = tri
       .agg((sum("triangles") / 3).as("n_triangles"))
     val wedgeTotal = degrees
       .agg(sum(col("degree") * (col("degree") - 1) / 2).as("n_wedges"))

@@ -51,4 +51,23 @@ object GraphBuilder {
       val v = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
       Graph(v, e)
     })
+
+  // LPA communities are consumed by three queries (labels, count,
+  // sampling); memoize the 5-iteration run per (graph, iters).
+  private val commCache = TrieMap.empty[(String, Int), DataFrame]
+
+  /** Normalized LPA communities of `g`, memoized per session/dir. */
+  def communities(spark: SparkSession, g: Graph, iters: Int = 5): DataFrame =
+    commCache.getOrElseUpdate((System.identityHashCode(g).toString, iters),
+      Iterative.normalizeLabels(Iterative.labelPropagation(g, iters))
+        .localCheckpoint(true))
+
+  // Four queries (triangles, local/global clustering, transitivity)
+  // consume per-vertex triangle counts; materialize once per graph.
+  private val triCache = TrieMap.empty[String, DataFrame]
+
+  /** Per-vertex triangle counts of `g`, memoized + checkpointed. */
+  def triangles(g: Graph): DataFrame =
+    triCache.getOrElseUpdate(System.identityHashCode(g).toString,
+      g.triangleVertexCounts.localCheckpoint(true))
 }

@@ -25,34 +25,40 @@ object GraphQueries {
     GraphBuilder.coPurchase(spark, dir).degrees
       .agg(round(avg("degree"), 4).as("avg_degree"))
 
-  def triangles(spark: SparkSession, dir: String): DataFrame =
-    GraphBuilder.coPurchase(spark, dir).triangleVertexCounts
-      .orderBy("id")
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    GraphBuilder.triangles(g).orderBy("id")
+  }
 
-  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
-    GraphBuilder.coPurchase(spark, dir).clusteringCoefficients
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    g.clusteringCoefficients(GraphBuilder.triangles(g))
       .select(col("id"), col("degree"), col("triangles"),
         round(col("clustering_coeff"), 6).as("clustering_coeff"))
       .orderBy("id")
+  }
 
-  def avgClustering(spark: SparkSession, dir: String): DataFrame =
-    GraphBuilder.coPurchase(spark, dir).averageClustering
+  def avgClustering(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    g.averageClustering(GraphBuilder.triangles(g))
+  }
 
-  def transitivity(spark: SparkSession, dir: String): DataFrame =
-    GraphBuilder.coPurchase(spark, dir).transitivity
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    g.transitivity(GraphBuilder.triangles(g))
+  }
 
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
     Iterative.connectedComponents(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
   def labelPropagation(spark: SparkSession, dir: String): DataFrame =
-    Iterative.normalizeLabels(
-      Iterative.labelPropagation(GraphBuilder.coPurchase(spark, dir), maxIter = 5))
+    GraphBuilder.communities(spark, GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
   def communityCount(spark: SparkSession, dir: String): DataFrame =
-    Iterative.labelPropagation(GraphBuilder.coPurchase(spark, dir), maxIter = 5)
-      .agg(countDistinct("label").as("n_communities"))
+    GraphBuilder.communities(spark, GraphBuilder.coPurchase(spark, dir))
+      .agg(countDistinct("community").as("n_communities"))
 
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     Iterative.pageRank(GraphBuilder.coPurchase(spark, dir))

@@ -37,16 +37,11 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** 128-permutation MinHash signature over the unigram shingle set,
-    * computed map-side: sig_i = min over shingles of xxhash64(i, tok).
-    * Returns (doc_id, sig: array<long>). */
-  def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame = {
-    val sh = array_distinct(tokens(col("text")))
-    val sig = array((0 until numPerm).map { i =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, x) => least(acc, xxhash64(lit(i), x)))
-    }: _*)
-    docs.select(col("doc_id"), sig.as("sig"))
-  }
+    * computed map-side in one compiled loop (universal-hashing MinHash —
+    * see functions.MinHashSignature). Returns (doc_id, sig: array<long>). */
+  def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashColumns.minhashSig(tokens(col("text")), numPerm).as("sig"))
 
   /** LSH candidate pairs from banded signatures; `bands` × `rowsPerBand`
     * must equal the signature length. Shuffles once on the band bucket
@@ -72,25 +67,43 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .select(col("a"), col("b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
-          x => x)) / lit(numPerm.toDouble)).as("est_jaccard"))
+        graft.functions.HashColumns
+          .equalFraction(col("sig_a"), col("sig_b")).as("est_jaccard"))
     estSim.filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  // the LSH candidate table feeds both the minhash-dup and the exact-
+  // Jaccard queries; memoize the (signatures + band join) per doc table
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** As [[minhashDupPairs]], memoized per `key` (e.g. the sf dir). */
+  def cachedMinhashPairs(key: String, docs: DataFrame,
+                         threshold: Double): DataFrame =
+    pairCache.getOrElseUpdate(s"$key/$threshold",
+      minhashDupPairs(docs, threshold).persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Exact n-gram (unigram-shingle) Jaccard verification on the LSH
     * candidates — the verify stage of the dedup pipeline. */
   def ngramJaccardPairs(docs: DataFrame, candThreshold: Double = 0.8,
-                        jaccardThreshold: Double = 0.8): DataFrame = {
-    val cand = minhashDupPairs(docs, candThreshold)
+                        jaccardThreshold: Double = 0.8,
+                        cacheKey: Option[String] = None): DataFrame = {
+    val cand = cacheKey match {
+      case Some(k) => cachedMinhashPairs(k, docs, candThreshold)
+      case None => minhashDupPairs(docs, candThreshold)
+    }
+    // sorted-distinct token arrays → native merge-walk Jaccard (the
+    // built-in array_intersect/array_union pair cost ~30× more on the
+    // 1.6M-pair candidate set)
     val sets = docs.select(col("doc_id"),
-      array_distinct(tokens(col("text"))).as("toks"))
+      array_sort(array_distinct(tokens(col("text")))).as("toks"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
       .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb")))).as("jaccard"))
+        graft.functions.HashColumns
+          .jaccardSorted(col("ta"), col("tb")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -98,20 +111,11 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the token multiset, map-side: bit j of the
-    * signature is the sign of Σ_tokens (2·bit_j(xxhash64(tok)) − 1). */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    // per-bit vote: aggregate over tokens accumulating 64 counters is
-    // clearer as 64 independent aggregates (all codegen'd, one pass)
-    val bitSums = (0 until 64).map { j =>
-      aggregate(toks, lit(0L),
-        (acc, x) => acc + shiftright(xxhash64(x), j).bitwiseAND(lit(1L)) * 2 - 1)
-    }
-    val sim = bitSums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    docs.select(col("doc_id"), sim.as("simhash"))
-  }
+    * signature is the sign of Σ_tokens (2·bit_j(hash(tok)) − 1). One
+    * compiled loop per row (see functions.SimHash64). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashColumns.simhash64(tokens(col("text"))).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidates
     * from 16-bit chunk buckets (4 chunks ⇒ any pair within hamming 3
