@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** array<float> → long: random-hyperplane (sign-random-projection) LSH
+  * signature. Bit i = sign of ⟨v, r_i⟩ with r_i ∈ {−1,+1}^dim drawn
+  * deterministically from `seed`. P[bit match] = 1 − θ/π, the SimHash
+  * bound for cosine similarity.
+  *
+  * One compiled loop per row (nBits×dim fused multiply-adds) — the
+  * zip_with/aggregate composition this replaces evaluated every element
+  * through the interpreted expression path.
+  */
+case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 64, "signature must fit one long")
+  override def dataType: DataType = LongType
+
+  // plane matrix is tiny (nBits × dim booleans); built once per executor
+  @transient private lazy val planes: Array[Array[Float]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nBits, 4096)(if (rng.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), 4096)
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val plane = planes(b)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x.getFloat(i) * plane(i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneLsh =
+    copy(child = c)
+}
+
+object HyperplaneLsh {
+  def hyperplaneLsh(v: Column, nBits: Int = 48, seed: Long = 42L): Column =
+    column(HyperplaneLsh(expression(v), nBits, seed))
+}

@@ -108,23 +108,8 @@ object Ann {
   def embeddingNearDups(spark: SparkSession, dir: String,
                         threshold: Double = 0.35): DataFrame = {
     val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
-    val dim = 64
-    val nBits = 48
-    // deterministic pseudo-random hyperplanes from xxhash64(bit, pos):
-    // plane_b[pos] = hash bit mapped to {-1,+1}; sign of dot = LSH bit.
-    // zip_with + aggregate keep codegen compact (loops, not 3072 exprs).
-    val positions = sequence(lit(0), lit(dim - 1))
-    val bits = (0 until nBits).map { b =>
-      val signedTerms = zip_with(col("embedding"), positions, (x, p) =>
-        x * when(xxhash64(lit(b), p).bitwiseAND(lit(1L)) === 0, lit(1.0d))
-          .otherwise(lit(-1.0d)))
-      val dot = aggregate(signedTerms, lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L)).otherwise(lit(0L))
-    }
-    val sig = bits.zipWithIndex
-      .map { case (bit, i) => shiftleft(bit, i) }
-      .reduce(_.bitwiseOR(_))
-    val signed = emb.select(col("vec_id"), col("embedding"), sig.as("sig"))
+    val signed = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.HyperplaneLsh.hyperplaneLsh(col("embedding")).as("sig"))
     val banded = signed.select(col("vec_id"), col("embedding"), posexplode(
       array((0 until 6).map(i =>
         shiftrightunsigned(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*))
