@@ -55,6 +55,8 @@ object SparkEntry {
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "g_weighted_degree" -> (GraphQueries.weightedDegree _),
     "d_token_count" -> (TextAnalysis.tokenCounts _),
     "d_quality_score" -> (TextAnalysis.qualityScores _),
     "d_lang_id" -> (TextAnalysis.langId _),
@@ -179,6 +181,20 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "g_weighted_degree" ->
+      """WITH we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT id, sum(weight) AS strength FROM (
+        |  SELECT src AS id, weight FROM we
+        |  UNION ALL SELECT dst AS id, weight FROM we)
+        |GROUP BY id ORDER BY id""".stripMargin,
     "q_events_sessions" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

@@ -32,6 +32,19 @@ object GraphBuilder {
       .distinct()
   }
 
+  /** Weighted co-purchase edges: weight = number of orders the pair
+    * co-occurs in. Same single shuffle as the unweighted derivation —
+    * the distinct becomes a count aggregate. */
+  def coPurchaseWeightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    a.join(b, "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Vertices = all parts that appear in any lineitem (graph endpoints). */
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

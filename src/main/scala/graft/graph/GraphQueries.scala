@@ -74,6 +74,15 @@ object GraphQueries {
     Iterative.closeness(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
+  /** Weighted degree (vertex strength): sum of incident edge weights. */
+  def weightedDegree(spark: SparkSession, dir: String): DataFrame = {
+    val we = GraphBuilder.coPurchaseWeightedEdges(spark, dir)
+    we.select(col("src").as("id"), col("weight"))
+      .union(we.select(col("dst").as("id"), col("weight")))
+      .groupBy("id").agg(sum("weight").as("strength"))
+      .orderBy("id")
+  }
+
   def betweenness(spark: SparkSession, dir: String): DataFrame =
     Betweenness.run(GraphBuilder.coPurchase(spark, dir), numSources = 8)
       .orderBy("id")

@@ -94,6 +94,14 @@ object Relational {
       .orderBy("hour", "event_type")
   }
 
+  /** TPC-H Q6 shape: pure filter-aggregate — the predicate-pushdown
+    * showcase (filters reach the parquet scan; zero joins, one scalar). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
   /** Gaps-and-islands sessionization (batch twin of
     * streaming/EventStreams.sessionize): a session breaks after a
     * 30-minute silence. Window algebra — one shuffle on user_id. */
