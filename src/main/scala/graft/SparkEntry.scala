@@ -62,6 +62,12 @@ object SparkEntry {
     "d_lang_id" -> (TextAnalysis.langId _),
     "d_fingerprint" -> (TextAnalysis.fingerprints _),
     "m_multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "g_density" -> (GraphQueries.density _),
+    "g_assortativity" -> (GraphQueries.assortativity _),
+    "g_neighbor_jaccard" -> (GraphQueries.neighborJaccard _),
+    "g_kcore" -> (GraphQueries.kCore _),
+    "g_modularity" -> (GraphQueries.modularity _),
+    "g_component_sizes" -> (GraphQueries.componentSizes _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -178,6 +184,29 @@ object SparkEntry {
         |WHERE src IN (SELECT p_partkey FROM part WHERE p_size <= 10)
         |  AND dst IN (SELECT p_partkey FROM part WHERE p_size <= 10)
         |ORDER BY src, dst""".stripMargin),
+    "g_density" -> (GraphCte +
+      """SELECT round(2.0 * (SELECT count(*) FROM e)
+        |  / ((SELECT count(*) FROM deg) * ((SELECT count(*) FROM deg) - 1)), 8)
+        |  AS density""".stripMargin),
+    "g_assortativity" -> (GraphCte +
+      """SELECT round(corr(d1.degree, d2.degree), 4) AS assortativity
+        |FROM sym JOIN deg d1 ON sym.src = d1.id
+        |         JOIN deg d2 ON sym.dst = d2.id""".stripMargin),
+    "g_neighbor_jaccard" -> (GraphCte +
+      """, cn AS (
+        |  SELECT e.src, e.dst, count(*) AS common
+        |  FROM e
+        |  JOIN sym s1 ON s1.src = e.src
+        |  JOIN sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+        |  GROUP BY e.src, e.dst)
+        |SELECT e.src, e.dst, coalesce(cn.common, 0) AS common,
+        |  round(coalesce(cn.common, 0)
+        |    / (d1.degree + d2.degree - coalesce(cn.common, 0)), 6) AS jaccard
+        |FROM e
+        |LEFT JOIN cn ON e.src = cn.src AND e.dst = cn.dst
+        |JOIN deg d1 ON e.src = d1.id
+        |JOIN deg d2 ON e.dst = d2.id
+        |ORDER BY e.src, e.dst""".stripMargin),
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

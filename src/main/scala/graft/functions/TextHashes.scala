@@ -151,7 +151,38 @@ case class JaccardSorted(left: Expression, right: Expression)
       l: Expression, r: Expression): JaccardSorted = copy(left = l, right = r)
 }
 
+/** (array<long> SORTED, array<long> SORTED) → long: size of the
+  * intersection via linear merge-walk. Used for common-neighbor counts
+  * on sorted adjacency arrays. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(inter)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
 object HashColumns {
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    column(SortedLongIntersectCount(expression(a), expression(b)))
   def minhashSig(tokens: Column, numPerm: Int = 128, seed: Long = 42L): Column =
     column(MinHashSignature(expression(tokens), numPerm, seed))
   def simhash64(tokens: Column, seed: Long = 42L): Column =

@@ -74,6 +74,29 @@ object GraphQueries {
     Iterative.closeness(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
+  def density(spark: SparkSession, dir: String): DataFrame =
+    Metrics.density(GraphBuilder.coPurchase(spark, dir))
+
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    Metrics.degreeAssortativity(GraphBuilder.coPurchase(spark, dir))
+
+  def neighborJaccard(spark: SparkSession, dir: String): DataFrame =
+    Metrics.neighborJaccard(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("src", "dst")
+
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    Metrics.kCore(GraphBuilder.coPurchase(spark, dir), k = 4)
+      .orderBy("id")
+
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    Metrics.modularity(g, GraphBuilder.communities(spark, g))
+  }
+
+  def componentSizes(spark: SparkSession, dir: String): DataFrame =
+    Metrics.componentSizes(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("size")
+
   /** Weighted degree (vertex strength): sum of incident edge weights. */
   def weightedDegree(spark: SparkSession, dir: String): DataFrame = {
     val we = GraphBuilder.coPurchaseWeightedEdges(spark, dir)

@@ -1,0 +1,74 @@
+package graft
+
+import graft.graph.{Graph, GraphBuilder, Metrics}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetricsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // triangle {1,2,3} + pendant 4 on vertex 3
+  lazy val triPendant = {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    Graph(GraphBuilder.vertices(e), e)
+  }
+
+  test("density of triangle+pendant") {
+    // 4 vertices, 4 edges: 2*4/(4*3) = 2/3
+    val d = Metrics.density(triPendant).as[Double].head()
+    assert(math.abs(d - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("neighborJaccard on known graph") {
+    val j = Metrics.neighborJaccard(triPendant)
+      .select($"src", $"dst", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (s, d, v) => (s, d) -> v }.toMap
+    // edge (1,2): N(1)={2,3}, N(2)={1,3} → common {3}, union {1,2,3} → 1/3
+    assert(math.abs(j((1L, 2L)) - 1.0 / 3.0) < 1e-4)
+    // edge (3,4): N(3)={1,2,4}, N(4)={3} → common ∅ → 0
+    assert(j((3L, 4L)) == 0.0)
+  }
+
+  test("kCore peels pendant vertices") {
+    val core2 = Metrics.kCore(triPendant, k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(core2 == Set(1L, 2L, 3L)) // pendant 4 peeled, triangle stays
+    val core3 = Metrics.kCore(triPendant, k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(core3.isEmpty) // triangle has degree 2 internally
+  }
+
+  test("modularity of the trivial one-community partition is near zero") {
+    val labels = triPendant.vertices.select($"id", lit(0).as("community"))
+    val q = Metrics.modularity(triPendant, labels).as[Double].head()
+    // single community: e_c/m = 1, (d_c/2m)^2 = 1 → Q = 0
+    assert(math.abs(q) < 1e-6)
+  }
+
+  test("modularity prefers the natural split on two cliques") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val good = g.vertices.select($"id",
+      when($"id" < 10, 0).otherwise(1).as("community"))
+    val bad = g.vertices.select($"id", (pmod($"id", lit(2))).cast("int").as("community"))
+    val qGood = Metrics.modularity(g, good).as[Double].head()
+    val qBad = Metrics.modularity(g, bad).as[Double].head()
+    assert(qGood > qBad && qGood > 0.3)
+  }
+
+  test("componentSizes on two components") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val sizes = Metrics.componentSizes(g).as[(Long, Long)].collect().toMap
+    assert(sizes == Map(3L -> 1L, 2L -> 1L))
+  }
+
+  test("assortativity is defined and in [-1,1] on the co-purchase graph") {
+    val a = Metrics.degreeAssortativity(GraphBuilder.coPurchase(spark, sf))
+      .as[Double].head()
+    assert(a >= -1.0 && a <= 1.0)
+  }
+}
