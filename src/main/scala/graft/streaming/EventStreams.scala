@@ -26,6 +26,16 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events with a duplicate `event_id`
+    * arriving within the watermark window — the streaming twin of
+    * `Dedup.exactDedup`. State is bounded: ids older than the watermark
+    * are evicted, which is the only way dedup state survives an
+    * unbounded stream. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

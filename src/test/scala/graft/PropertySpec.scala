@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.HashColumns
+import graft.graph.{Graph, GraphBuilder, Iterative}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  /** Deterministic sampling loop (no scalatest-scalacheck bridge in the
+    * offline cache): N samples from `gen` with fixed seeds. */
+  private def forAllN[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+  private val docGen = Gen.listOfN(20, wordGen).map(_.mkString(" "))
+
+  test("jaccardSorted matches Scala set Jaccard on random docs") {
+    forAllN(Gen.zip(docGen, docGen)) { case (d1, d2) =>
+      val s1 = d1.split(" ").toSet
+      val s2 = d2.split(" ").toSet
+      val want =
+        if ((s1 union s2).isEmpty) 0.0
+        else (s1 intersect s2).size.toDouble / (s1 union s2).size
+      val got = Seq((d1, d2)).toDF("a", "b")
+        .select(HashColumns.jaccardSorted(
+          array_sort(array_distinct(split($"a", " "))),
+          array_sort(array_distinct(split($"b", " ")))).as("j"))
+        .as[Double].head()
+      assert(math.abs(got - want) < 1e-9)
+    }
+  }
+
+  test("minhash equal-fraction is exactly 1 iff shingle sets are equal") {
+    forAllN(Gen.zip(docGen, docGen)) { case (d1, d2) =>
+      val est = Seq((d1, d2)).toDF("a", "b")
+        .select(HashColumns.equalFraction(
+          HashColumns.minhashSig(split($"a", " ")),
+          HashColumns.minhashSig(split($"b", " "))).as("f"))
+        .as[Double].head()
+      val equalSets = d1.split(" ").toSet == d2.split(" ").toSet
+      if (equalSets) assert(est == 1.0)
+      else assert(est < 1.0)
+    }
+  }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(15, for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+
+  test("triangle counts match brute-force enumeration on random graphs") {
+    forAllN(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val g = Graph(GraphBuilder.vertices(edges.toDF("src", "dst")),
+          edges.toDF("src", "dst"))
+        val got = g.triangleVertexCounts.as[(Long, Long)].collect().toMap
+        // brute force
+        val es = edges.toSet
+        def adj(v: Long) = es.collect {
+          case (a, b) if a == v => b
+          case (a, b) if b == v => a
+        }
+        val vs = es.flatMap(e => Seq(e._1, e._2))
+        val want = vs.map { v =>
+          val nb = adj(v).toSeq
+          v -> nb.combinations(2).count { case Seq(x, y) =>
+            es.contains((math.min(x, y), math.max(x, y)))
+          }.toLong
+        }.toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
+  test("connected components match brute-force union-find on random graphs") {
+    forAllN(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val g = Graph(GraphBuilder.vertices(edges.toDF("src", "dst")),
+          edges.toDF("src", "dst"))
+        val got = Iterative.connectedComponents(g)
+          .as[(Long, Long)].collect().toMap
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+}

@@ -35,6 +35,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((ts(10), "view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 100, "click", 1.0),
+      Event(1, ts(2), 100, "click", 1.0), // dup id within watermark
+      Event(2, ts(3), 100, "view", 2.0))
+    val q = EventStreams.dedupStream(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select($"event_id")
+      .as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
