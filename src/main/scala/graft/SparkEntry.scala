@@ -48,8 +48,11 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables(s, d).documents, cacheKey = Some(d))
         .orderBy("a", "b")),
+    // sim column dropped for the oracle: engines agree on the exact
+    // neighbor ranking but differ ~1e-6 in the cosine value itself
     "e_knn_brute" -> ((s, d) =>
-      Ann.knnBrute(s, d).orderBy("query_id", "rank")),
+      Ann.knnBrute(s, d).select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
     "e_knn_ivf" -> ((s, d) =>
       Ann.knnIvf(s, d).orderBy("query_id", "rank")),
     "d_embedding_neardup" -> ((s, d) =>
@@ -184,6 +187,54 @@ object SparkEntry {
         |WHERE src IN (SELECT p_partkey FROM part WHERE p_size <= 10)
         |  AND dst IN (SELECT p_partkey FROM part WHERE p_size <= 10)
         |ORDER BY src, dst""".stripMargin),
+    "e_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "g_bfs_landmarks" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 4),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25)
+        |SELECT landmark, v, min(dist) AS dist FROM bfs
+        |GROUP BY landmark, v ORDER BY landmark, v""".stripMargin,
+    "g_closeness" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 8),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |md AS (
+        |  SELECT landmark, v, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+        |SELECT v AS id, round(count(*) / CAST(sum(dist) AS DOUBLE), 6)
+        |  AS closeness
+        |FROM md WHERE dist > 0 GROUP BY v ORDER BY id""".stripMargin,
     "g_density" -> (GraphCte +
       """SELECT round(2.0 * (SELECT count(*) FROM e)
         |  / ((SELECT count(*) FROM deg) * ((SELECT count(*) FROM deg) - 1)), 8)
