@@ -42,40 +42,19 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
   def degreeHistogram: DataFrame =
     degrees.groupBy("degree").agg(count(lit(1)).as("n_vertices"))
 
-  /** Per-vertex triangle participation counts. */
+  /** Per-vertex triangle participation counts.
+    *
+    * Edge-iterator with (degree, id)-ordered adjacency intersection:
+    * orient each edge lo→hi by (degree, id); triangles on edge (u,v) =
+    * |N⁺(u) ∩ N⁺(v)|. Every triangle is found exactly once, at its
+    * lowest-ordered edge. Unlike the classic wedge self-join (which
+    * materializes Σ C(outdeg,2) rows — tens of millions on a dense
+    * graph before the closing semi-join), the per-edge intersection
+    * never materializes wedges: cost is O(deg(u)+deg(v)) per edge and
+    * the only wide rows are the adjacency arrays, whose length the
+    * orientation bounds by O(√m). */
   def triangleVertexCounts: DataFrame = {
-    // Edge-iterator with (degree, id)-ordered adjacency intersection:
-    // orient each edge lo→hi by (degree, id); triangles on edge (u,v) =
-    // |N⁺(u) ∩ N⁺(v)|. Every triangle is found exactly once, at its
-    // lowest-ordered edge. Unlike the classic wedge self-join (which
-    // materializes Σ C(outdeg,2) rows — tens of millions on a dense
-    // graph before the closing semi-join), the per-edge intersection
-    // never materializes wedges: cost is O(deg(u)+deg(v)) per edge and
-    // the only wide rows are the adjacency arrays, whose length the
-    // orientation bounds by O(√m).
-    val deg = degrees
-    val e = edges.select("src", "dst")
-      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
-      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
-    val oriented = e.select(
-      when(col("sdeg") < col("ddeg") ||
-           (col("sdeg") === col("ddeg") && col("src") < col("dst")),
-        struct(col("src").as("lo"), col("dst").as("hi")))
-        .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
-        .as("e"))
-      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val adjHi = oriented.groupBy(col("lo").as("v"))
-      .agg(collect_list(col("hi")).as("nbrs"))
-    val withU = oriented
-      .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
-    val withBoth = withU
-      .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
-      .select(col("lo"), col("hi"),
-        array_intersect(col("nu"),
-          coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common"))
-
+    val withBoth = orientedCommon
     // per-vertex participation in ONE pass over the edge stream: both
     // endpoints count every triangle on their edge, each apex counts 1
     val contribs = withBoth.select(explode(concat(
@@ -88,6 +67,57 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .groupBy(col("c.id").as("id")).agg(sum(col("c.n")).as("triangles"))
     vertices.select("id").join(perVertex, Seq("id"), "left")
       .na.fill(0L, Seq("triangles"))
+  }
+
+  /** Per-EDGE triangle (common-neighbor) counts: for each canonical
+    * edge, the number of triangles it participates in = |N(u) ∩ N(v)|.
+    * Derived from the oriented intersection stream: triangle {u,v,w}
+    * found on edge (u,v) also contributes to edges (u,w) and (v,w).
+    * Linear in the triangle count — never ships adjacency arrays. */
+  def triangleEdgeCounts: DataFrame = {
+    val withCommon = orientedCommon
+    val contribs = withCommon.select(explode(concat(
+      array(struct(col("lo").as("x"), col("hi").as("y"),
+        size(col("common")).cast("long").as("n"))),
+      transform(col("common"), w =>
+        struct(col("lo").as("x"), w.as("y"), lit(1L).as("n"))),
+      transform(col("common"), w =>
+        struct(col("hi").as("x"), w.as("y"), lit(1L).as("n")))))
+      .as("c"))
+    contribs.select(
+      least(col("c.x"), col("c.y")).as("src"),
+      greatest(col("c.x"), col("c.y")).as("dst"),
+      col("c.n"))
+      .groupBy("src", "dst").agg(sum("n").as("common"))
+  }
+
+  /** Oriented edges with their higher-neighborhood intersections —
+    * shared guts of [[triangleVertexCounts]] / [[triangleEdgeCounts]].
+    * A lazy val: GraphBuilder caches Graph instances per dir, so the
+    * persisted intersection stream is computed once per graph no matter
+    * how many triangle-derived queries consume it. */
+  @transient private lazy val orientedCommon: DataFrame = {
+    val deg = degrees
+    val e = edges.select("src", "dst")
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
+    val oriented = e.select(
+      when(col("sdeg") < col("ddeg") ||
+           (col("sdeg") === col("ddeg") && col("src") < col("dst")),
+        struct(col("src").as("lo"), col("dst").as("hi")))
+        .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjHi = oriented.groupBy(col("lo").as("v"))
+      .agg(collect_list(col("hi")).as("nbrs"))
+    oriented
+      .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
+      .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        array_intersect(col("nu"),
+          coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Local clustering coefficient per vertex: 2·tri / (deg·(deg−1)),

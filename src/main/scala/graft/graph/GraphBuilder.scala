@@ -58,9 +58,17 @@ object GraphBuilder {
   // per edge).
   private val cache = TrieMap.empty[String, Graph]
 
+  // weighted edges subsume the unweighted canonical set (same single
+  // shuffle; the distinct becomes a count) — derive once, share both
+  private val weightedCache = TrieMap.empty[String, DataFrame]
+
+  def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    weightedCache.getOrElseUpdate(dir,
+      coPurchaseWeightedEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
+
   def coPurchase(spark: SparkSession, dir: String): Graph =
     cache.getOrElseUpdate(dir, {
-      val e = coPurchaseEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val e = weightedEdges(spark, dir).select("src", "dst")
       val v = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
       Graph(v, e)
     })
@@ -71,16 +79,39 @@ object GraphBuilder {
 
   /** Normalized LPA communities of `g`, memoized per session/dir. */
   def communities(spark: SparkSession, g: Graph, iters: Int = 5): DataFrame =
-    commCache.getOrElseUpdate((System.identityHashCode(g).toString, iters),
-      Iterative.normalizeLabels(Iterative.labelPropagation(g, iters))
-        .localCheckpoint(true))
+    commCache.getOrElseUpdate((System.identityHashCode(g).toString, iters), {
+      // persist + count, not localCheckpoint: keeps the AQE-optimized
+      // plan for the materialization (checkpoint takes the non-adaptive
+      // path and measured ~10x slower on the triangle pipeline)
+      val c = Iterative.normalizeLabels(Iterative.labelPropagation(g, iters))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    })
 
   // Four queries (triangles, local/global clustering, transitivity)
   // consume per-vertex triangle counts; materialize once per graph.
   private val triCache = TrieMap.empty[String, DataFrame]
 
-  /** Per-vertex triangle counts of `g`, memoized + checkpointed. */
+  /** Per-vertex triangle counts of `g`, memoized + materialized. */
   def triangles(g: Graph): DataFrame =
-    triCache.getOrElseUpdate(System.identityHashCode(g).toString,
-      g.triangleVertexCounts.localCheckpoint(true))
+    triCache.getOrElseUpdate(System.identityHashCode(g).toString, {
+      val t = g.triangleVertexCounts.persist(StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    })
+
+  // landmark BFS distances feed three queries (bfs, closeness, and the
+  // spirit of diameter); materialize the top-8 table once — top-4 is a
+  // prefix of the same (degree desc, id) ordering, so subset-filtering
+  // serves the 4-landmark query
+  private val bfsCache = TrieMap.empty[String, DataFrame]
+
+  def landmarkBfs(g: Graph, k: Int = 8): DataFrame =
+    bfsCache.getOrElseUpdate(System.identityHashCode(g).toString + "/" + k, {
+      val d = Iterative.multiSourceBfs(g, Iterative.topDegreeLandmarks(g, k))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    })
 }

@@ -66,13 +66,16 @@ object GraphQueries {
 
   def bfsLandmarks(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    Iterative.multiSourceBfs(g, Iterative.topDegreeLandmarks(g, 4))
+    GraphBuilder.landmarkBfs(g, 8)
+      .join(Iterative.topDegreeLandmarks(g, 4)
+        .withColumnRenamed("id", "landmark"), Seq("landmark"), "left_semi")
       .orderBy("landmark", "v")
   }
 
-  def closeness(spark: SparkSession, dir: String): DataFrame =
-    Iterative.closeness(GraphBuilder.coPurchase(spark, dir))
-      .orderBy("id")
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    Iterative.closenessFrom(GraphBuilder.landmarkBfs(g, 8)).orderBy("id")
+  }
 
   def density(spark: SparkSession, dir: String): DataFrame =
     Metrics.density(GraphBuilder.coPurchase(spark, dir))
@@ -99,7 +102,7 @@ object GraphQueries {
 
   /** Weighted degree (vertex strength): sum of incident edge weights. */
   def weightedDegree(spark: SparkSession, dir: String): DataFrame = {
-    val we = GraphBuilder.coPurchaseWeightedEdges(spark, dir)
+    val we = GraphBuilder.weightedEdges(spark, dir)
     we.select(col("src").as("id"), col("weight"))
       .union(we.select(col("dst").as("id"), col("weight")))
       .groupBy("id").agg(sum("weight").as("strength"))

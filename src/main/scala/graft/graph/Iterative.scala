@@ -171,8 +171,11 @@ object Iterative {
   /** Landmark closeness centrality: (reachable-1)/Σdist over the
     * landmark set — the standard landmark approximation of
     * nx.closeness_centrality (exact when landmarks = all vertices). */
-  def closeness(g: Graph, numLandmarks: Int = 8): DataFrame = {
-    val dists = multiSourceBfs(g, topDegreeLandmarks(g, numLandmarks))
+  def closeness(g: Graph, numLandmarks: Int = 8): DataFrame =
+    closenessFrom(multiSourceBfs(g, topDegreeLandmarks(g, numLandmarks)))
+
+  /** Closeness from a precomputed (landmark, v, dist) table. */
+  def closenessFrom(dists: DataFrame): DataFrame = {
     dists.filter(col("dist") > 0)
       .groupBy(col("v").as("id"))
       .agg(count(lit(1)).as("n_reached"), sum("dist").as("total_dist"))

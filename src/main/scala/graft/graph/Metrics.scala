@@ -1,6 +1,6 @@
 package graft.graph
 
-import graft.functions.HashColumns.sortedLongIntersectCount
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,17 +33,17 @@ object Metrics {
   /** Per-edge neighborhood Jaccard similarity (link-prediction feature):
     * |N(u)∩N(v)| / |N(u)∪N(v)| for every existing edge.
     *
-    * Scale design: sorted adjacency arrays + a native merge-walk
-    * intersect — the relational alternative (sym ⋈ sym wedge join per
-    * edge) materializes Σ deg(u)·deg(v) rows, quadratic in degree. */
+    * Scale design: |N(u)∩N(v)| per edge IS the edge's triangle count, so
+    * this reuses the oriented triangle stream — linear in the triangle
+    * count; neither the sym ⋈ sym wedge join (quadratic in degree) nor
+    * an adjacency-array ship (deg(u)+deg(v) longs per edge row). */
   def neighborJaccard(g: Graph): DataFrame = {
-    val adj = g.symmetrized.groupBy(col("src").as("v"))
-      .agg(sort_array(collect_list("dst")).as("nbrs"),
-        count(lit(1)).as("deg"))
-    g.edges
-      .join(adj.select(col("v").as("src"), col("nbrs").as("nu"), col("deg").as("du")), "src")
-      .join(adj.select(col("v").as("dst"), col("nbrs").as("nv"), col("deg").as("dv")), "dst")
-      .withColumn("common", sortedLongIntersectCount(col("nu"), col("nv")))
+    val deg = g.degrees
+    g.edges.select("src", "dst")
+      .join(g.triangleEdgeCounts, Seq("src", "dst"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dv"), "dst")
       .select(col("src"), col("dst"), col("common"),
         round(col("common") /
           (col("du") + col("dv") - col("common")), 6).as("jaccard"))

@@ -93,17 +93,22 @@ object Dedup {
       case Some(k) => cachedMinhashPairs(k, docs, candThreshold)
       case None => minhashDupPairs(docs, candThreshold)
     }
-    // sorted-distinct token arrays → native merge-walk Jaccard (the
-    // built-in array_intersect/array_union pair cost ~30× more on the
-    // 1.6M-pair candidate set)
+    // sorted hashed-shingle arrays → native merge-walk intersect. Long
+    // compares beat UTF8String compares ~5× and halve the shuffled row
+    // width on the 1.6M-pair candidate set; 64-bit shingle hashing makes
+    // collisions (and thus Jaccard error) negligible.
     val sets = docs.select(col("doc_id"),
-      array_sort(array_distinct(tokens(col("text")))).as("toks"))
+      array_sort(transform(array_distinct(tokens(col("text"))), xxhash64(_)))
+        .as("toks"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
       .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
       .select(col("a"), col("b"),
         graft.functions.HashColumns
-          .jaccardSorted(col("ta"), col("tb")).as("jaccard"))
+          .sortedLongIntersectCount(col("ta"), col("tb")).as("common"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .select(col("a"), col("b"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
