@@ -59,6 +59,9 @@ object SparkEntry {
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q_rollup_revenue" -> (Relational.qRollupRevenue _),
+    "q_value_percentiles" -> (Relational.qValuePercentiles _),
+    "q_customers_no_orders" -> (Relational.qCustomersNoOrders _),
     "g_weighted_degree" -> (GraphQueries.weightedDegree _),
     "d_token_count" -> (TextAnalysis.tokenCounts _),
     "d_quality_score" -> (TextAnalysis.qualityScores _),
@@ -275,6 +278,29 @@ object SparkEntry {
         |  SELECT src AS id, weight FROM we
         |  UNION ALL SELECT dst AS id, weight FROM we)
         |GROUP BY id ORDER BY id""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+        |  coalesce(n_name, 'ALL') AS n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_events_sessions" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

@@ -29,13 +29,23 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
 
   /** Per-vertex degree. One shuffle on vertex id; partial counts are
     * map-side combined. Isolated vertices get degree 0 via the vertex
-    * left join. (ref: nx.degree / main.py:142-144) */
-  def degrees: DataFrame = {
+    * left join. (ref: nx.degree / main.py:142-144)
+    *
+    * A persisted lazy val: degrees feed the orientation joins, the
+    * clustering/transitivity denominators and several metrics — and an
+    * aggregate's size estimate defeats Catalyst's auto-broadcast, so
+    * every consumer re-deriving it costs both the recompute AND a
+    * shuffle join it should not need. */
+  @transient lazy val degrees: DataFrame = {
     val d = symmetrized.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
     vertices.select("id").join(d, Seq("id"), "left")
       .na.fill(0L, Seq("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Cached vertex count (drives broadcast decisions). */
+  @transient lazy val vertexCount: Long = vertices.count()
 
   /** Degree distribution: degree → number of vertices.
     * (ref: nx.degree_histogram / main.py:132) */
@@ -55,16 +65,15 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * orientation bounds by O(√m). */
   def triangleVertexCounts: DataFrame = {
     val withBoth = orientedCommon
-    // per-vertex participation in ONE pass over the edge stream: both
-    // endpoints count every triangle on their edge, each apex counts 1
-    val contribs = withBoth.select(explode(concat(
-      array(
-        struct(col("lo").as("id"), size(col("common")).cast("long").as("n")),
-        struct(col("hi").as("id"), size(col("common")).cast("long").as("n"))),
-      transform(col("common"), w => struct(w.as("id"), lit(1L).as("n")))))
-      .as("c"))
-    val perVertex = contribs
-      .groupBy(col("c.id").as("id")).agg(sum(col("c.n")).as("triangles"))
+    // contributions as a union of plain selects over the PERSISTED
+    // intersection stream — native explode generators, three cheap
+    // cache scans. (A single-pass transform(..)+concat+explode variant
+    // routed every struct through the interpreted HOF path: 10× slower.)
+    val perVertex = withBoth
+      .select(col("lo").as("id"), size(col("common")).cast("long").as("n"))
+      .union(withBoth.select(col("hi").as("id"), size(col("common")).cast("long").as("n")))
+      .union(withBoth.select(explode(col("common")).as("id")).withColumn("n", lit(1L)))
+      .groupBy("id").agg(sum("n").as("triangles"))
     vertices.select("id").join(perVertex, Seq("id"), "left")
       .na.fill(0L, Seq("triangles"))
   }
@@ -76,18 +85,17 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * Linear in the triangle count — never ships adjacency arrays. */
   def triangleEdgeCounts: DataFrame = {
     val withCommon = orientedCommon
-    val contribs = withCommon.select(explode(concat(
-      array(struct(col("lo").as("x"), col("hi").as("y"),
-        size(col("common")).cast("long").as("n"))),
-      transform(col("common"), w =>
-        struct(col("lo").as("x"), w.as("y"), lit(1L).as("n"))),
-      transform(col("common"), w =>
-        struct(col("hi").as("x"), w.as("y"), lit(1L).as("n")))))
-      .as("c"))
+    val contribs = withCommon
+      .select(col("lo").as("x"), col("hi").as("y"),
+        size(col("common")).cast("long").as("n"))
+      .union(withCommon.select(col("lo").as("x"),
+        explode(col("common")).as("y")).withColumn("n", lit(1L)))
+      .union(withCommon.select(col("hi").as("x"),
+        explode(col("common")).as("y")).withColumn("n", lit(1L)))
     contribs.select(
-      least(col("c.x"), col("c.y")).as("src"),
-      greatest(col("c.x"), col("c.y")).as("dst"),
-      col("c.n"))
+      least(col("x"), col("y")).as("src"),
+      greatest(col("x"), col("y")).as("dst"),
+      col("n"))
       .groupBy("src", "dst").agg(sum("n").as("common"))
   }
 
@@ -97,7 +105,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * persisted intersection stream is computed once per graph no matter
     * how many triangle-derived queries consume it. */
   @transient private lazy val orientedCommon: DataFrame = {
-    val deg = degrees
+    val deg = if (vertexCount <= 500000) broadcast(degrees) else degrees
     val e = edges.select("src", "dst")
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
@@ -109,8 +117,15 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
         .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjHi = oriented.groupBy(col("lo").as("v"))
+    val adjHiBase = oriented.groupBy(col("lo").as("v"))
       .agg(collect_list(col("hi")).as("nbrs"))
+    // adjacency is one array-row per vertex; when it fits comfortably in
+    // a broadcast (the usual case for graphs whose vertex set is orders
+    // of magnitude smaller than the edge set), broadcasting avoids
+    // shuffling the WIDE intermediate rows (edge + its adjacency array)
+    // through two joins. For vertex sets beyond that, fall back to the
+    // co-partitioned shuffle join.
+    val adjHi = if (vertexCount <= 500000) broadcast(adjHiBase) else adjHiBase
     oriented
       .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")

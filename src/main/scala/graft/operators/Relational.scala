@@ -94,6 +94,52 @@ object Relational {
       .orderBy("hour", "event_type")
   }
 
+  /** ROLLUP grouping-sets: revenue by region/nation with subtotals.
+    * Subtotal keys are coalesced to 'ALL' so the output is null-free
+    * and deterministic across engines. */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rn"), col("n_name").as("nn"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .createOrReplaceTempView("rollup_src")
+    // the SQL path sidesteps DetectAmbiguousSelfJoin, which flags the
+    // Dataset rollup API's regenerated (nullable) grouping attributes
+    spark.sql(
+      """SELECT coalesce(rn, 'ALL') AS r_name, coalesce(nn, 'ALL') AS n_name,
+        |  round(sum(rev), 2) AS revenue
+        |FROM rollup_src
+        |GROUP BY ROLLUP (rn, nn)
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  /** Exact percentiles of the event value distribution per event type —
+    * order statistics shape (sort-based aggregate). */
+  def qValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Anti-join shape (NOT EXISTS): customers with no large orders
+    * (total price above 450k) — non-empty at every scale factor. */
+  def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > 450000.0)
+    t.customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
   /** TPC-H Q6 shape: pure filter-aggregate — the predicate-pushdown
     * showcase (filters reach the parquet scan; zero joins, one scalar). */
   def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =

@@ -34,6 +34,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
+    # an oracle entry whose output dir is missing means the Spark side
+    # CRASHED during Verify — flag loudly instead of silently skipping
+    present = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - present):
+        print(f"[oracle] {name}: MISSING OUTPUT (query failed in Verify)")
+        failures += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
