@@ -74,6 +74,8 @@ object SparkEntry {
     "g_kcore" -> (GraphQueries.kCore _),
     "g_modularity" -> (GraphQueries.modularity _),
     "g_component_sizes" -> (GraphQueries.componentSizes _),
+    "g_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
+    "g_avg_path_length" -> (GraphQueries.avgPathLength _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -238,6 +240,23 @@ object SparkEntry {
         |SELECT v AS id, round(count(*) / CAST(sum(dist) AS DOUBLE), 6)
         |  AS closeness
         |FROM md WHERE dist > 0 GROUP BY v ORDER BY id""".stripMargin,
+    "g_avg_path_length" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 8),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |md AS (
+        |  SELECT landmark, v, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+        |SELECT round(avg(dist), 4) AS avg_path_length
+        |FROM md WHERE dist > 0""".stripMargin,
     "g_density" -> (GraphCte +
       """SELECT round(2.0 * (SELECT count(*) FROM e)
         |  / ((SELECT count(*) FROM deg) * ((SELECT count(*) FROM deg) - 1)), 8)

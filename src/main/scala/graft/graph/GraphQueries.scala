@@ -118,6 +118,19 @@ object GraphQueries {
     CommunitySample.sample(spark, GraphBuilder.coPurchase(spark, dir))
       .orderBy("community", "id")
 
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    // deterministic source: the max-degree vertex
+    val src = Iterative.topDegreeLandmarks(g, 1)
+      .head().getLong(0)
+    Iterative.personalizedPageRank(g, src).orderBy("id")
+  }
+
+  def avgPathLength(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    Iterative.avgPathLength(GraphBuilder.landmarkBfs(g, 8))
+  }
+
   def diameter(spark: SparkSession, dir: String): DataFrame =
     Iterative.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
 

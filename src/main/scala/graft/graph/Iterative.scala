@@ -164,6 +164,39 @@ object Iterative {
     state
   }
 
+  /** Personalized PageRank: random walk with restart to the source
+    * vertex (GraphFrames parity: pageRank with sourceId). Same
+    * join+agg iteration as [[pageRank]]; the teleport mass concentrates
+    * on the source instead of spreading uniformly. */
+  def personalizedPageRank(g: Graph, sourceId: Long, iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    val sym = g.symmetrized.localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var ranks = deg.select(col("id"),
+      when(col("id") === sourceId, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_rank"))
+      ranks = deg.select("id")
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === sourceId, lit(1 - damping)).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), round(col("rank"), 6).as("ppr"))
+  }
+
+  /** Average shortest-path length estimate over the landmark BFS pairs
+    * (ref: the reference computes exact ASP via NetworkX driver-side). */
+  def avgPathLength(dists: DataFrame): DataFrame =
+    dists.filter(col("dist") > 0)
+      .agg(round(avg(col("dist")), 4).as("avg_path_length"))
+
   /** Deterministic landmark set: top-k degree, ties by id. */
   def topDegreeLandmarks(g: Graph, k: Int): DataFrame =
     g.degrees.orderBy(col("degree").desc, col("id").asc).limit(k).select("id")
