@@ -67,6 +67,7 @@ object SparkEntry {
     "d_quality_score" -> (TextAnalysis.qualityScores _),
     "d_lang_id" -> (TextAnalysis.langId _),
     "d_fingerprint" -> (TextAnalysis.fingerprints _),
+    "d_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "m_multimodal_meta" -> (Multimodal.multimodalMeta _),
     "g_density" -> (GraphQueries.density _),
     "g_assortativity" -> (GraphQueries.assortativity _),
@@ -320,6 +321,14 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "d_top_tokens" ->
+      """SELECT token, count(*) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+'))
+        |    AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY doc_freq DESC, token ASC
+        |LIMIT 25""".stripMargin,
     "q_events_sessions" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

@@ -77,6 +77,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level token frequencies: top-k tokens by document frequency
+    * (vocabulary analysis for curation). Explode + two aggregates; the
+    * per-token count is map-side combined before the shuffle. */
+  def topTokens(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(array_distinct(toks)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(k)
+
   /** Winnowing-style document fingerprints: 3-token k-gram rolling
     * hashes, minimum per 4-gram window, distinct survivors. Local
     * selection is window-function algebra over (doc, position) — one
