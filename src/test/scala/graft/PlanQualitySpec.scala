@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: these assert the optimizer properties the scale
+  * design depends on — column pruning and predicate pushdown reaching
+  * the parquet scans, and broadcast joins on dimension tables — so a
+  * refactor that silently fattens a scan or drops a pushdown fails CI,
+  * not a 100 TB run.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def scans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("q1 scan reads only the 5 needed lineitem columns") {
+    val s = scans(Relational.q1PricingSummary(spark, sf))
+    assert(s.nonEmpty)
+    val cols = s.head.requiredSchema.fieldNames.toSet
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount"), s"read $cols")
+  }
+
+  test("q6 pushes both filters down to the scan") {
+    val s = scans(Relational.q6ForecastRevenue(spark, sf))
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      s"pushed: $pushed")
+    assert(s.head.requiredSchema.fieldNames.toSet ==
+      Set("l_extendedprice", "l_discount", "l_quantity"))
+  }
+
+  test("q3 pushes the segment predicate into the customer scan") {
+    val s = scans(Relational.q3TopRevenue(spark, sf))
+    val custScan = s.find(_.requiredSchema.fieldNames.contains("c_mktsegment"))
+    assert(custScan.isDefined)
+    val pushed = custScan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("BUILDING"), s"pushed: $pushed")
+  }
+
+  test("q5 star join broadcasts the dimension tables") {
+    val plan = Relational.q5RegionRevenue(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
