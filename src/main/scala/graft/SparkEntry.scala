@@ -77,6 +77,8 @@ object SparkEntry {
     "g_component_sizes" -> (GraphQueries.componentSizes _),
     "g_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
     "g_avg_path_length" -> (GraphQueries.avgPathLength _),
+    "g_eccentricity" -> (GraphQueries.eccentricity _),
+    "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +

@@ -131,6 +131,16 @@ object GraphQueries {
     Iterative.avgPathLength(GraphBuilder.landmarkBfs(g, 8))
   }
 
+  /** Landmark eccentricity: max hop distance from each landmark —
+    * free from the cached BFS table (diameter ≥ max eccentricity). */
+  def eccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    GraphBuilder.landmarkBfs(g, 8)
+      .groupBy(col("landmark"))
+      .agg(max("dist").as("eccentricity"))
+      .orderBy("landmark")
+  }
+
   def diameter(spark: SparkSession, dir: String): DataFrame =
     Iterative.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
 

@@ -140,6 +140,18 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Sketch aggregation: approximate distinct users per event type via
+    * HyperLogLog++. At 100 TB exact countDistinct shuffles every
+    * distinct value; the sketch is fixed-size per group and merges
+    * map-side — this is THE scale pattern for cardinality. (Rows-only
+    * gate: HLL estimates are engine-specific.) */
+  def qApproxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", rsd = 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** TPC-H Q6 shape: pure filter-aggregate — the predicate-pushdown
     * showcase (filters reach the parquet scan; zero joins, one scalar). */
   def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
