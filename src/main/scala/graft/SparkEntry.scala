@@ -42,8 +42,11 @@ object SparkEntry {
       Dedup.cachedMinhashPairs(d, Tables(s, d).documents, threshold = 0.8)
         .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.9)
         .orderBy("a", "b")),
+    // maxHamming=3: the 4x16-bit chunk bucketing guarantees recall only
+    // for hamming <= 3 (pigeonhole) — a higher threshold would silently
+    // drop pairs whose differing bits span all four chunks
     "d_simhash_dups" -> ((s, d) =>
-      Dedup.simhashDupPairs(Tables(s, d).documents, maxHamming = 8)
+      Dedup.simhashDupPairs(Tables(s, d).documents, maxHamming = 3)
         .orderBy("a", "b")),
     "d_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables(s, d).documents, cacheKey = Some(d))
@@ -108,6 +111,91 @@ object SparkEntry {
       |  FROM deg d LEFT JOIN tv t USING (id))
       |""".stripMargin
 
+  // ---- unrolled-iteration oracle builders ----------------------------
+  // The iterative graph algorithms are deterministic (fixed iteration
+  // counts, min/mode tie-breaks), so their oracles are the SAME update
+  // rule unrolled as chained CTEs over the GraphCte tables. Generated
+  // here rather than hand-written; all reference `e`/`sym`/`deg`.
+
+  /** Min-label propagation to fixpoint: component = min reachable id.
+    * `rounds` must exceed the max distance from each component's min
+    * vertex (sf0.01 diameter ≈ 2; 8 rounds is a wide margin).
+    *
+    * Self-loops are folded into the propagation stream (`symp`) so each
+    * round references the previous state exactly ONCE — DuckDB inlines
+    * CTEs per reference, and a double reference per round re-evaluates
+    * the whole chain (measured 360 s vs 1.7 s for 8 rounds). */
+  private def ccUnrolled(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""", c$i AS (
+         |  SELECT s.src AS id, min(n.lbl) AS lbl
+         |  FROM symp s JOIN c${i - 1} n ON n.id = s.dst
+         |  GROUP BY s.src)
+         |""".stripMargin
+    }.mkString(
+      """, symp AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM deg)
+        |, c0 AS (SELECT id, id AS lbl FROM deg)
+        |""".stripMargin, "", "")
+
+  /** Synchronous LPA, mode-of-neighbor-labels with min-label tie-break —
+    * exact [[graft.graph.Gx.labelPropagation]] semantics, unrolled. */
+  private def lpaUnrolled(iters: Int): String =
+    (1 to iters).map { i =>
+      s""", n$i AS (
+         |  SELECT s.src AS id, l.label, count(*) AS cnt
+         |  FROM sym s JOIN l${i - 1} l ON l.id = s.dst
+         |  GROUP BY s.src, l.label)
+         |, l$i AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (
+         |      PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM n$i) WHERE rn = 1)
+         |""".stripMargin
+    }.mkString(", l0 AS (SELECT id, id AS label FROM deg)\n", "", "")
+
+  /** Fixed-iteration PageRank (rank₀=1; rankᵢ₊₁ = 0.15 + 0.85·Σ rank/deg)
+    * unrolled; `personalized` concentrates init + teleport on `srcv`. */
+  private def prUnrolled(iters: Int, personalized: Boolean): String = {
+    val init =
+      if (!personalized) "SELECT id, 1.0 AS rank FROM deg"
+      else
+        """SELECT d.id, CASE WHEN d.id = (SELECT id FROM srcv)
+          |    THEN 1.0 ELSE 0.0 END AS rank FROM deg d""".stripMargin
+    val teleport =
+      if (!personalized) "0.15"
+      else "(CASE WHEN d.id = (SELECT id FROM srcv) THEN 0.15 ELSE 0.0 END)"
+    (1 to iters).map { i =>
+      s""", r$i AS (
+         |  SELECT d.id, $teleport + 0.85 * coalesce(acc.a, 0.0) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT s.dst AS id, sum(r.rank / dg.degree) AS a
+         |    FROM sym s JOIN r${i - 1} r ON r.id = s.src
+         |    JOIN deg dg ON dg.id = s.src
+         |    GROUP BY s.dst) acc ON acc.id = d.id)
+         |""".stripMargin
+    }.mkString(s", r0 AS ($init)\n", "", "")
+  }
+
+  /** Iterative k-core peeling unrolled: drop vertices with residual
+    * degree < k until fixpoint (`rounds` ≥ peel depth; sf0.01 converges
+    * in 1 round — the whole graph is a 4-core). Each peel references
+    * the previous edge set more than once, so the stages are pinned
+    * MATERIALIZED — DuckDB's per-reference inlining would otherwise
+    * re-evaluate the whole chain exponentially. */
+  private def kcoreUnrolled(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s""", kk$i AS MATERIALIZED (
+         |  SELECT src AS id FROM (
+         |    SELECT src, dst FROM ke${i - 1}
+         |    UNION ALL SELECT dst, src FROM ke${i - 1})
+         |  GROUP BY src HAVING count(*) >= $k)
+         |, ke$i AS MATERIALIZED (
+         |  SELECT t.src, t.dst FROM ke${i - 1} t
+         |  JOIN kk$i a ON a.id = t.src
+         |  JOIN kk$i b ON b.id = t.dst)
+         |""".stripMargin
+    }.mkString(", ke0 AS MATERIALIZED (SELECT src, dst FROM e)\n", "", "")
+
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -162,7 +250,8 @@ object SparkEntry {
     "q_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "g_edges" -> (GraphCte +
@@ -283,6 +372,106 @@ object SparkEntry {
         |JOIN deg d1 ON e.src = d1.id
         |JOIN deg d2 ON e.dst = d2.id
         |ORDER BY e.src, e.dst""".stripMargin),
+    "g_connected_components" -> (GraphCte + ccUnrolled(8) +
+      "SELECT id, lbl AS component FROM c8 ORDER BY id"),
+    "g_component_sizes" -> (GraphCte + ccUnrolled(8) +
+      """, comp AS (SELECT lbl, count(*) AS size FROM c8 GROUP BY lbl)
+        |SELECT size, count(*) AS n_components FROM comp
+        |GROUP BY size ORDER BY size""".stripMargin),
+    "g_label_propagation" -> (GraphCte + lpaUnrolled(5) +
+      """SELECT id, dense_rank() OVER (ORDER BY label) - 1 AS community
+        |FROM l5 ORDER BY id""".stripMargin),
+    "g_community_count" -> (GraphCte + lpaUnrolled(5) +
+      "SELECT count(DISTINCT label) AS n_communities FROM l5"),
+    "g_modularity" -> (GraphCte + lpaUnrolled(5) +
+      """, mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e)
+        |, intra AS (
+        |  SELECT la.label AS c, count(*) AS e_c
+        |  FROM e JOIN l5 la ON la.id = e.src JOIN l5 lb ON lb.id = e.dst
+        |  WHERE la.label = lb.label GROUP BY la.label)
+        |, dc AS (
+        |  SELECT l.label AS c, CAST(sum(d.degree) AS DOUBLE) AS d_c
+        |  FROM deg d JOIN l5 l ON l.id = d.id GROUP BY l.label)
+        |SELECT round(sum(coalesce(i.e_c, 0) / (SELECT m FROM mm)
+        |  - pow(dc.d_c / (2 * (SELECT m FROM mm)), 2)), 6) AS modularity
+        |FROM dc LEFT JOIN intra i ON i.c = dc.c""".stripMargin),
+    "g_pagerank" -> (GraphCte + prUnrolled(10, personalized = false) +
+      "SELECT id, round(rank, 6) AS pagerank FROM r10 ORDER BY id"),
+    "g_personalized_pagerank" -> (GraphCte +
+      ", srcv AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 1)\n" +
+      prUnrolled(10, personalized = true) +
+      "SELECT id, round(rank, 6) AS ppr FROM r10 ORDER BY id"),
+    "g_kcore" -> (GraphCte + kcoreUnrolled(10, 4) +
+      """SELECT id, 4 AS k FROM (
+        |  SELECT src AS id FROM ke10 UNION SELECT dst AS id FROM ke10)
+        |GROUP BY id ORDER BY id""".stripMargin),
+    "g_eccentricity" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 8),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |md AS (
+        |  SELECT landmark, v, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+        |SELECT landmark, max(dist) AS eccentricity FROM md
+        |GROUP BY landmark ORDER BY landmark""".stripMargin,
+    "g_diameter" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm1 AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+        |b1(v, dist) AS (
+        |  SELECT id, 0 FROM lm1
+        |  UNION
+        |  SELECT s.dst, b.dist + 1
+        |  FROM b1 b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |b1m AS (SELECT v, min(dist) AS dist FROM b1 GROUP BY v),
+        |far AS (SELECT v FROM b1m ORDER BY dist DESC, v ASC LIMIT 1),
+        |b2(v, dist) AS (
+        |  SELECT v, 0 FROM far
+        |  UNION
+        |  SELECT s.dst, b.dist + 1
+        |  FROM b2 b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |b2m AS (SELECT v, min(dist) AS dist FROM b2 GROUP BY v)
+        |SELECT max(dist) AS diameter_lower_bound FROM b2m""".stripMargin,
+    "d_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, round(len(list_filter(toks, x -> x IN
+        |    ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE
+        |    / len(toks), 4) AS score FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'en', round(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |    / len(toks), 4) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'es', round(len(list_filter(toks, x -> x IN
+        |    ('el','la','los','y','es','un','una','que')))::DOUBLE
+        |    / len(toks), 4) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', round(len(list_filter(toks, x -> x IN
+        |    ('le','la','les','et','est','un','une','dans')))::DOUBLE
+        |    / len(toks), 4) FROM t),
+        |b AS (
+        |  SELECT doc_id, lang, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN score >= 0.02 THEN lang ELSE 'und' END AS lang_pred,
+        |  score AS lang_score
+        |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -290,13 +479,15 @@ object SparkEntry {
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // CAST: DuckDB sum(BIGINT) widens to HUGEINT, which the driver's
+    // hasher renders differently from Spark's long — cast back to BIGINT
     "g_weighted_degree" ->
       """WITH we AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2)
-        |SELECT id, sum(weight) AS strength FROM (
+        |SELECT id, CAST(sum(weight) AS BIGINT) AS strength FROM (
         |  SELECT src AS id, weight FROM we
         |  UNION ALL SELECT dst AS id, weight FROM we)
         |GROUP BY id ORDER BY id""".stripMargin,
@@ -340,8 +531,8 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM x)
         |SELECT user_id, sid, min(epoch_ms(ts)) AS session_start_ms,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -20,14 +20,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // validate BOTH children: the expression is reachable from arbitrary
+  // SQL (cosine_sim via GraftExtensions), and an array<double> right arg
+  // would otherwise pass analysis and be byte-reinterpreted by getFloat
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-        left.dataType == ArrayType(FloatType, containsNull = true))
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"expected array<float>, got ${left.dataType}")
+        .TypeCheckFailure(s"expected (array<float>, array<float>), got " +
+          s"(${left.dataType}, ${right.dataType})")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -29,7 +29,10 @@ case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), 4096)
+    val n = x.numElements()
+    require(n <= 4096,
+      s"hyperplane_lsh supports vectors up to 4096 dims, got $n " +
+        "(silent truncation would ignore the tail)")
     var sig = 0L
     var b = 0
     while (b < nBits) {

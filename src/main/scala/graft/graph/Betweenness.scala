@@ -21,12 +21,19 @@ object Betweenness {
 
   /** @return (id, betweenness) — unnormalized undirected betweenness
     *         (each unordered pair counted once), scaled by n/k when
-    *         sources are a sample. */
-  def run(g: Graph, numSources: Int = 8): DataFrame = {
+    *         sources are a sample.
+    *
+    * Sources are a SEEDED UNIFORM vertex sample (hash-ordered), not
+    * high-degree landmarks: the n/k Brandes–Pich extrapolation is only
+    * unbiased for uniform sources — degree-biased landmarks would
+    * systematically overweight paths through hubs. */
+  def run(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame = {
     val spark = g.edges.sparkSession
     val sym = g.symmetrized.localCheckpoint(true)
     val n = g.vertices.count()
-    val sources = Iterative.topDegreeLandmarks(g, numSources)
+    val sources = g.vertices
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(numSources).select("id")
     val k = math.min(numSources.toLong, n)
 
     // ---- forward sweep: per-level (s, v, sigma) ----

@@ -77,13 +77,15 @@ object GraphBuilder {
   // sampling); memoize the 5-iteration run per (graph, iters).
   private val commCache = TrieMap.empty[(String, Int), DataFrame]
 
-  /** Normalized LPA communities of `g`, memoized per session/dir. */
+  /** Normalized LPA communities of `g`, memoized per session/dir.
+    * GraphX-backed (Gx.labelPropagation) — identical labels to the
+    * DataFrame implementation, without per-iteration planning cost. */
   def communities(spark: SparkSession, g: Graph, iters: Int = 5): DataFrame =
     commCache.getOrElseUpdate((System.identityHashCode(g).toString, iters), {
       // persist + count, not localCheckpoint: keeps the AQE-optimized
       // plan for the materialization (checkpoint takes the non-adaptive
       // path and measured ~10x slower on the triangle pipeline)
-      val c = Iterative.normalizeLabels(Iterative.labelPropagation(g, iters))
+      val c = Iterative.normalizeLabels(Gx.labelPropagation(g, iters))
         .persist(StorageLevel.MEMORY_AND_DISK)
       c.count()
       c
@@ -109,7 +111,9 @@ object GraphBuilder {
 
   def landmarkBfs(g: Graph, k: Int = 8): DataFrame =
     bfsCache.getOrElseUpdate(System.identityHashCode(g).toString + "/" + k, {
-      val d = Iterative.multiSourceBfs(g, Iterative.topDegreeLandmarks(g, k))
+      val landmarks = Iterative.topDegreeLandmarks(g, k)
+        .collect().map(_.getLong(0)).toSeq
+      val d = Gx.multiSourceBfs(g, landmarks)
         .persist(StorageLevel.MEMORY_AND_DISK)
       d.count()
       d

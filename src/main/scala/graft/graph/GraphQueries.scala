@@ -49,7 +49,7 @@ object GraphQueries {
   }
 
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
-    Iterative.connectedComponents(GraphBuilder.coPurchase(spark, dir))
+    Gx.connectedComponents(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
   def labelPropagation(spark: SparkSession, dir: String): DataFrame =
@@ -61,7 +61,7 @@ object GraphQueries {
       .agg(countDistinct("community").as("n_communities"))
 
   def pageRank(spark: SparkSession, dir: String): DataFrame =
-    Iterative.pageRank(GraphBuilder.coPurchase(spark, dir))
+    Gx.pageRank(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
   def bfsLandmarks(spark: SparkSession, dir: String): DataFrame = {
@@ -123,7 +123,7 @@ object GraphQueries {
     // deterministic source: the max-degree vertex
     val src = Iterative.topDegreeLandmarks(g, 1)
       .head().getLong(0)
-    Iterative.personalizedPageRank(g, src).orderBy("id")
+    Gx.personalizedPageRank(g, src).orderBy("id")
   }
 
   def avgPathLength(spark: SparkSession, dir: String): DataFrame = {
@@ -142,7 +142,7 @@ object GraphQueries {
   }
 
   def diameter(spark: SparkSession, dir: String): DataFrame =
-    Iterative.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
+    Gx.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
 
   /** Induced subgraph over a deterministic vertex subset: small parts
     * (p_size <= 10). (ref main.py:192-195 — but linear, not |V|².) */

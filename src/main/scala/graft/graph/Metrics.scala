@@ -92,7 +92,7 @@ object Metrics {
 
   /** Connected-component size distribution. */
   def componentSizes(g: Graph): DataFrame =
-    Iterative.connectedComponents(g)
+    Gx.connectedComponents(g)
       .groupBy("component").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components"))
 }

@@ -181,14 +181,16 @@ object Relational {
       .orderBy("user_id", "sid")
   }
 
-  /** Semi-join shape (EXISTS): order-priority counts for orders that have
-    * at least one lineitem shipped after the order date. The semi-join
-    * keeps the probe side deduplicated without a distinct. */
+  /** Semi-join shape (correlated EXISTS): order-priority counts for
+    * orders with at least one lineitem shipped after the order date —
+    * equi-key plus a non-equi residual condition. The semi-join keeps
+    * the probe side deduplicated without a distinct. */
   def qOrderPriority(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val shipped = t.lineitem.select(col("l_orderkey"))
+    val shipped = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
     t.orders
-      .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(shipped, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")

@@ -1,0 +1,81 @@
+package graft
+
+import graft.graph.{Graph, GraphBuilder, Gx, Iterative}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GraphX-backed implementations (Gx) must produce EXACTLY the same
+  * results as the independent DataFrame implementations (Iterative) —
+  * same init, same update rule, same deterministic tie-breaks. These
+  * specs pin that equivalence on both toy graphs and the real
+  * co-purchase graph, so the production path (Gx) inherits the oracle
+  * evidence gathered for the DF path and vice versa.
+  */
+class GxSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val g = GraphBuilder.coPurchase(spark, sf)
+
+  test("Gx connected components == DataFrame large/small-star components") {
+    val ours = Gx.connectedComponents(g).as[(Long, Long)].collect().toMap
+    val dfImpl = Iterative.connectedComponents(g).as[(Long, Long)].collect().toMap
+    assert(ours == dfImpl)
+  }
+
+  test("Gx pagerank == DataFrame pagerank (same fixed-point iteration)") {
+    val ours = Gx.pageRank(g, iters = 10).as[(Long, Double)].collect().toMap
+    val dfImpl = Iterative.pageRank(g, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(ours.keySet == dfImpl.keySet)
+    // identical math; only float summation order differs (both round
+    // to 6 decimals, so allow the last digit to wobble)
+    ours.foreach { case (id, r) =>
+      assert(math.abs(r - dfImpl(id)) <= 1e-6, s"vertex $id: $r vs ${dfImpl(id)}")
+    }
+  }
+
+  test("Gx personalized pagerank == DataFrame ppr") {
+    val src = Iterative.topDegreeLandmarks(g, 1).head().getLong(0)
+    val ours = Gx.personalizedPageRank(g, src).as[(Long, Double)].collect().toMap
+    val dfImpl = Iterative.personalizedPageRank(g, src)
+      .as[(Long, Double)].collect().toMap
+    assert(ours.keySet == dfImpl.keySet)
+    ours.foreach { case (id, r) =>
+      assert(math.abs(r - dfImpl(id)) <= 1e-6, s"vertex $id: $r vs ${dfImpl(id)}")
+    }
+  }
+
+  test("Gx multi-source BFS == DataFrame frontier BFS") {
+    val landmarks = Iterative.topDegreeLandmarks(g, 4)
+      .collect().map(_.getLong(0)).toSeq
+    val ours = Gx.multiSourceBfs(g, landmarks)
+      .as[(Long, Long, Int)].collect().toSet
+    val dfImpl = Iterative.multiSourceBfs(g, landmarks.toDF("id"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ours == dfImpl)
+  }
+
+  test("Gx label propagation == DataFrame LPA (deterministic tie-break)") {
+    val ours = Gx.labelPropagation(g, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val dfImpl = Iterative.labelPropagation(g, maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(ours == dfImpl)
+  }
+
+  test("Gx diameter estimate == DataFrame double sweep") {
+    val ours = Gx.diameterEstimate(g).head().getInt(0)
+    val dfImpl = Iterative.diameterEstimate(g).head().getInt(0)
+    assert(ours == dfImpl)
+  }
+
+  test("Gx BFS handles isolated vertex and multiple components") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val tg = Graph(GraphBuilder.vertices(e), e)
+    val d = Gx.multiSourceBfs(tg, Seq(1L, 10L))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(d == Set((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2),
+      (10L, 10L, 0), (10L, 11L, 1)))
+  }
+}
