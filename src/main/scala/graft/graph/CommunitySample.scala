@@ -43,11 +43,33 @@ object CommunitySample {
 
     // per-community avg clustering coefficient of the induced subgraph,
     // distributed (ref: nx.average_clustering per partition, main.py:81).
-    // localCheckpoint: materialize the triangle pipeline ONCE — fused
-    // into the downstream multi-join plan Catalyst re-derives the wedge
-    // join with worse statistics (measured 157s vs 1.2s at sf0.1).
-    val sub = Graph(comms.select("id"), intra.select("src", "dst"))
-    val cc = sub.clusteringCoefficients.select("id", "clustering_coeff")
+    // Intra-community triangles are FILTERED from the graph's persisted
+    // triangle stream (a triangle lies in the induced subgraph iff all
+    // three vertices share the community) instead of re-running the
+    // whole orientation+intersection pipeline on the subgraph — the
+    // second pipeline measured tens of seconds at sf0.1; the filter is
+    // three broadcast joins over the already-materialized enumeration.
+    val cmB = if (comms.count() <= 500000) broadcast(comms) else comms
+    val triIntra = g.triangleEnumeration
+      .join(cmB.select(col("id").as("lo"), col("community").as("c1")), "lo")
+      .join(cmB.select(col("id").as("hi"), col("community").as("c2")), "hi")
+      .join(cmB.select(col("id").as("w"), col("community").as("c3")), "w")
+      .filter(col("c1") === col("c2") && col("c2") === col("c3"))
+      .select("lo", "hi", "w")
+    val triPerVertex = triIntra.select(col("lo").as("id"))
+      .union(triIntra.select(col("hi").as("id")))
+      .union(triIntra.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val intraDeg = intra.select(col("src").as("id"))
+      .union(intra.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val cc = comms.select("id")
+      .join(intraDeg, Seq("id"), "left").na.fill(0L, Seq("degree"))
+      .join(triPerVertex, Seq("id"), "left").na.fill(0L, Seq("triangles"))
+      .select(col("id"),
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
       .localCheckpoint(true)
     val commCc = comms.join(cc, Seq("id"), "left")
       .na.fill(0.0, Seq("clustering_coeff"))

@@ -135,6 +135,13 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Full triangle enumeration (lo, hi, w): every triangle once, from
+    * the persisted oriented intersection stream — consumers that need
+    * per-SUBGRAPH triangle counts (e.g. intra-community clustering)
+    * filter this instead of re-running the whole pipeline. */
+  def triangleEnumeration: DataFrame =
+    orientedCommon.select(col("lo"), col("hi"), explode(col("common")).as("w"))
+
   /** Local clustering coefficient per vertex: 2·tri / (deg·(deg−1)),
     * zero for degree < 2. (ref: nx.average_clustering / main.py:81) */
   def clusteringCoefficients: DataFrame = clusteringCoefficients(triangleVertexCounts)

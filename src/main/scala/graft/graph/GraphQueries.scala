@@ -110,7 +110,7 @@ object GraphQueries {
   }
 
   def betweenness(spark: SparkSession, dir: String): DataFrame =
-    Betweenness.run(GraphBuilder.coPurchase(spark, dir), numSources = 8)
+    GxBetweenness.run(GraphBuilder.coPurchase(spark, dir), numSources = 8)
       .orderBy("id")
 
   /** FLAGSHIP: community-partitioned parallel random-walk sample. */

@@ -45,15 +45,22 @@ object Gx {
     withDeg
   })
 
+  // CC feeds two queries (labels + size distribution); memoize per graph
+  private val ccCache = TrieMap.empty[String, DataFrame]
+
   /** Connected components: (id, component = min reachable vertex id).
     * GraphX's pointer-jumping CC — O(log n) supersteps. Identical
     * labels to [[Iterative.connectedComponents]]. */
-  def connectedComponents(g: Graph): DataFrame = {
-    val spark = g.edges.sparkSession
-    import spark.implicits._
-    of(g).connectedComponents().vertices
-      .map { case (id, c) => (id, c) }.toDF("id", "component")
-  }
+  def connectedComponents(g: Graph): DataFrame =
+    ccCache.getOrElseUpdate(key(g), {
+      val spark = g.edges.sparkSession
+      import spark.implicits._
+      val df = of(g).connectedComponents().vertices
+        .map { case (id, c) => (id, c) }.toDF("id", "component")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   /** Fixed-iteration PageRank, exact [[Iterative.pageRank]] semantics:
     * rank₀ = 1; rankᵢ₊₁ = (1−d) + d·Σ_nbr rankᵢ/deg over the undirected
@@ -99,7 +106,10 @@ object Gx {
       rg = xg.outerJoinVertices(msgs)((id, d, m) =>
         (d, teleport(id) + damping * m.getOrElse(0.0))).cache()
       rg.vertices.count() // materialize before releasing the parent
-      prev.unpersist(blocking = false)
+      // vertices ONLY: every derived graph shares xg's cached edge
+      // partitions — Graph.unpersist would evict those and force a
+      // full edge recompute per iteration (measured 146 s vs 7 s)
+      prev.unpersistVertices(blocking = false)
     }
     rg.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank")
   }
@@ -192,7 +202,7 @@ object Gx {
         case None => old
       }).cache()
       lg.vertices.count()
-      prev.unpersist(blocking = false)
+      prev.unpersistVertices(blocking = false) // see rankLoop: edges are shared
     }
     lg.vertices.map { case (id, l) => (id, l) }.toDF("id", "label")
   }

@@ -1,0 +1,175 @@
+package graft.graph
+
+import org.apache.spark.graphx.{EdgeDirection, Graph => XGraph, Pregel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GraphX Brandes betweenness from k seeded-uniform sources — same
+  * estimator as [[Betweenness]] (Brandes–Pich n/k extrapolation, each
+  * unordered pair counted once) without the per-iteration DataFrame
+  * planning cost.
+  *
+  * Forward: one Pregel run carrying all k (dist, sigma) slots — BFS
+  * waves arrive level-synchronously, so the first wave fixes dist and
+  * the merged same-round messages fix sigma (# shortest paths).
+  * Backward: level-synchronous dependency accumulation δ(v) =
+  * Σ_w σ(v)/σ(w)·(1+δ(w)) over successors w, one aggregateMessages per
+  * level from the deepest frontier upward — diameter rounds total, all
+  * sources simultaneously.
+  */
+object GxBetweenness {
+
+  def run(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame = {
+    val Inf = Int.MaxValue // local: closures must not capture the module
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val n = g.vertices.count()
+    val sources = g.vertices
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(numSources).select("id").as[Long].collect().toSeq
+    val k = math.min(numSources.toLong, n)
+    val slot = sources.zipWithIndex.toMap
+
+    // ---- forward sweep: per-slot (dist, sigma) ----
+    final case class DS(dist: Array[Int], sigma: Array[Double])
+    def mergeMsg(a: DS, b: DS): DS = {
+      val d = new Array[Int](sources.size)
+      val s = new Array[Double](sources.size)
+      var i = 0
+      while (i < d.length) {
+        if (a.dist(i) < b.dist(i)) { d(i) = a.dist(i); s(i) = a.sigma(i) }
+        else if (b.dist(i) < a.dist(i)) { d(i) = b.dist(i); s(i) = b.sigma(i) }
+        else { d(i) = a.dist(i); s(i) = a.sigma(i) + b.sigma(i) }
+        i += 1
+      }
+      DS(d, s)
+    }
+    // candidate wave from `from` toward a vertex currently at `to`;
+    // null unless some slot STRICTLY improves. (Equal-dist sends are
+    // never needed — all dist-d parents are set in round d and deliver
+    // their sigma merged in round d+1 — and would keep the target
+    // spuriously active forever.)
+    def wave(from: DS, to: DS): DS = {
+      var any = false
+      val d = new Array[Int](sources.size)
+      val s = new Array[Double](sources.size)
+      var i = 0
+      while (i < d.length) {
+        if (from.dist(i) != Inf && from.dist(i) + 1 < to.dist(i)) {
+          d(i) = from.dist(i) + 1
+          s(i) = from.sigma(i)
+          any = true
+        } else { d(i) = Inf; s(i) = 0.0 }
+        i += 1
+      }
+      if (any) DS(d, s) else null
+    }
+    val init = Gx.of(g).mapVertices { (id, _) =>
+      val d = Array.fill(sources.size)(Inf)
+      val s = new Array[Double](sources.size)
+      slot.get(id).foreach { i => d(i) = 0; s(i) = 1.0 }
+      DS(d, s)
+    }
+    val initMsg = DS(Array.fill(sources.size)(Inf), new Array[Double](sources.size))
+    // vprog: adopt strictly better dists; ACCUMULATE sigma on equal dist
+    // arriving in the same superstep (mergeMsg already combined them)
+    val forward = Pregel(init, initMsg, activeDirection = EdgeDirection.Either)(
+      (_, attr, msg) => {
+        val d = new Array[Int](sources.size)
+        val s = new Array[Double](sources.size)
+        var i = 0
+        while (i < d.length) {
+          if (msg.dist(i) < attr.dist(i)) { d(i) = msg.dist(i); s(i) = msg.sigma(i) }
+          else { d(i) = attr.dist(i); s(i) = attr.sigma(i) }
+          i += 1
+        }
+        DS(d, s)
+      },
+      t => {
+        val toDst = wave(t.srcAttr, t.dstAttr)
+        val toSrc = wave(t.dstAttr, t.srcAttr)
+        (if (toDst != null) Iterator((t.dstId, toDst)) else Iterator.empty) ++
+          (if (toSrc != null) Iterator((t.srcId, toSrc)) else Iterator.empty)
+      },
+      mergeMsg).cache()
+    forward.vertices.count()
+
+    val maxDist = forward.vertices
+      .map { case (_, ds) => ds.dist.foldLeft(0)((m, d) => if (d != Inf) math.max(m, d) else m) }
+      .fold(0)(math.max)
+
+    // ---- backward sweep: Array[delta] per vertex, level-synchronous ----
+    var bg: XGraph[(DS, Array[Double]), Int] =
+      forward.mapVertices((_, ds) => (ds, new Array[Double](sources.size))).cache()
+    bg.vertices.count()
+    for (level <- maxDist to 1 by -1) {
+      val contribs = bg.aggregateMessages[Array[Double]](
+        t => {
+          // successor w (dist level) contributes to predecessor v
+          // (dist level-1): sigma_v/sigma_w * (1 + delta_w)
+          def contrib(vAttr: (DS, Array[Double]), wAttr: (DS, Array[Double])): Array[Double] = {
+            val (vds, _) = vAttr
+            val (wds, wdelta) = wAttr
+            var any = false
+            val out = new Array[Double](sources.size)
+            var i = 0
+            while (i < out.length) {
+              if (wds.dist(i) == level && vds.dist(i) == level - 1 && wds.sigma(i) > 0) {
+                out(i) = vds.sigma(i) / wds.sigma(i) * (1.0 + wdelta(i))
+                any = true
+              }
+              i += 1
+            }
+            if (any) out else null
+          }
+          val toSrc = contrib(t.srcAttr, t.dstAttr)
+          val toDst = contrib(t.dstAttr, t.srcAttr)
+          if (toSrc != null) t.sendToSrc(toSrc)
+          if (toDst != null) t.sendToDst(toDst)
+        },
+        (a, b) => {
+          val out = new Array[Double](sources.size)
+          var i = 0
+          while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
+          out
+        })
+      val prev = bg
+      bg = bg.outerJoinVertices(contribs) { (_, attr, c) =>
+        c match {
+          case Some(arr) =>
+            val (ds, delta) = attr
+            val nd = new Array[Double](sources.size)
+            var i = 0
+            // only vertices AT level-1 accept this level's contribution
+            while (i < nd.length) {
+              nd(i) = if (ds.dist(i) == level - 1) delta(i) + arr(i) else delta(i)
+              i += 1
+            }
+            (ds, nd)
+          case None => attr
+        }
+      }.cache()
+      bg.vertices.count()
+      // vertices only — bg shares the base graph's cached edges
+      prev.unpersistVertices(blocking = false)
+    }
+
+    val srcArr = sources.toArray
+    val dep = bg.vertices.map { case (id, (ds, delta)) =>
+      var sum = 0.0
+      var i = 0
+      while (i < delta.length) {
+        // δ at the source itself is excluded (pairs s≠v)
+        if (srcArr(i) != id && ds.dist(i) != Inf) sum += delta(i)
+        i += 1
+      }
+      (id, sum)
+    }.toDF("id", "dep")
+
+    g.vertices.select("id")
+      .join(dep, Seq("id"), "left")
+      .na.fill(0.0, Seq("dep"))
+      .select(col("id"),
+        round(col("dep") * (n.toDouble / k) / 2.0, 6).as("betweenness"))
+  }
+}

@@ -70,6 +70,17 @@ class GxSpec extends AnyFunSuite {
     assert(ours == dfImpl)
   }
 
+  test("Gx betweenness == DataFrame Brandes (same seeded uniform sources)") {
+    val ours = graph.GxBetweenness.run(g, numSources = 4)
+      .as[(Long, Double)].collect().toMap
+    val dfImpl = graph.Betweenness.run(g, numSources = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(ours.keySet == dfImpl.keySet)
+    ours.foreach { case (id, b) =>
+      assert(math.abs(b - dfImpl(id)) <= 1e-5, s"vertex $id: $b vs ${dfImpl(id)}")
+    }
+  }
+
   test("Gx BFS handles isolated vertex and multiple components") {
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val tg = Graph(GraphBuilder.vertices(e), e)

@@ -37,6 +37,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1.map(_._2).subsetOf(vertexIds))
   }
 
+  test("intra-community cc from the filtered triangle stream == subgraph pipeline") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val comms = GraphBuilder.communities(spark, g)
+    val cSrc = comms.select(col("id").as("src"), col("community").as("c1"))
+    val cDst = comms.select(col("id").as("dst"), col("community").as("c2"))
+    val intra = g.edges.join(cSrc, "src").join(cDst, "dst")
+      .filter(col("c1") === col("c2")).select("src", "dst")
+    // independent derivation: full triangle pipeline on the subgraph
+    val sub = Graph(comms.select("id"), intra)
+    val expected = sub.clusteringCoefficients
+      .select("id", "clustering_coeff").as[(Long, Double)].collect().toMap
+    // production derivation: filter the global persisted stream
+    val triIntra = g.triangleEnumeration
+      .join(comms.select(col("id").as("lo"), col("community").as("k1")), "lo")
+      .join(comms.select(col("id").as("hi"), col("community").as("k2")), "hi")
+      .join(comms.select(col("id").as("w"), col("community").as("k3")), "w")
+      .filter(col("k1") === col("k2") && col("k2") === col("k3"))
+    val triPerVertex = triIntra.select(col("lo").as("id"))
+      .union(triIntra.select(col("hi").as("id")))
+      .union(triIntra.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val intraDeg = intra.select(col("src").as("id"))
+      .union(intra.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val actual = comms.select("id")
+      .join(intraDeg, Seq("id"), "left").na.fill(0L, Seq("degree"))
+      .join(triPerVertex, Seq("id"), "left").na.fill(0L, Seq("triangles"))
+      .select(col("id"),
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .as[(Long, Double)].collect().toMap
+    assert(actual.keySet == expected.keySet)
+    actual.foreach { case (id, v) =>
+      assert(math.abs(v - expected(id)) < 1e-12, s"vertex $id: $v vs ${expected(id)}")
+    }
+  }
+
   test("walk length formula caps sample size per community") {
     // one community (triangle + tail): walk_len = n/(1+2cc)+1 <= n+1
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
