@@ -72,6 +72,9 @@ object SparkEntry {
     "d_fingerprint" -> (TextAnalysis.fingerprints _),
     "d_top_tokens" -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "m_multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "m_frame_sample" -> (Multimodal.frameSample _),
+    "d_lang_confusion" -> (TextAnalysis.langConfusion _),
+    "d_source_quality" -> (TextAnalysis.sourceQuality _),
     "g_density" -> (GraphQueries.density _),
     "g_assortativity" -> (GraphQueries.assortativity _),
     "g_neighbor_jaccard" -> (GraphQueries.neighborJaccard _),
@@ -475,6 +478,76 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // same stopword-score pipeline as d_lang_id, joined to ground truth
+    "d_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, round(len(list_filter(toks, x -> x IN
+        |    ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE
+        |    / len(toks), 4) AS score FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'en', round(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |    / len(toks), 4) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'es', round(len(list_filter(toks, x -> x IN
+        |    ('el','la','los','y','es','un','una','que')))::DOUBLE
+        |    / len(toks), 4) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', round(len(list_filter(toks, x -> x IN
+        |    ('le','la','les','et','est','un','une','dans')))::DOUBLE
+        |    / len(toks), 4) FROM t),
+        |b AS (
+        |  SELECT doc_id, lang AS plang, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score >= 0.02 THEN plang ELSE 'und' END AS lang_pred
+        |  FROM b WHERE rn = 1)
+        |SELECT d.lang, p.lang_pred, count(*) AS n_docs
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY d.lang, p.lang_pred
+        |ORDER BY d.lang, p.lang_pred""".stripMargin,
+    "d_source_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    length(text)::DOUBLE AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
+        |    len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(n_alpha / n_chars, 4) AS alpha_ratio,
+        |    round((n_chars - n_tokens + 1) / n_tokens, 4) AS mean_word_len,
+        |    round(least(n_tokens / 64.0, 1.0) * 0.5
+        |      + (n_alpha / n_chars) * 0.3
+        |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
+        |  FROM m)
+        |SELECT d.source, count(*) AS n_docs,
+        |  round(avg(q.quality), 4) AS avg_quality,
+        |  round(avg(q.alpha_ratio), 4) AS avg_alpha_ratio,
+        |  round(avg(q.mean_word_len), 4) AS avg_word_len
+        |FROM q JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // payload = utf-8 text bytes, so the binary frame slices are
+    // oracle-comparable through their text view
+    "m_frame_sample" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS format,
+        |  CAST(start / 128 AS INT) AS frame_idx,
+        |  CAST(least(64, length(text) - start) AS INT) AS n_bytes,
+        |  substring(text, CAST(start AS INT) + 1, 64) AS frame_text
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text) - 64, 0) + 1, 128)) AS start
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem

@@ -73,4 +73,24 @@ object Multimodal {
         round(col("feature_norm"), 4).as("feature_norm"))
       .orderBy("doc_id")
   }
+
+  /** Frame sampling over the binary payload: a 64-byte slice every 128
+    * bytes (the video-frame / audio-chunk extraction shape — a real
+    * decoder slices at I-frame boundaries instead; the Spark-side
+    * plumbing is identical). Pure map-side generate: sequence →
+    * transform → posexplode, all codegen'd, zero shuffle — at 100 TB
+    * this runs at scan speed. `frame_text` is the UTF-8 view of the
+    * slice so the pipeline stays oracle-comparable on text payloads. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("format"),
+        posexplode(expr(
+          """transform(
+            |  sequence(0, greatest(octet_length(payload) - 64, 0), 128),
+            |  s -> substring(payload, s + 1, 64))""".stripMargin))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("format"), col("frame_idx"),
+        octet_length(col("frame")).as("n_bytes"),
+        decode(col("frame"), "UTF-8").as("frame_text"))
+      .orderBy("doc_id", "frame_idx")
 }

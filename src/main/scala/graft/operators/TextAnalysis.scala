@@ -77,6 +77,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID evaluation against the table's ground-truth `lang`
+    * column: confusion counts (lang, lang_pred). One broadcast-free
+    * self-aligned join on doc_id + a tiny aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .join(Tables(spark, dir).documents.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+
+  /** Per-source corpus quality: the aggregation a curation pipeline
+    * filters sources by (drop/deboost sources whose quality
+    * distribution is poor). Map-side partial agg on a low-cardinality
+    * key. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(spark, dir)
+      .join(Tables(spark, dir).documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"),
+        round(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
+        round(avg("mean_word_len"), 4).as("avg_word_len"))
+      .orderBy("source")
+
   /** Corpus-level token frequencies: top-k tokens by document frequency
     * (vocabulary analysis for curation). Explode + two aggregates; the
     * per-token count is map-side combined before the shuffle. */
