@@ -85,6 +85,7 @@ object SparkEntry {
     "g_avg_path_length" -> (GraphQueries.avgPathLength _),
     "g_eccentricity" -> (GraphQueries.eccentricity _),
     "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
+    "g_sample_metrics" -> (GraphQueries.sampleMetrics _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +

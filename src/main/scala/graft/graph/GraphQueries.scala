@@ -118,6 +118,32 @@ object GraphQueries {
     CommunitySample.sample(spark, GraphBuilder.coPurchase(spark, dir))
       .orderBy("community", "id")
 
+  /** Sample-quality summary: the metric suite recomputed on the
+    * subgraph induced by the community sample, next to the original
+    * graph's values (ref main.py:197-229 rebuilds a NetworkX graph of
+    * the sampled edges and reruns every metric driver-side; here the
+    * induced subgraph stays a distributed Graph and reuses the same
+    * DataFrame algebra). Single-row comparison surface. */
+  def sampleMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val sampled = CommunitySample.sample(spark, g)
+      .select(col("id")).distinct()
+    val se = g.inducedSubgraphEdges(sampled).persist()
+    val sub = Graph(GraphBuilder.vertices(se), se)
+    val subTri = sub.triangleVertexCounts
+    val origRow = g.averageClustering(GraphBuilder.triangles(g))
+      .crossJoin(g.transitivity(GraphBuilder.triangles(g))).head()
+    sub.averageClustering(subTri)
+      .crossJoin(sub.transitivity(subTri))
+      .select(
+        lit(sampled.count()).as("sample_vertices"),
+        lit(se.count()).as("sample_edges"),
+        col("avg_clustering").as("sample_avg_clustering"),
+        col("transitivity").as("sample_transitivity"),
+        lit(origRow.getDouble(0)).as("orig_avg_clustering"),
+        lit(origRow.getDouble(1)).as("orig_transitivity"))
+  }
+
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     // deterministic source: the max-degree vertex

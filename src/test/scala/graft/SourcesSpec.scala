@@ -28,6 +28,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(deg(1L) == 2 && deg(3L) == 1)
   }
 
+  test("edge-list source reproduces the reference's facebook graph stats") {
+    // the reference's actual input (SNAP ego-Facebook); skip if absent.
+    // Known public stats: 4039 vertices, 88234 undirected edges.
+    val path = "/root/reference/facebook/facebook_combined.txt"
+    assume(new java.io.File(path).exists())
+    val g = EdgeListSource.graphFromEdgeList(spark, path)
+    assert(g.vertices.count() == 4039L)
+    assert(g.edges.count() == 88234L)
+    val deg = g.degrees
+    assert(deg.agg(org.apache.spark.sql.functions.max("degree"))
+      .head().getLong(0) == 1045L) // known hub
+  }
+
   test("native expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val row = spark.sql(
