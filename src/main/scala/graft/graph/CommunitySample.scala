@@ -26,9 +26,24 @@ import scala.collection.mutable
   */
 object CommunitySample {
 
-  /** Sampled vertices: (community, id). */
+  // two queries consume the sample (the sample itself and the
+  // sample-quality metrics); memoize per (graph, params)
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Sampled vertices: (community, id) — memoized per graph/params. */
   def sample(spark: SparkSession, g: Graph, alpha: Double = 2.0,
-             lpaIters: Int = 5, seed: Long = 42L): DataFrame = {
+             lpaIters: Int = 5, seed: Long = 42L): DataFrame =
+    cache.getOrElseUpdate(
+      s"${System.identityHashCode(g)}/$alpha/$lpaIters/$seed", {
+        val s = sampleUncached(spark, g, alpha, lpaIters, seed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s.count()
+        s
+      })
+
+  private def sampleUncached(spark: SparkSession, g: Graph, alpha: Double,
+                             lpaIters: Int, seed: Long): DataFrame = {
     import spark.implicits._
 
     val comms = GraphBuilder.communities(spark, g, lpaIters) // (id, community)

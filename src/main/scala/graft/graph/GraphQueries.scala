@@ -128,20 +128,48 @@ object GraphQueries {
     val g = GraphBuilder.coPurchase(spark, dir)
     val sampled = CommunitySample.sample(spark, g)
       .select(col("id")).distinct()
-    val se = g.inducedSubgraphEdges(sampled).persist()
-    val sub = Graph(GraphBuilder.vertices(se), se)
-    val subTri = sub.triangleVertexCounts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = g.inducedSubgraphEdges(sampled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // triangles of the induced subgraph = global triangles with all
+    // three vertices sampled — FILTER the graph's persisted enumeration
+    // (semi-joins against the sample set) instead of running a second
+    // orientation+intersection pipeline on the subgraph (measured
+    // minutes vs seconds at sf0.1)
+    val sid = broadcast(sampled)
+    val triSub = g.triangleEnumeration
+      .join(sid.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+      .join(sid.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+      .join(sid.withColumnRenamed("id", "w"), Seq("w"), "left_semi")
+    val triPerVertex = triSub.select(col("lo").as("id"))
+      .union(triSub.select(col("hi").as("id")))
+      .union(triSub.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val subDeg = se.select(col("src").as("id"))
+      .union(se.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val stats = sampled
+      .join(subDeg, Seq("id"), "left").na.fill(0L, Seq("degree"))
+      .join(triPerVertex, Seq("id"), "left").na.fill(0L, Seq("triangles"))
+      .agg(
+        count(lit(1)).as("sample_vertices"),
+        avg(when(col("degree") >= 2,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0))).as("sample_avg_clustering"),
+        (sum("triangles") / 3).as("tri_total"),
+        sum(col("degree") * (col("degree") - 1) / 2).as("wedge_total"))
+      .head()
     val origRow = g.averageClustering(GraphBuilder.triangles(g))
       .crossJoin(g.transitivity(GraphBuilder.triangles(g))).head()
-    sub.averageClustering(subTri)
-      .crossJoin(sub.transitivity(subTri))
-      .select(
-        lit(sampled.count()).as("sample_vertices"),
-        lit(se.count()).as("sample_edges"),
-        col("avg_clustering").as("sample_avg_clustering"),
-        col("transitivity").as("sample_transitivity"),
-        lit(origRow.getDouble(0)).as("orig_avg_clustering"),
-        lit(origRow.getDouble(1)).as("orig_transitivity"))
+    spark.range(1).select(
+      lit(stats.getLong(0)).as("sample_vertices"),
+      lit(se.count()).as("sample_edges"),
+      round(lit(stats.getDouble(1)), 6).as("sample_avg_clustering"),
+      round(lit(if (stats.getDouble(3) > 0)
+          3.0 * stats.getDouble(2) / stats.getDouble(3) else 0.0), 6)
+        .as("sample_transitivity"),
+      lit(origRow.getDouble(0)).as("orig_avg_clustering"),
+      lit(origRow.getDouble(1)).as("orig_transitivity"))
   }
 
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
