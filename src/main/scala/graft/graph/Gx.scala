@@ -31,14 +31,24 @@ object Gx {
   private def key(g: Graph) = System.identityHashCode(g).toString
 
   /** GraphX view of the canonical (src < dst) undirected edge set;
-    * vertex attribute = degree. Built and cached once per Graph. */
+    * vertex attribute = degree. Built and cached once per Graph.
+    *
+    * Above ~10M edges the graph is re-partitioned EdgePartition2D: the
+    * √N-replication bound on vertex mirrors is what keeps
+    * aggregateMessages communication sane on a many-executor cluster
+    * (and is what GraphX's own triangleCount requires). Below that the
+    * extra full-edge shuffle costs more than it saves. */
   def of(g: Graph): XGraph[Int, Int] = cache.getOrElseUpdate(key(g), {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val ed = g.edges.as[(Long, Long)].rdd
       .map { case (s, d) => Edge(s, d, 1) }
-    val base = XGraph.fromEdges(ed, 0,
+    val raw = XGraph.fromEdges(ed, 0,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val base =
+      if (raw.edges.count() > 10000000L)
+        raw.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      else raw
     val withDeg = base.outerJoinVertices(base.degrees)((_, _, d) => d.getOrElse(0))
     withDeg.persist(StorageLevel.MEMORY_AND_DISK)
     withDeg.vertices.count()

@@ -35,6 +35,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((ts(10), "view", 1L, 5.0)))
   }
 
+  test("stream-static enrichment joins the broadcast dim and aggregates per segment") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 100, "click", 1.0),
+      Event(2, ts(2), 101, "click", 2.0),
+      Event(3, ts(3), 102, "view", 4.0)) // user 102 absent from the dim
+    val dim = Seq((100L, "gold"), (101L, "basic")).toDF("user_id", "segment")
+    val q = EventStreams.enrichedWindowedValue(in.toDF(), dim,
+      window = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    q.processAllAvailable()
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 11:30:00"), 100, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out")
+      .select($"window_start", $"segment", $"n_events", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(out.contains((ts(0), "gold", 1L, 1.0)))
+    assert(out.contains((ts(0), "basic", 1L, 2.0)))
+    // inner join: the unmatched user contributes no row
+    assert(!out.exists(_._2 == "view"))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
