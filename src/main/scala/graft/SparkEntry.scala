@@ -86,6 +86,10 @@ object SparkEntry {
     "g_eccentricity" -> (GraphQueries.eccentricity _),
     "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
     "g_sample_metrics" -> (GraphQueries.sampleMetrics _),
+    // transitive near-dup clusters over the LSH pair graph (GraphX CC);
+    // rows-only: pair generation is xxhash-dependent
+    "d_dup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(s, Tables(s, d).documents, cacheKey = d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +

@@ -113,6 +113,25 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified LSH
+    * pair graph, survivor = min doc_id per cluster — the step an actual
+    * dedup pipeline runs after pair generation (pairs alone double-drop
+    * transitive groups A~B~C). Reuses the graph engine's GraphX CC over
+    * the pair edges; docs outside any pair are their own survivor.
+    * Returns (cluster, survivor, n_members) per cluster with >1 member.
+    */
+  def nearDupClusters(spark: SparkSession, docs: DataFrame,
+                      cacheKey: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = cachedMinhashPairs(cacheKey, docs, threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val g = graft.graph.Graph(graft.graph.GraphBuilder.vertices(pairs), pairs)
+    graft.graph.Gx.connectedComponents(g)
+      .groupBy(col("component").as("cluster"))
+      .agg(min("id").as("survivor"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .orderBy("cluster")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the token multiset, map-side: bit j of the

@@ -53,6 +53,24 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clusters merge transitive pair chains with min-id survivor") {
+    // A~B and B~C near-identical (C not directly generated from A's
+    // text edit distance, only via B) — the cluster must still be one
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " extraA"),
+      (12L, base + " extraA extraB"),
+      (50L, (100 to 160).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(spark, docs,
+      cacheKey = "testclusters", threshold = 0.8)
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.length == 1)
+    val (cluster, survivor, n) = clusters.head
+    assert(survivor == 10L && n == 3L && cluster == 10L)
+  }
+
   test("simhash near-identical docs have small hamming distance") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
