@@ -539,6 +539,24 @@ object SparkEntry {
         |  round(avg(q.mean_word_len), 4) AS avg_word_len
         |FROM q JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // md5 k-gram hashes are engine-portable, so the whole winnowing
+    // pipeline (3-token grams, min per 4-window, distinct) is oracled
+    "d_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, pos, md5(concat_ws(' ', tok,
+        |    lead(tok, 1) OVER w, lead(tok, 2) OVER w)) AS kh,
+        |    lead(tok, 2) OVER w AS t2
+        |  FROM toks
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |wn AS (
+        |  SELECT doc_id, min(kh) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM kg WHERE t2 IS NOT NULL)
+        |SELECT DISTINCT doc_id, fp FROM wn ORDER BY doc_id, fp""".stripMargin,
     // payload = utf-8 text bytes, so the binary frame slices are
     // oracle-comparable through their text view
     "m_frame_sample" ->

@@ -190,10 +190,17 @@ object Gx {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val xg = of(g)
-    var lg: XGraph[Long, Int] = xg.mapVertices((id, _) => id).cache()
-    lg.vertices.count()
+    // labels live in a VertexRDD; the message graph is rebuilt FROM THE
+    // BASE graph each round (like rankLoop) — chaining
+    // lg.outerJoinVertices(lg...) instead grows GraphX's replicated-
+    // vertex-view lineage per superstep, which re-ships the whole chain
+    // when an upstream view is released (measured bimodal 20 s / 190 s;
+    // this form is stable)
+    var labels: VertexRDD[Long] = xg.vertices.mapValues((id, _) => id).cache()
+    labels.count()
     for (_ <- 1 to iters) {
-      val msgs: VertexRDD[Map[Long, Int]] = lg.aggregateMessages[Map[Long, Int]](
+      val mg = xg.outerJoinVertices(labels)((id, _, l) => l.getOrElse(id)).cache()
+      val msgs: VertexRDD[Map[Long, Int]] = mg.aggregateMessages[Map[Long, Int]](
         ctx => {
           ctx.sendToDst(Map(ctx.srcAttr -> 1))
           ctx.sendToSrc(Map(ctx.dstAttr -> 1))
@@ -205,16 +212,19 @@ object Gx {
             m.updated(l, m.getOrElse(l, 0) + c)
           }
         })
-      val prev = lg
-      lg = lg.outerJoinVertices(msgs)((_, old, m) => m match {
-        // max count, ties -> smallest label (deterministic)
-        case Some(mm) => mm.maxBy { case (l, c) => (c, -l) }._1
-        case None => old
-      }).cache()
-      lg.vertices.count()
-      prev.unpersistVertices(blocking = false) // see rankLoop: edges are shared
+      val prev = labels
+      labels = prev.leftJoin(msgs) { (_, old, m) =>
+        m match {
+          // max count, ties -> smallest label (deterministic)
+          case Some(mm) => mm.maxBy { case (l, c) => (c, -l) }._1
+          case None => old
+        }
+      }.cache()
+      labels.count()
+      prev.unpersist(blocking = false)
+      mg.unpersistVertices(blocking = false)
     }
-    lg.vertices.map { case (id, l) => (id, l) }.toDF("id", "label")
+    labels.map { case (id, l) => (id, l) }.toDF("id", "label")
   }
 
   /** Double-sweep diameter lower bound, exact

@@ -112,10 +112,16 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(k)
 
-  /** Winnowing-style document fingerprints: 3-token k-gram rolling
-    * hashes, minimum per 4-gram window, distinct survivors. Local
-    * selection is window-function algebra over (doc, position) — one
-    * shuffle on doc_id, then distinct. */
+  /** Winnowing-style document fingerprints: 3-token k-gram hashes,
+    * minimum per 4-gram window, distinct survivors. Local selection is
+    * window-function algebra over (doc, position) — one shuffle on
+    * doc_id, then distinct.
+    *
+    * The k-gram hash is md5 (kept as hex, min is lexicographic): md5
+    * produces identical strings in every engine, which makes the whole
+    * winnowing pipeline DuckDB-oracle-checkable — xxhash64 would be
+    * ~3x faster per gram but is Spark-specific, and fingerprints exist
+    * to be compared ACROSS systems. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val exploded = docs.select(col("doc_id"),
@@ -125,7 +131,7 @@ object TextAnalysis {
       .withColumn("t1", lead("tok", 1).over(byDoc))
       .withColumn("t2", lead("tok", 2).over(byDoc))
       .filter(col("t2").isNotNull)
-      .withColumn("kh", xxhash64(col("tok"), col("t1"), col("t2")))
+      .withColumn("kh", md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
     val winnow = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(0, 3)
     kgrams
