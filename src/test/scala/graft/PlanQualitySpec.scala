@@ -47,4 +47,23 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.sparkPlan.treeString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("frame sampling is shuffle-free up to the output sort") {
+    // the operator itself (generate + project) must add NO exchange;
+    // the single allowed exchange is the deterministic output ordering
+    val plan = graft.operators.Multimodal.frameSample(spark, sf)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, plan.treeString)
+    assert(plan.treeString.contains("Generate"), plan.treeString)
+  }
+
+  test("frame sampling scan reads only doc_id and text") {
+    val s = scans(graft.operators.Multimodal.frameSample(spark, sf))
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s.head.requiredSchema.fieldNames.mkString(","))
+  }
 }
