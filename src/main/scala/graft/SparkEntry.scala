@@ -86,8 +86,7 @@ object SparkEntry {
     "g_eccentricity" -> (GraphQueries.eccentricity _),
     "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
     "g_sample_metrics" -> (GraphQueries.sampleMetrics _),
-    // transitive near-dup clusters over the LSH pair graph (GraphX CC);
-    // rows-only: pair generation is xxhash-dependent
+    // transitive near-dup clusters over the LSH pair graph (GraphX CC)
     "d_dup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(s, Tables(s, d).documents, cacheKey = d)),
   )
@@ -203,6 +202,39 @@ object SparkEntry {
          |  JOIN kk$i b ON b.id = t.dst)
          |""".stripMargin
     }.mkString(", ke0 AS MATERIALIZED (SELECT src, dst FROM e)\n", "", "")
+
+  /** Shared portable-MinHash pipeline CTEs: md5-derived 28-bit base
+    * hash, Carter–Wegman permutations (a·h + b) mod 2³¹−1 with
+    * index-derived coefficients, 8 bands × 16 rows bucketed on the raw
+    * signature slice — EXACTLY `Dedup.minhashSignatures(portable)` +
+    * the band join, so candidate sets and estimates reproduce
+    * bit-for-bit (see functions.TextHashes.tokenHashPortable). */
+  private val MinhashCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h FROM tok),
+      |perms AS (
+      |  SELECT i, ((i + 1) * 2654435761) % 1073741823 + 1 AS a,
+      |         ((i + 1) * 40503 * 65537) % 2147483647 AS b
+      |  FROM range(128) t(i)),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS s
+      |  FROM th CROSS JOIN perms GROUP BY doc_id, i),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i // 16 AS INT) AS band, list(s ORDER BY i) AS bsig
+      |  FROM sig GROUP BY doc_id, CAST(i // 16 AS INT)),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+      |  WHERE x.doc_id < y.doc_id),
+      |est AS MATERIALIZED (
+      |  SELECT c.a, c.b, sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 128.0 AS est
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.a
+      |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+      |  GROUP BY c.a, c.b)
+      |""".stripMargin
 
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
@@ -539,6 +571,39 @@ object SparkEntry {
         |  round(avg(q.mean_word_len), 4) AS avg_word_len
         |FROM q JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "d_minhash_lsh_dups" -> (MinhashCte +
+      """SELECT a, b, round(est, 4) AS est_jaccard FROM est
+        |WHERE est >= 0.9 ORDER BY a, b""".stripMargin),
+    "d_ngram_jaccard" -> (MinhashCte +
+      """, ds AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |ngj AS (
+        |  SELECT e.a, e.b,
+        |    len(list_intersect(da.toks, db.toks))::DOUBLE /
+        |      (len(da.toks) + len(db.toks)
+        |        - len(list_intersect(da.toks, db.toks))) AS j
+        |  FROM (SELECT a, b FROM est WHERE est >= 0.8) e
+        |  JOIN ds da ON da.doc_id = e.a
+        |  JOIN ds db ON db.doc_id = e.b)
+        |SELECT a, b, round(j, 4) AS jaccard FROM ngj
+        |WHERE j >= 0.8 ORDER BY a, b""".stripMargin),
+    "d_dup_clusters" -> (MinhashCte +
+      """, pe AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+        |psymp AS MATERIALIZED (
+        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+        |  UNION ALL SELECT id, id FROM pv),
+        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+      (1 to 16).map { i =>
+        s""", pc$i AS (
+           |  SELECT s.src AS id, min(n.lbl) AS lbl
+           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+           |""".stripMargin
+      }.mkString +
+      """SELECT lbl AS cluster, min(id) AS survivor, count(*) AS n_members
+        |FROM pc16 GROUP BY lbl HAVING count(*) > 1 ORDER BY cluster""".stripMargin),
     // md5 k-gram hashes are engine-portable, so the whole winnowing
     // pipeline (3-token grams, min per 4-window, distinct) is oracled
     "d_fingerprint" ->

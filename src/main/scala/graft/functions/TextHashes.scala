@@ -27,6 +27,40 @@ object TextHashes {
   private[functions] def tokenHash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** ENGINE-PORTABLE 28-bit token hash: the first 7 hex digits of
+    * md5(token) — exactly `conv(substr(md5(tok), 1, 7), 16, 10)` in any
+    * SQL engine, so MinHash signatures built on it reproduce bit-for-bit
+    * outside Spark (the DuckDB oracle, or another dedup system sharing
+    * sketches). 28 bits keeps the Carter–Wegman transform below 2⁶³. */
+  private[functions] def tokenHashPortable(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 7 hex nibbles: bytes 0,1,2 and the high nibble of byte 3
+    ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+      ((d(2) & 0xFFL) << 4) | ((d(3) & 0xFFL) >>> 4)
+  }
+
+  private val PortablePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic portable coefficients: both the Spark expression and
+    * the SQL oracle derive them from the permutation index alone.
+    * a_j < 2^30 and h < 2^28 ⇒ a·h + b < 2^59: no 64-bit overflow on
+    * either engine. */
+  private[functions] def portableCoeff(j: Int): (Long, Long) = {
+    val a = ((j + 1L) * 2654435761L) % 1073741823L + 1L
+    val b = ((j + 1L) * 40503L * 65537L) % PortablePrime
+    (a, b)
+  }
+
+  private[functions] def portablePerm(a: Long, b: Long, h: Long): Long =
+    (a * h + b) % PortablePrime
+
   /** Deterministic affine coefficients shared by all rows. */
   private[functions] def coeffs(numPerm: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rng = new java.util.Random(seed)
@@ -37,12 +71,23 @@ object TextHashes {
 }
 
 /** array<string> → array<long>: k-permutation MinHash signature of the
-  * DISTINCT element set (duplicated tokens cannot change a min). */
-case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
+  * DISTINCT element set (duplicated tokens cannot change a min).
+  *
+  * `portable = true` switches the base hash to the md5-derived 28-bit
+  * value and the permutations to (a·h + b) mod 2³¹−1 with
+  * index-derived coefficients — bit-identical reproducible in plain
+  * SQL (see [[TextHashes.tokenHashPortable]]); xxhash64 mode stays for
+  * Spark-only flows where hash throughput dominates. */
+case class MinHashSignature(child: Expression, numPerm: Int, seed: Long,
+                            portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val (ca, cb) = TextHashes.coeffs(numPerm, seed)
+  @transient private lazy val (ca, cb) =
+    if (portable) {
+      val cs = (0 until numPerm).map(TextHashes.portableCoeff)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    } else TextHashes.coeffs(numPerm, seed)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -51,12 +96,23 @@ case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = TextHashes.tokenHash(arr.getUTF8String(i), seed)
-        var j = 0
-        while (j < numPerm) {
-          val hj = ca(j) * h + cb(j)
-          if (hj < sig(j)) sig(j) = hj
-          j += 1
+        val s = arr.getUTF8String(i)
+        if (portable) {
+          val h = TextHashes.tokenHashPortable(s)
+          var j = 0
+          while (j < numPerm) {
+            val hj = TextHashes.portablePerm(ca(j), cb(j), h)
+            if (hj < sig(j)) sig(j) = hj
+            j += 1
+          }
+        } else {
+          val h = TextHashes.tokenHash(s, seed)
+          var j = 0
+          while (j < numPerm) {
+            val hj = ca(j) * h + cb(j)
+            if (hj < sig(j)) sig(j) = hj
+            j += 1
+          }
         }
       }
       i += 1
@@ -183,8 +239,9 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 object HashColumns {
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     column(SortedLongIntersectCount(expression(a), expression(b)))
-  def minhashSig(tokens: Column, numPerm: Int = 128, seed: Long = 42L): Column =
-    column(MinHashSignature(expression(tokens), numPerm, seed))
+  def minhashSig(tokens: Column, numPerm: Int = 128, seed: Long = 42L,
+                 portable: Boolean = false): Column =
+    column(MinHashSignature(expression(tokens), numPerm, seed, portable))
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokens), seed))
   def equalFraction(a: Column, b: Column): Column =

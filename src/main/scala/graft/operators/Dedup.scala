@@ -38,10 +38,15 @@ object Dedup {
 
   /** 128-permutation MinHash signature over the unigram shingle set,
     * computed map-side in one compiled loop (universal-hashing MinHash —
-    * see functions.MinHashSignature). Returns (doc_id, sig: array<long>). */
+    * see functions.MinHashSignature). Portable mode (md5-derived base
+    * hash + mod-prime permutations) so signatures reproduce bit-for-bit
+    * in any engine — sketches are cross-system artifacts, and it makes
+    * the whole LSH pipeline DuckDB-oracle-checkable.
+    * Returns (doc_id, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 128): DataFrame =
     docs.select(col("doc_id"),
-      graft.functions.HashColumns.minhashSig(tokens(col("text")), numPerm).as("sig"))
+      graft.functions.HashColumns.minhashSig(tokens(col("text")), numPerm,
+        portable = true).as("sig"))
 
   /** LSH candidate pairs from banded signatures; `bands` × `rowsPerBand`
     * must equal the signature length. Shuffles once on the band bucket
@@ -53,10 +58,12 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     val sigs = minhashSignatures(docs, numPerm)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bucket key = the raw signature slice (not a hash of it): same
+    // shuffle width for 16 longs, zero bucket collisions, and the SQL
+    // oracle can reproduce the exact candidate set
     val banded = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (0 until rowsPerBand)
-          .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
       }: _*)).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
