@@ -571,6 +571,47 @@ object SparkEntry {
         |  round(avg(q.mean_word_len), 4) AS avg_word_len
         |FROM q JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // portable hyperplane LSH (plane signs from md5 nibbles) → the
+    // signature bits, band buckets, candidate set and double-precision
+    // cosine all reproduce in SQL
+    "d_embedding_neardup" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |planes AS MATERIALIZED (
+        |  SELECT b.b, i.i,
+        |    CASE WHEN ('0x' || substr(md5(b.b || '_' || (i.i - 1)), 1, 1))::INT >= 8
+        |      THEN 1.0 ELSE -1.0 END AS p
+        |  FROM range(48) b(b) CROSS JOIN (SELECT DISTINCT i FROM ev) i),
+        |dots AS MATERIALIZED (
+        |  SELECT ev.vec_id, pl.b, sum(ev.x * pl.p) AS dot
+        |  FROM ev JOIN planes pl ON pl.i = ev.i
+        |  GROUP BY ev.vec_id, pl.b),
+        |bkts AS MATERIALIZED (
+        |  SELECT vec_id, CAST(b // 8 AS INT) AS band,
+        |    CAST(sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END * (1 << (b % 8))) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY vec_id, b // 8),
+        |ecand AS MATERIALIZED (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM bkts x JOIN bkts y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.vec_id < y.vec_id),
+        |norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+        |pairdot AS MATERIALIZED (
+        |  SELECT c.a, c.b, sum(ea.x * eb.x) AS dot
+        |  FROM ecand c
+        |  JOIN ev ea ON ea.vec_id = c.a
+        |  JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+        |  GROUP BY c.a, c.b)
+        |SELECT p.a, p.b, round(p.dot / (na.nrm * nb.nrm), 6) AS cos
+        |FROM pairdot p
+        |JOIN norms na ON na.vec_id = p.a
+        |JOIN norms nb ON nb.vec_id = p.b
+        |WHERE p.dot / (na.nrm * nb.nrm) >= 0.35
+        |ORDER BY a, b""".stripMargin,
     "d_minhash_lsh_dups" -> (MinhashCte +
       """SELECT a, b, round(est, 4) AS est_jaccard FROM est
         |WHERE est >= 0.9 ORDER BY a, b""".stripMargin),

@@ -16,16 +16,29 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * zip_with/aggregate composition this replaces evaluated every element
   * through the interpreted expression path.
   */
-case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
+case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long,
+                         portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(nBits >= 1 && nBits <= 64, "signature must fit one long")
   override def dataType: DataType = LongType
 
-  // plane matrix is tiny (nBits × dim booleans); built once per executor
-  @transient private lazy val planes: Array[Array[Float]] = {
-    val rng = new java.util.Random(seed)
-    Array.fill(nBits, 4096)(if (rng.nextBoolean()) 1.0f else -1.0f)
-  }
+  // plane matrix is tiny (nBits × dim booleans); built once per executor.
+  // Portable mode derives entry (b, i) from the first md5 nibble of
+  // "b_i" — `('0x' || substr(md5(b || '_' || i), 1, 1))::INT >= 8` in
+  // SQL — so signatures (and the LSH candidate set) reproduce exactly
+  // in any engine; seeded-Random mode remains for Spark-only flows.
+  @transient private lazy val planes: Array[Array[Float]] =
+    if (portable) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nBits, 4096) { (b, i) =>
+        md.reset()
+        val d = md.digest(s"${b}_$i".getBytes("UTF-8"))
+        if (((d(0) & 0xFF) >>> 4) >= 8) 1.0f else -1.0f
+      }
+    } else {
+      val rng = new java.util.Random(seed)
+      Array.fill(nBits, 4096)(if (rng.nextBoolean()) 1.0f else -1.0f)
+    }
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -53,6 +66,7 @@ case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
 }
 
 object HyperplaneLsh {
-  def hyperplaneLsh(v: Column, nBits: Int = 48, seed: Long = 42L): Column =
-    column(HyperplaneLsh(expression(v), nBits, seed))
+  def hyperplaneLsh(v: Column, nBits: Int = 48, seed: Long = 42L,
+                    portable: Boolean = false): Column =
+    column(HyperplaneLsh(expression(v), nBits, seed, portable))
 }

@@ -108,8 +108,11 @@ object Ann {
   def embeddingNearDups(spark: SparkSession, dir: String,
                         threshold: Double = 0.35): DataFrame = {
     val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
+    // portable planes: signatures and the candidate set reproduce in
+    // plain SQL, so the whole pipeline is oracle-checkable
     val signed = emb.select(col("vec_id"), col("embedding"),
-      graft.functions.HyperplaneLsh.hyperplaneLsh(col("embedding")).as("sig"))
+      graft.functions.HyperplaneLsh.hyperplaneLsh(col("embedding"),
+        portable = true).as("sig"))
     val banded = signed.select(col("vec_id"), col("embedding"), posexplode(
       array((0 until 6).map(i =>
         shiftrightunsigned(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*))
