@@ -571,6 +571,35 @@ object SparkEntry {
         |  round(avg(q.mean_word_len), 4) AS avg_word_len
         |FROM q JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // portable 64-bit md5 token hashes → simhash votes, signature,
+    // 16-bit chunk buckets and hamming all reproduce in SQL (UBIGINT
+    // keeps bit 63 unsigned; only pairs + hamming leave the engine)
+    "d_simhash_dups" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+        |votes AS MATERIALIZED (
+        |  SELECT doc_id, j.j,
+        |    sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN range(64) j(j)
+        |  GROUP BY doc_id, j.j),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN 1::UBIGINT << CAST(j AS INT)
+        |        ELSE 0::UBIGINT END) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, sig, c.c AS chunk,
+        |    (sig >> CAST(c.c * 16 AS INT)) & 65535::UBIGINT AS val
+        |  FROM sigs CROSS JOIN range(4) c(c)),
+        |scand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    bit_count(xor(x.sig, y.sig)) AS hamming
+        |  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.val = y.val
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM scand WHERE hamming <= 3
+        |ORDER BY a, b""".stripMargin,
     // portable hyperplane LSH (plane signs from md5 nibbles) → the
     // signature bits, band buckets, candidate set and double-precision
     // cosine all reproduce in SQL

@@ -61,6 +61,19 @@ object TextHashes {
   private[functions] def portablePerm(a: Long, b: Long, h: Long): Long =
     (a * h + b) % PortablePrime
 
+  /** Portable 64-bit token hash: the first 16 hex digits of md5(token)
+    * as a big-endian long — `('0x' || substr(md5(tok), 1, 16))::UBIGINT`
+    * in SQL (bit patterns agree; signedness never leaves the engine). */
+  private[functions] def tokenHash64Portable(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
   /** Deterministic affine coefficients shared by all rows. */
   private[functions] def coeffs(numPerm: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rng = new java.util.Random(seed)
@@ -123,8 +136,11 @@ case class MinHashSignature(child: Expression, numPerm: Int, seed: Long,
     copy(child = c)
 }
 
-/** array<string> → long: 64-bit SimHash over the token multiset. */
-case class SimHash64(child: Expression, seed: Long)
+/** array<string> → long: 64-bit SimHash over the token multiset.
+  * Portable mode uses the md5-derived 64-bit token hash so signatures
+  * (and hamming-band candidate pairs) reproduce in plain SQL. */
+case class SimHash64(child: Expression, seed: Long,
+                     portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
@@ -135,7 +151,9 @@ case class SimHash64(child: Expression, seed: Long)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = TextHashes.tokenHash(arr.getUTF8String(i), seed)
+        val s = arr.getUTF8String(i)
+        val h = if (portable) TextHashes.tokenHash64Portable(s)
+                else TextHashes.tokenHash(s, seed)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -242,8 +260,9 @@ object HashColumns {
   def minhashSig(tokens: Column, numPerm: Int = 128, seed: Long = 42L,
                  portable: Boolean = false): Column =
     column(MinHashSignature(expression(tokens), numPerm, seed, portable))
-  def simhash64(tokens: Column, seed: Long = 42L): Column =
-    column(SimHash64(expression(tokens), seed))
+  def simhash64(tokens: Column, seed: Long = 42L,
+                portable: Boolean = false): Column =
+    column(SimHash64(expression(tokens), seed, portable))
   def equalFraction(a: Column, b: Column): Column =
     column(EqualFraction(expression(a), expression(b)))
   def jaccardSorted(a: Column, b: Column): Column =

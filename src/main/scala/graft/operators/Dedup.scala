@@ -146,7 +146,8 @@ object Dedup {
     * compiled loop per row (see functions.SimHash64). */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      graft.functions.HashColumns.simhash64(tokens(col("text"))).as("simhash"))
+      graft.functions.HashColumns.simhash64(tokens(col("text")),
+        portable = true).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidates
     * from 16-bit chunk buckets (4 chunks ⇒ any pair within hamming 3
