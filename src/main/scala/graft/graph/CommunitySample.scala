@@ -31,19 +31,25 @@ object CommunitySample {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Sampled vertices: (community, id) — memoized per graph/params. */
+  /** Sampled vertices: (community, id) — memoized per graph/params.
+    * `maxCommVertices` is the giant-community guard: communities above
+    * it get their adjacency deterministically thinned before the walk
+    * (see [[sampleUncached]]); communities at or below it are untouched,
+    * so results are identical whenever no community exceeds the cap. */
   def sample(spark: SparkSession, g: Graph, alpha: Double = 2.0,
-             lpaIters: Int = 5, seed: Long = 42L): DataFrame =
+             lpaIters: Int = 5, seed: Long = 42L,
+             maxCommVertices: Int = 1000000): DataFrame =
     cache.getOrElseUpdate(
-      s"${System.identityHashCode(g)}/$alpha/$lpaIters/$seed", {
-        val s = sampleUncached(spark, g, alpha, lpaIters, seed)
+      s"${System.identityHashCode(g)}/$alpha/$lpaIters/$seed/$maxCommVertices", {
+        val s = sampleUncached(spark, g, alpha, lpaIters, seed, maxCommVertices)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         s.count()
         s
       })
 
   private def sampleUncached(spark: SparkSession, g: Graph, alpha: Double,
-                             lpaIters: Int, seed: Long): DataFrame = {
+                             lpaIters: Int, seed: Long,
+                             maxCommVertices: Int): DataFrame = {
     import spark.implicits._
 
     val comms = GraphBuilder.communities(spark, g, lpaIters) // (id, community)
@@ -96,10 +102,29 @@ object CommunitySample {
         (col("n_vertices") / (lit(1.0) + lit(alpha) * col("avg_cc")))
           .cast("int") + 1)
 
+    // ---- giant-community guard ----
+    // One LPA community can concentrate a large fraction of a 100 TB
+    // graph, and the walk below holds one community's adjacency in a
+    // single task. Above `maxCommVertices`, deterministically thin the
+    // community: keep each vertex with probability cap/n by seeded hash
+    // and drop edges leaving the kept set — the walk then runs on the
+    // retained, closed subgraph with bounded task memory. walk_len still
+    // derives from the FULL community stats; communities at or below
+    // the cap pass through untouched.
+    val commSizes = commCc.select(col("community"), col("n_vertices"))
+    val hashMod = 1L << 30
+    def keep(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c, lit(seed)), lit(hashMod)) * col("n_vertices") <
+        lit(hashMod) * lit(maxCommVertices.toLong)
+    val guarded = intra.join(commSizes, "community")
+      .filter(col("n_vertices") <= maxCommVertices ||
+        (keep(col("src")) && keep(col("dst"))))
+      .select("community", "src", "dst")
+
     // adjacency rows: (community, vertex, neighbors) — neighbors sorted
     // for determinism under collect_list's partition-order nondeterminism
-    val sym = intra.select(col("community"), col("src").as("v"), col("dst").as("n"))
-      .union(intra.select(col("community"), col("dst").as("v"), col("src").as("n")))
+    val sym = guarded.select(col("community"), col("src").as("v"), col("dst").as("n"))
+      .union(guarded.select(col("community"), col("dst").as("v"), col("src").as("n")))
     val adj = sym.groupBy("community", "v")
       .agg(sort_array(collect_list("n")).as("neighbors"))
       .join(commCc.select("community", "walk_len"), "community")

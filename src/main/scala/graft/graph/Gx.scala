@@ -232,7 +232,12 @@ object Gx {
     * vertex, then BFS from the farthest vertex found (ties: min id). */
   def diameterEstimate(g: Graph): DataFrame = {
     val lm1 = Iterative.topDegreeLandmarks(g, 1).head().getLong(0)
-    val first = multiSourceBfs(g, Seq(lm1))
+    // sweep 1 reuses the session-cached 8-landmark BFS: landmark #1 IS
+    // the top-degree vertex (same (degree desc, id) ordering), so a
+    // fresh single-source Pregel here would recompute distances the
+    // bfs/closeness/avg-path queries already materialized
+    val first = GraphBuilder.landmarkBfs(g, 8)
+      .filter(col("landmark") === lm1)
     val far = first.orderBy(col("dist").desc, col("v").asc).limit(1)
       .head().getLong(1)
     multiSourceBfs(g, Seq(far))

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.graphx.{EdgeDirection, Graph => XGraph, Pregel}
+import org.apache.spark.graphx.{EdgeDirection, Pregel, VertexRDD}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -99,10 +99,18 @@ object GxBetweenness {
       .fold(0)(math.max)
 
     // ---- backward sweep: Array[delta] per vertex, level-synchronous ----
-    var bg: XGraph[(DS, Array[Double]), Int] =
-      forward.mapVertices((_, ds) => (ds, new Array[Double](sources.size))).cache()
-    bg.vertices.count()
+    // delta lives in a VertexRDD and the message graph is rebuilt FROM
+    // THE CACHED FORWARD GRAPH each level (the Gx.labelPropagation
+    // pattern) — chaining bg.outerJoinVertices(bg...) per level instead
+    // grows GraphX's replicated-vertex-view lineage with graph depth,
+    // the exact instability the LPA rewrite removed (bimodal runtimes
+    // when an upstream view gets re-shipped)
+    var delta: VertexRDD[Array[Double]] =
+      forward.vertices.mapValues(_ => new Array[Double](sources.size)).cache()
+    delta.count()
     for (level <- maxDist to 1 by -1) {
+      val bg = forward.outerJoinVertices(delta)((_, ds, d) =>
+        (ds, d.getOrElse(new Array[Double](sources.size)))).cache()
       val contribs = bg.aggregateMessages[Array[Double]](
         t => {
           // successor w (dist level) contributes to predecessor v
@@ -133,38 +141,40 @@ object GxBetweenness {
           while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
           out
         })
-      val prev = bg
-      bg = bg.outerJoinVertices(contribs) { (_, attr, c) =>
+      val prev = delta
+      delta = bg.vertices.leftJoin(contribs) { (_, attr, c) =>
+        val (ds, d) = attr
         c match {
           case Some(arr) =>
-            val (ds, delta) = attr
             val nd = new Array[Double](sources.size)
             var i = 0
             // only vertices AT level-1 accept this level's contribution
             while (i < nd.length) {
-              nd(i) = if (ds.dist(i) == level - 1) delta(i) + arr(i) else delta(i)
+              nd(i) = if (ds.dist(i) == level - 1) d(i) + arr(i) else d(i)
               i += 1
             }
-            (ds, nd)
-          case None => attr
+            nd
+          case None => d
         }
       }.cache()
-      bg.vertices.count()
-      // vertices only — bg shares the base graph's cached edges
-      prev.unpersistVertices(blocking = false)
+      delta.count()
+      prev.unpersist(blocking = false)
+      // vertices only — bg shares the forward graph's cached edges
+      bg.unpersistVertices(blocking = false)
     }
 
     val srcArr = sources.toArray
-    val dep = bg.vertices.map { case (id, (ds, delta)) =>
+    val dep = forward.vertices.leftJoin(delta) { (id, ds, dOpt) =>
+      val d = dOpt.getOrElse(new Array[Double](sources.size))
       var sum = 0.0
       var i = 0
-      while (i < delta.length) {
+      while (i < d.length) {
         // δ at the source itself is excluded (pairs s≠v)
-        if (srcArr(i) != id && ds.dist(i) != Inf) sum += delta(i)
+        if (srcArr(i) != id && ds.dist(i) != Inf) sum += d(i)
         i += 1
       }
-      (id, sum)
-    }.toDF("id", "dep")
+      sum
+    }.map { case (id, s) => (id, s) }.toDF("id", "dep")
 
     g.vertices.select("id")
       .join(dep, Seq("id"), "left")

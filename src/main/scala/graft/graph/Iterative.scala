@@ -99,12 +99,28 @@ object Iterative {
   }
 
   /** Community labels normalized to dense 0..k-1 ranks — the reference
-    * does this on the driver with a Python dict UDF (main.py:164-173);
-    * here it is a window dense_rank, fully distributed. */
+    * does this on the driver with a Python dict UDF (main.py:164-173).
+    *
+    * Distributed dense-id assignment: a global `Window.orderBy` would
+    * funnel every distinct label through ONE task (millions of LPA
+    * labels at 100 TB scale). Instead, range-sort the distinct-label
+    * table across partitions and `zipWithIndex` it — partition sizes
+    * are counted in one lightweight job, then indices are assigned
+    * map-side per partition, so no single-partition exchange anywhere.
+    * Each label is unique post-distinct, so index == dense_rank − 1. */
   def normalizeLabels(labels: DataFrame): DataFrame = {
-    val w = Window.orderBy("label")
-    val dense = labels.select("label").distinct()
-      .withColumn("community", dense_rank().over(w) - 1)
+    val spark = labels.sparkSession
+    val dense = spark.createDataFrame(
+      labels.select("label").distinct()
+        .orderBy("label")
+        .rdd.map(_.getLong(0))
+        .zipWithIndex()
+        .map { case (label, idx) => org.apache.spark.sql.Row(label, idx.toInt) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("community",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     labels.join(dense, "label").select("id", "community")
   }
 

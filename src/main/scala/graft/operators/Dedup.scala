@@ -48,35 +48,81 @@ object Dedup {
       graft.functions.HashColumns.minhashSig(tokens(col("text")), numPerm,
         portable = true).as("sig"))
 
-  /** LSH candidate pairs from banded signatures; `bands` × `rowsPerBand`
-    * must equal the signature length. Shuffles once on the band bucket
-    * key; bucket fan-out is bounded by duplicate-group size, not corpus
-    * size. Returns (a, b, est_jaccard) for pairs whose estimated Jaccard
-    * (matching signature fraction) ≥ threshold. */
-  def minhashDupPairs(docs: DataFrame, threshold: Double = 0.9,
-                      numPerm: Int = 128, bands: Int = 8): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val sigs = minhashSignatures(docs, numPerm)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Rep-level LSH candidates: band join over ONE row per distinct
+    * signature. Because identical texts collapse upstream, bucket sizes
+    * here are bounded by the number of genuinely distinct near-dup
+    * texts, never by copy counts — the exact-dup pre-pass below is what
+    * keeps a 100k-copy boilerplate group from turning one band bucket
+    * into a C(k,2) join task. */
+  private[graft] def repBandCandidates(repSigs: DataFrame, bands: Int,
+                                       rowsPerBand: Int): DataFrame = {
     // bucket key = the raw signature slice (not a hash of it): same
     // shuffle width for 16 longs, zero bucket collisions, and the SQL
     // oracle can reproduce the exact candidate set
-    val banded = sigs.select(col("doc_id"), posexplode(
+    val banded = repSigs.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
       }: _*)).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val estSim = cand
-      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+  }
+
+  /** LSH candidate pairs from banded signatures; `bands` × `rowsPerBand`
+    * must equal the signature length. Returns (a, b, est_jaccard) for
+    * pairs whose estimated Jaccard (matching signature fraction) ≥
+    * threshold.
+    *
+    * Exact-dup pre-pass (the 100 TB skew guard): docs are first grouped
+    * by their full signature — identical token sets hash identically —
+    * and only one representative per group enters the band join. Pairs
+    * are then re-expanded: within-group pairs carry est_jaccard = 1.0
+    * (what equalFraction returns for equal signatures), cross-group
+    * pairs inherit the representative pair's estimate (members share
+    * their rep's signature). Output is bit-identical to banding every
+    * doc, but the band join never sees duplicate-group fan-out, and the
+    * within-group expansion is a clean AQE-skew-splittable self-join
+    * emitting each pair exactly once instead of bands× candidate rows. */
+  def minhashDupPairs(docs: DataFrame, threshold: Double = 0.9,
+                      numPerm: Int = 128, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigs = minhashSignatures(docs, numPerm)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-pass: one rep (min doc_id) per distinct signature; map-side
+    // partial agg absorbs the skew of giant identical-text groups
+    val groups = sigs.groupBy("sig")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = sigs.join(groups, "sig")
+      .select(col("rep"), col("doc_id"), col("n_members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
+    val repPairs = repBandCandidates(repSigs, bands, rowsPerBand)
+      .join(repSigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(repSigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .select(col("a"), col("b"),
         graft.functions.HashColumns
           .equalFraction(col("sig_a"), col("sig_b")).as("est_jaccard"))
-    estSim.filter(col("est_jaccard") >= threshold)
+      .filter(col("est_jaccard") >= threshold)
+    // re-expand reps to members. Cross-group: every (x ∈ A, y ∈ B) pair
+    // shares the rep pair's signatures, hence its estimate; normalize
+    // order since member ids interleave across groups.
+    val cross = repPairs
+      .join(members.select(col("rep").as("a"), col("doc_id").as("x")), "a")
+      .join(members.select(col("rep").as("b"), col("doc_id").as("y")), "b")
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("est_jaccard"))
+    // within-group: identical signatures ⇒ est_jaccard exactly 1.0
+    val dupMembers = members.filter(col("n_members") > 1)
+      .select("rep", "doc_id")
+    val within = dupMembers.select(col("rep"), col("doc_id").as("x"))
+      .join(dupMembers.select(col("rep"), col("doc_id").as("y")), "rep")
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        lit(1.0).as("est_jaccard"))
+    cross.union(within)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
@@ -151,10 +197,23 @@ object Dedup {
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidates
     * from 16-bit chunk buckets (4 chunks ⇒ any pair within hamming 3
-    * shares ≥ 1 chunk — pigeonhole; exact recall for the threshold). */
+    * shares ≥ 1 chunk — pigeonhole; exact recall for the threshold).
+    *
+    * Same exact-dup pre-pass as [[minhashDupPairs]]: one representative
+    * per distinct 64-bit signature enters the chunk-bucket join (bucket
+    * fan-out bounded by distinct near-dup signatures, not copy counts);
+    * pairs re-expand afterward — within-group hamming is exactly 0,
+    * cross-group hamming is the rep pair's (members share the rep's
+    * signature). Output bit-identical to chunking every doc. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
+    val groups = sigs.groupBy("simhash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = sigs.join(groups, "simhash")
+      .select(col("rep"), col("doc_id"), col("n_members"))
+    val repSigs = groups.select(col("rep").as("doc_id"), col("simhash"))
+    val chunked = repSigs.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("chunk", "val")))
@@ -162,11 +221,24 @@ object Dedup {
       col("doc_id").as("a"), col("simhash").as("sa"))
     val r = chunked.select(col("chunk"), col("val"),
       col("doc_id").as("b"), col("simhash").as("sb"))
-    l.join(r, Seq("chunk", "val"))
+    val repPairs = l.join(r, Seq("chunk", "val"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .join(members.select(col("rep").as("a"), col("doc_id").as("x")), "a")
+      .join(members.select(col("rep").as("b"), col("doc_id").as("y")), "b")
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("hamming"))
+    val dupMembers = members.filter(col("n_members") > 1)
+      .select("rep", "doc_id")
+    val within = dupMembers.select(col("rep"), col("doc_id").as("x"))
+      .join(dupMembers.select(col("rep"), col("doc_id").as("y")), "rep")
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(within)
   }
 }

@@ -60,6 +60,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.treeString.contains("Generate"), plan.treeString)
   }
 
+  test("label normalization has no single-partition exchange") {
+    // the dense-id table is built via range-sort + zipWithIndex; a
+    // regression back to a global Window.orderBy would reintroduce an
+    // Exchange SinglePartition — the one-task bottleneck at scale
+    import spark.implicits._
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 42L), (4L, 7L))
+      .toDF("id", "label")
+    val df = graft.graph.Iterative.normalizeLabels(labels)
+    assert(!df.queryExecution.sparkPlan.treeString.contains("SinglePartition"),
+      df.queryExecution.sparkPlan.treeString)
+    val got = df.as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
   test("frame sampling scan reads only doc_id and text") {
     val s = scans(graft.operators.Multimodal.frameSample(spark, sf))
     assert(s.nonEmpty)

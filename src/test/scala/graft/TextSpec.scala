@@ -82,6 +82,58 @@ class TextSpec extends AnyFunSuite {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("exact-dup pre-pass: a 1000-copy group stays O(groups) in the band join") {
+    val k = 1000
+    val copies = (1 to k).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val others = Seq(
+      (5001L, "iota kappa lambda mu nu xi omicron pi"),
+      (5002L, "rho sigma tau upsilon phi chi psi omega"))
+    val docs = (copies ++ others).toDF("doc_id", "text").cache()
+    // rep-level candidates are bounded by distinct TEXTS, not copies:
+    // 3 distinct signatures ⇒ ≤ C(3,2) = 3 candidate rows ever reach
+    // the verify stage, no matter how large the copy group is
+    val sigs = Dedup.minhashSignatures(docs)
+    val repSigs = sigs.groupBy("sig").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "sig")
+    val candCount = Dedup.repBandCandidates(repSigs, bands = 8,
+      rowsPerBand = 16).count()
+    assert(candCount <= 3, s"rep candidates $candCount should be O(groups)")
+    // ...while the expanded OUTPUT still contains every within-group
+    // pair at est_jaccard exactly 1.0
+    val pairs = Dedup.minhashDupPairs(docs, threshold = 0.9).cache()
+    val within = pairs.filter($"a" <= k && $"b" <= k)
+    assert(within.count() == k.toLong * (k - 1) / 2)
+    assert(within.filter($"est_jaccard" =!= 1.0).count() == 0)
+    // simhash path: same corpus, within pairs at hamming 0
+    val sh = Dedup.simhashDupPairs(docs, maxHamming = 3)
+      .filter($"a" <= k && $"b" <= k)
+    assert(sh.count() == k.toLong * (k - 1) / 2)
+    assert(sh.filter($"hamming" =!= 0).count() == 0)
+    docs.unpersist(); pairs.unpersist()
+  }
+
+  test("pre-pass pipeline matches naive per-doc banding bit-for-bit") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").limit(150)
+      .union(Seq((900001L, "alpha beta gamma delta"),
+                 (900002L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+      .cache()
+    // naive reference: band EVERY doc (the pre-refactor pipeline)
+    val sigs = Dedup.minhashSignatures(docs)
+    val naive = Dedup.repBandCandidates(sigs, bands = 8, rowsPerBand = 16)
+      .join(sigs.select($"doc_id".as("a"), $"sig".as("sig_a")), "a")
+      .join(sigs.select($"doc_id".as("b"), $"sig".as("sig_b")), "b")
+      .select($"a", $"b", graft.functions.HashColumns
+        .equalFraction($"sig_a", $"sig_b").as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.8)
+      .select($"a", $"b", round($"est_jaccard", 4).as("est_jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.minhashDupPairs(docs, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == naive)
+    docs.unpersist()
+  }
+
   test("multimodal feature extraction is deterministic with real plumbing") {
     val a = Multimodal.multimodalMeta(spark, sf).collect()
     val b = Multimodal.multimodalMeta(spark, sf).collect()
