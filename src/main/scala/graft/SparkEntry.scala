@@ -28,6 +28,7 @@ object SparkEntry {
     "g_avg_clustering" -> (GraphQueries.avgClustering _),
     "g_transitivity" -> (GraphQueries.transitivity _),
     "g_induced_subgraph" -> (GraphQueries.inducedSubgraph _),
+    "g_motif_open_wedges" -> (GraphQueries.motifOpenWedges _),
     "g_connected_components" -> (GraphQueries.connectedComponents _),
     "g_label_propagation" -> (GraphQueries.labelPropagation _),
     "g_community_count" -> (GraphQueries.communityCount _),
@@ -305,6 +306,12 @@ object SparkEntry {
       "SELECT round(avg(degree), 4) AS avg_degree FROM deg"),
     "g_triangles" -> (GraphCte +
       "SELECT id, triangles FROM tvd ORDER BY id"),
+    "g_motif_open_wedges" -> (GraphCte +
+      """SELECT s1.dst AS id, count(*) AS open_wedges
+        |FROM sym s1 JOIN sym s2 ON s1.dst = s2.src AND s1.src <> s2.dst
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sym s3 WHERE s3.src = s1.src AND s3.dst = s2.dst)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "g_clustering_coeff" -> (GraphCte +
       """SELECT id, degree, triangles,
         |  round(CASE WHEN degree >= 2

@@ -198,6 +198,20 @@ object GraphQueries {
   def diameter(spark: SparkSession, dir: String): DataFrame =
     Gx.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
 
+  /** Open-wedge counts per center vertex via the motif pattern API
+    * (GraphFrames `g.find`, the reference library's signature query
+    * surface): paths a→b→c with a ≠ c and NO closing a—c edge. The
+    * negated term compiles to a left-anti join; the whole query is a
+    * three-way join chain Catalyst plans like hand-written SQL. */
+  def motifOpenWedges(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    Motif.find(g, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+      .filter(col("a") =!= col("c"))
+      .groupBy(col("b").as("id"))
+      .agg(count(lit(1)).as("open_wedges"))
+      .orderBy("id")
+  }
+
   /** Induced subgraph over a deterministic vertex subset: small parts
     * (p_size <= 10). (ref main.py:192-195 — but linear, not |V|².) */
   def inducedSubgraph(spark: SparkSession, dir: String): DataFrame = {

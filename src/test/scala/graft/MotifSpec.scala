@@ -1,0 +1,98 @@
+package graft
+
+import graft.graph.{Graph, GraphBuilder, Motif}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MotifSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // triangle 1-2-3 plus pendant 3-4
+  private def tiny: Graph = {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    Graph(GraphBuilder.vertices(e), e)
+  }
+
+  test("edge pattern matches both directions of every undirected edge") {
+    val r = Motif.find(tiny, "(a)-[]->(b)").as[(Long, Long)].collect().toSet
+    assert(r.size == 8) // 4 canonical edges × 2 directions
+    assert(r.contains((1L, 2L)) && r.contains((2L, 1L)))
+  }
+
+  test("triangle pattern count = 6 x triangle count (known graph)") {
+    val n = Motif.find(tiny, "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").count()
+    assert(n == 6) // one triangle, 3! orientations
+  }
+
+  test("triangle pattern cross-checks the oriented-intersection pipeline at sf") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val viaMotif = Motif.find(g, "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+      .count() / 6
+    val viaPipeline = g.triangleVertexCounts.agg(sum("triangles"))
+      .head().getLong(0) / 3
+    assert(viaMotif == viaPipeline)
+  }
+
+  test("negated term subtracts closed wedges (open + closed = all)") {
+    val g = tiny
+    val all = Motif.find(g, "(a)-[]->(b); (b)-[]->(c)")
+      .filter($"a" =!= $"c").count()
+    val open = Motif.find(g, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+      .filter($"a" =!= $"c").count()
+    val closed = Motif.find(g, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)").count()
+    // (a)-[]->(c) positive closure never matches a = c (no self-loops),
+    // so the closed set needs no explicit inequality
+    assert(open + closed == all)
+    assert(closed == 6)
+  }
+
+  test("named edges come back as (src, dst) structs") {
+    val r = Motif.find(tiny, "(a)-[e]->(b)")
+    assert(r.columns.toSeq == Seq("a", "b", "e"))
+    val row = r.filter($"a" === 1L && $"b" === 2L).head()
+    val e = row.getStruct(2)
+    assert(e.getLong(0) == 1L && e.getLong(1) == 2L)
+  }
+
+  test("anonymous vertices bind nothing and emit no columns") {
+    val r = Motif.find(tiny, "()-[]->(b)")
+    assert(r.columns.toSeq == Seq("b"))
+    // every vertex with degree >= 1 appears once per incident edge
+    assert(r.count() == 8)
+  }
+
+  test("disconnected pattern is a cross join") {
+    val n = Motif.find(tiny, "(a)-[]->(b); (c)-[]->(d)").count()
+    assert(n == 64) // 8 x 8 directed matches
+  }
+
+  test("standalone vertex term enumerates all vertices") {
+    val r = Motif.find(tiny, "(a)").as[Long].collect().toSet
+    assert(r == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("negation on unbound vertices is rejected") {
+    intercept[IllegalArgumentException] {
+      Motif.find(tiny, "!(a)-[]->(b)")
+    }
+    intercept[IllegalArgumentException] {
+      Motif.find(tiny, "(a)-[x]->(b); !(a)-[y]->(b)")
+    }
+  }
+
+  test("motif open-wedge query equals degree-based closed-form") {
+    // per center b: ordered (a, c) pairs of distinct neighbors minus
+    // wedges closed by an a-c edge = deg(b)·(deg(b)−1) − 2·tri(b)
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val expected = g.degrees
+      .join(GraphBuilder.triangles(g), "id")
+      .select(col("id"), (col("degree") * (col("degree") - 1) -
+        lit(2) * col("triangles")).as("w"))
+      .filter(col("w") > 0)
+      .as[(Long, Long)].collect().toMap
+    val got = graft.graph.GraphQueries.motifOpenWedges(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+}

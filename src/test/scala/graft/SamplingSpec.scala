@@ -75,6 +75,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("giant-community guard bounds the walked adjacency and stays deterministic") {
+    // a 40-clique is one LPA community; cap=12 forces the guard: the
+    // walk must complete on the hash-thinned closed subgraph, emit only
+    // clique vertices, visit no more than the retained set, and stay
+    // seed-deterministic. cap=1M (default) leaves the sample unguarded.
+    val ids = (1L to 40L)
+    val e = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val guarded = CommunitySample.sample(spark, g, seed = 11L,
+      maxCommVertices = 12).as[(Int, Long)].collect().toSet
+    val again = CommunitySample.sample(spark, g, seed = 11L,
+      maxCommVertices = 12).as[(Int, Long)].collect().toSet
+    assert(guarded == again)
+    assert(guarded.nonEmpty)
+    assert(guarded.map(_._2).subsetOf(ids.toSet))
+    // keep-probability 12/40 over 40 vertices: retained set is well
+    // under the full community (binomially ~12, hard-bounded by 40;
+    // the walk can only visit retained vertices)
+    assert(guarded.size < 40, s"guard did not thin: ${guarded.size}")
+  }
+
   test("walk length formula caps sample size per community") {
     // one community (triangle + tail): walk_len = n/(1+2cc)+1 <= n+1
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
