@@ -237,6 +237,71 @@ object SparkEntry {
       |  GROUP BY c.a, c.b)
       |""".stripMargin
 
+  /** Oracle for the FLAGSHIP seeded community-sample walk. The Spark
+    * walk draws every choice from md5("seed:community:step") (see
+    * CommunitySample.portableChoice), so the whole sampler — LPA
+    * communities → intra-community clustering → walk lengths → the
+    * step-by-step walk itself — reproduces in DuckDB: the walk is a
+    * recursive CTE whose per-step choice is the same md5 arithmetic.
+    * MATERIALIZED pins the tables the recursion re-references each
+    * round (DuckDB inlines CTEs per reference). */
+  private val SampleCte: String =
+    "WITH RECURSIVE " + GraphCte.stripPrefix("WITH ") + lpaUnrolled(5) +
+    """, comm AS MATERIALIZED (
+      |  SELECT id, dense_rank() OVER (ORDER BY label) - 1 AS community FROM l5)
+      |, intra AS MATERIALIZED (
+      |  SELECT c1.community, e.src, e.dst
+      |  FROM e JOIN comm c1 ON c1.id = e.src JOIN comm c2 ON c2.id = e.dst
+      |  WHERE c1.community = c2.community)
+      |, ideg AS (
+      |  SELECT community, v, count(*) AS degree FROM (
+      |    SELECT community, src AS v FROM intra
+      |    UNION ALL SELECT community, dst AS v FROM intra) GROUP BY 1, 2)
+      |, itri AS (
+      |  SELECT c1.community, t.a, t.b, t.c FROM tri t
+      |  JOIN comm c1 ON c1.id = t.a JOIN comm c2 ON c2.id = t.b
+      |  JOIN comm c3 ON c3.id = t.c
+      |  WHERE c1.community = c2.community AND c2.community = c3.community)
+      |, itriv AS (
+      |  SELECT v, count(*) AS triangles FROM (
+      |    SELECT a AS v FROM itri UNION ALL SELECT b AS v FROM itri
+      |    UNION ALL SELECT c AS v FROM itri) GROUP BY 1)
+      |, vcc AS (
+      |  SELECT cm.community,
+      |    CASE WHEN coalesce(d.degree, 0) >= 2
+      |      THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+      |      ELSE 0.0 END AS cc
+      |  FROM comm cm
+      |  LEFT JOIN ideg d ON d.community = cm.community AND d.v = cm.id
+      |  LEFT JOIN itriv t ON t.v = cm.id)
+      |, cwalk AS MATERIALIZED (
+      |  SELECT community, count(*) AS n_vertices, round(avg(cc), 6) AS avg_cc
+      |  FROM vcc GROUP BY community)
+      |, adj AS MATERIALIZED (
+      |  SELECT community, v, list(n ORDER BY n) AS nbrs FROM (
+      |    SELECT community, src AS v, dst AS n FROM intra
+      |    UNION ALL SELECT community, dst AS v, src AS n FROM intra)
+      |  GROUP BY 1, 2)
+      |, wl AS MATERIALIZED (
+      |  SELECT a.community,
+      |    CAST(trunc(c.n_vertices / (1 + 2.0 * c.avg_cc)) AS INT) + 1 AS walk_len,
+      |    list_extract(list(a.v ORDER BY a.v), 1 + CAST(
+      |      ('0x' || substr(md5(concat(42, ':', a.community, ':', 0)), 1, 8))::BIGINT
+      |      % count(*) AS INT)) AS start
+      |  FROM adj a JOIN cwalk c USING (community)
+      |  GROUP BY a.community, c.n_vertices, c.avg_cc)
+      |, walk AS (
+      |  SELECT community, 1 AS t, start AS cur FROM wl
+      |  UNION ALL
+      |  SELECT w.community, w.t + 1, list_extract(a.nbrs, 1 + CAST(
+      |    ('0x' || substr(md5(concat(42, ':', w.community, ':', w.t)), 1, 8))::BIGINT
+      |    % len(a.nbrs) AS INT))
+      |  FROM walk w
+      |  JOIN wl l ON l.community = w.community
+      |  JOIN adj a ON a.community = w.community AND a.v = w.cur
+      |  WHERE w.t < l.walk_len)
+      |""".stripMargin
+
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -430,6 +495,46 @@ object SparkEntry {
         |FROM l5 ORDER BY id""".stripMargin),
     "g_community_count" -> (GraphCte + lpaUnrolled(5) +
       "SELECT count(DISTINCT label) AS n_communities FROM l5"),
+    "g_community_sample" -> (SampleCte +
+      "SELECT DISTINCT community, cur AS id FROM walk ORDER BY community, id"),
+    "g_sample_metrics" -> (SampleCte +
+      """, samp AS MATERIALIZED (SELECT DISTINCT cur AS id FROM walk)
+        |, se AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e
+        |  JOIN samp s1 ON s1.id = e.src JOIN samp s2 ON s2.id = e.dst)
+        |, sdeg AS (
+        |  SELECT v AS id, count(*) AS degree FROM (
+        |    SELECT src AS v FROM se UNION ALL SELECT dst AS v FROM se)
+        |  GROUP BY 1)
+        |, stri AS (
+        |  SELECT t.a, t.b, t.c FROM tri t
+        |  JOIN samp x ON x.id = t.a JOIN samp y ON y.id = t.b
+        |  JOIN samp z ON z.id = t.c)
+        |, striv AS (
+        |  SELECT v AS id, count(*) AS triangles FROM (
+        |    SELECT a AS v FROM stri UNION ALL SELECT b AS v FROM stri
+        |    UNION ALL SELECT c AS v FROM stri) GROUP BY 1)
+        |, scc AS (
+        |  SELECT s.id, coalesce(d.degree, 0) AS degree,
+        |    coalesce(t.triangles, 0) AS triangles
+        |  FROM samp s LEFT JOIN sdeg d ON d.id = s.id
+        |  LEFT JOIN striv t ON t.id = s.id)
+        |SELECT
+        |  (SELECT count(*) FROM samp) AS sample_vertices,
+        |  (SELECT count(*) FROM se) AS sample_edges,
+        |  (SELECT round(avg(CASE WHEN degree >= 2
+        |     THEN 2.0 * triangles / (degree * (degree - 1))
+        |     ELSE 0.0 END), 6) FROM scc) AS sample_avg_clustering,
+        |  (SELECT CASE WHEN sum(degree * (degree - 1) / 2.0) > 0
+        |     THEN round(3.0 * (sum(triangles) / 3.0)
+        |       / sum(degree * (degree - 1) / 2.0), 6)
+        |     ELSE 0.0 END FROM scc) AS sample_transitivity,
+        |  (SELECT round(avg(CASE WHEN degree >= 2
+        |     THEN 2.0 * triangles / (degree * (degree - 1))
+        |     ELSE 0.0 END), 6) FROM tvd) AS orig_avg_clustering,
+        |  (SELECT round(3.0 * (SELECT sum(triangles) / 3.0 FROM tvd)
+        |     / (SELECT sum(degree * (degree - 1) / 2) FROM deg), 6))
+        |     AS orig_transitivity""".stripMargin),
     "g_modularity" -> (GraphCte + lpaUnrolled(5) +
       """, mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e)
         |, intra AS (

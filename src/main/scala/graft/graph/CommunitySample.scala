@@ -31,6 +31,18 @@ object CommunitySample {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Engine-portable bounded choice: index in [0, n) derived from the
+    * first 4 md5 bytes of "seed:community:step" — in SQL this is
+    * `('0x' || substr(md5(concat(seed,':',c,':',t)), 1, 8))::BIGINT % n`,
+    * so every walk step reproduces bit-for-bit in DuckDB. */
+  private[graph] def portableChoice(seed: Long, c: Int, t: Int, n: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$c:$t".getBytes("UTF-8"))
+    val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (h % n).toInt
+  }
+
   /** Sampled vertices: (community, id) — memoized per graph/params.
     * `maxCommVertices` is the giant-community guard: communities above
     * it get their adjacency deterministically thinned before the walk
@@ -95,8 +107,13 @@ object CommunitySample {
     val commCc = comms.join(cc, Seq("id"), "left")
       .na.fill(0.0, Seq("clustering_coeff"))
       .groupBy("community")
+      // avg_cc rounded to 6dp BEFORE the length formula: double
+      // summation order differs across engines (and across Spark runs'
+      // partial-agg order) in the last ulp; rounding pins walk_len so
+      // the whole walk is engine-portable (the SQL oracle rounds the
+      // same way)
       .agg(count(lit(1)).as("n_vertices"),
-        avg("clustering_coeff").as("avg_cc"))
+        round(avg("clustering_coeff"), 6).as("avg_cc"))
       // walk length n/(1+α·cc)+1 (ref get_len main.py:51-52, main.py:89)
       .withColumn("walk_len",
         (col("n_vertices") / (lit(1.0) + lit(alpha) * col("avg_cc")))
@@ -146,15 +163,17 @@ object CommunitySample {
           byComm(c) = (adjMap, r.getInt(3))
         }
         byComm.iterator.flatMap { case (c, (adjMap, walkLen)) =>
-          val rng = new java.util.Random(seed ^ c.toLong)
           val vertices = adjMap.keys.toArray.sorted
-          // random start within the community (ref main.py:85)
-          var cur = vertices(rng.nextInt(vertices.length))
+          // seeded start within the community (ref main.py:85). Steps
+          // come from an md5-derived hash (portableChoice) instead of a
+          // JVM PRNG: the identical choice sequence reproduces in plain
+          // SQL, which makes the sampled set itself oracle-checkable.
+          var cur = vertices(portableChoice(seed, c, 0, vertices.length))
           val visited = mutable.LinkedHashSet(cur)
           var steps = 1
           while (steps < walkLen) {
-            val nbrs = adjMap(cur)
-            if (nbrs.nonEmpty) cur = nbrs(rng.nextInt(nbrs.length))
+            val nbrs = adjMap(cur) // nonempty by construction (v has >= 1 intra edge)
+            cur = nbrs(portableChoice(seed, c, steps, nbrs.length))
             visited += cur // LinkedHashSet dedups (ref main.py:100-103)
             steps += 1
           }
