@@ -57,8 +57,11 @@ object SparkEntry {
     "e_knn_brute" -> ((s, d) =>
       Ann.knnBrute(s, d).select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")),
+    // sim dropped like e_knn_brute: ranking is engine-comparable, the
+    // raw cosine differs in the last float ulps
     "e_knn_ivf" -> ((s, d) =>
-      Ann.knnIvf(s, d).orderBy("query_id", "rank")),
+      Ann.knnIvf(s, d).select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
@@ -302,6 +305,87 @@ object SparkEntry {
       |  WHERE w.t < l.walk_len)
       |""".stripMargin
 
+  /** Oracle for IVF ANN: the k-means-lite coarse quantizer is unrolled
+    * Lloyd iterations in SQL. Portability hinges on
+    * `Ann.kmeansCentroids` rounding each round's means to 6dp before
+    * the float cast — double summation-order noise (~1e-15) vanishes,
+    * so centroids (and hence assignments, probes and rankings, whose
+    * decision gaps are far wider than the residual ~1e-14 cosine
+    * noise) are engine-identical. Cosines are manual double arithmetic
+    * (the d_embedding_neardup precedent), tie-breaks mirror the Spark
+    * side exactly: assignment max(struct(sim, cell)) → cell DESC;
+    * probes → cell ASC; top-k → neighbor_id ASC. */
+  private def ivfUnrolled(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s""", d$k AS (
+         |  SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot,
+         |    sqrt(sum(c.c * c.c)) AS cn
+         |  FROM ev e JOIN c${k - 1} c ON c.i = e.i
+         |  GROUP BY e.vec_id, c.cell)
+         |, a$k AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell DESC) AS rn
+         |    FROM d$k d JOIN evn n ON n.vec_id = d.vec_id)
+         |  WHERE rn = 1)
+         |, c$k AS MATERIALIZED (
+         |  SELECT a.cell, e.i,
+         |    CAST(CAST(round(avg(e.x), 6) AS REAL) AS DOUBLE) AS c
+         |  FROM a$k a JOIN ev e ON e.vec_id = a.vec_id
+         |  GROUP BY a.cell, e.i)
+         |""".stripMargin
+    }.mkString(
+      """WITH ev AS MATERIALIZED (
+        |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |evn AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cell, i, x AS c FROM ev WHERE vec_id < 16)
+        |""".stripMargin, "", "")
+    // final inverted index under the converged centroids, then probe
+    // the 4 nearest cells per query and rank candidates exactly
+    rounds +
+    s""", dx AS (
+       |  SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot,
+       |    sqrt(sum(c.c * c.c)) AS cn
+       |  FROM ev e JOIN c$iters c ON c.i = e.i
+       |  GROUP BY e.vec_id, c.cell)
+       |, idx AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell, row_number() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell DESC) AS rn
+       |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id)
+       |  WHERE rn = 1)
+       |, probes AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
+       |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
+       |    WHERE d.vec_id < 20)
+       |  WHERE rk <= 4)
+       |, cd AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id, sum(eq.x * ex.x) AS dot
+       |  FROM probes p
+       |  JOIN idx x ON x.cell = p.cell
+       |  JOIN ev eq ON eq.vec_id = p.query_id
+       |  JOIN ev ex ON ex.vec_id = x.vec_id AND ex.i = eq.i
+       |  WHERE x.vec_id <> p.query_id
+       |  GROUP BY p.query_id, x.vec_id)
+       |, rr AS (
+       |  SELECT cd.query_id, cd.neighbor_id, row_number() OVER (
+       |    PARTITION BY cd.query_id
+       |    ORDER BY cd.dot / (nq.nrm * nn.nrm) DESC, cd.neighbor_id ASC) AS rank
+       |  FROM cd JOIN evn nq ON nq.vec_id = cd.query_id
+       |  JOIN evn nn ON nn.vec_id = cd.neighbor_id)
+       |SELECT query_id, rank, neighbor_id FROM rr
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -411,6 +495,7 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "e_knn_ivf" -> ivfUnrolled(3),
     "g_bfs_landmarks" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

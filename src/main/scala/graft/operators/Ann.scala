@@ -45,7 +45,14 @@ object Ann {
 
   /** K-means-lite centroids: deterministic init (first `cells` vectors),
     * `iters` Lloyd rounds, all DataFrame algebra (posexplode + per-
-    * dimension mean). Returns (cell, centroid: array<float>). */
+    * dimension mean). Returns (cell, centroid: array<float>).
+    *
+    * Each round's mean is rounded to 6dp before the float cast: double
+    * summation order differs across partial-agg orders and engines in
+    * the last ulp, and rounding pins every centroid — hence every
+    * assignment, probe and neighbor ranking — to values any engine
+    * reproduces, which is what makes e_knn_ivf DuckDB-oracle-checkable
+    * (same move as the portable MinHash/SimHash/walk pipelines). */
   def kmeansCentroids(emb: DataFrame, cells: Int = 16, iters: Int = 3): DataFrame = {
     var centroids = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
@@ -54,7 +61,7 @@ object Ann {
       centroids = assigned
         .join(emb, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
