@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Ann, Dedup, Multimodal, Relational, TextAnalysis}
+import graft.operators.{Ann, Bpe, Dedup, Multimodal, Relational, TextAnalysis}
 import graft.graph.GraphQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -93,6 +93,9 @@ object SparkEntry {
     // transitive near-dup clusters over the LSH pair graph (GraphX CC)
     "d_dup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(s, Tables(s, d).documents, cacheKey = d)),
+    "d_substring_dups" -> ((s, d) => Dedup.substringDups(s, d)),
+    "d_bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
+    "d_bpe_token_count" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -386,6 +389,43 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Unrolled BPE training (exactly `Bpe.train`): word-frequency dict
+    * with marker-prefixed symbol strings, then per round count adjacent
+    * pairs weighted by frequency, adopt the top pair (count DESC, pair
+    * ASC) and rewrite via plain string `replace` — identical
+    * left-to-right non-overlapping semantics in both engines, which is
+    * what makes the trained merge table itself oracle-checkable. */
+  private def bpeUnrolled(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s""", pr$i AS (
+         |  SELECT freq, s || ' ' || lead(s) OVER (
+         |    PARTITION BY word ORDER BY j) AS pr
+         |  FROM (SELECT word, freq, unnest(string_split(sym, ' ')) AS s,
+         |        generate_subscripts(string_split(sym, ' '), 1) AS j
+         |        FROM w${i - 1}))
+         |, tp$i AS MATERIALIZED (
+         |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM pr$i
+         |  WHERE pr IS NOT NULL GROUP BY pr
+         |  ORDER BY cnt DESC, pr ASC LIMIT 1)
+         |, w$i AS MATERIALIZED (
+         |  SELECT word, freq, replace(sym, (SELECT pr FROM tp$i),
+         |    replace((SELECT pr FROM tp$i), ' _', '')) AS sym
+         |  FROM w${i - 1})
+         |""".stripMargin
+    }.mkString(
+      s"""WITH wf AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word ORDER BY freq DESC, word ASC
+         |  LIMIT ${graft.operators.Bpe.VocabCap})
+         |, w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    '_' || array_to_string(string_split(word, ''), ' _') AS sym
+         |  FROM wf)
+         |""".stripMargin, "", "")
+    rounds
+  }
+
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -496,6 +536,50 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
+    "d_substring_dups" ->
+      """WITH tokp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |wnd AS MATERIALIZED (
+        |  SELECT doc_id, md5(concat_ws(' ', t0, t1, t2, t3, t4, t5, t6, t7)) AS wh
+        |  FROM (
+        |    SELECT doc_id, tok AS t0,
+        |      lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+        |      lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4,
+        |      lead(tok, 5) OVER w AS t5, lead(tok, 6) OVER w AS t6,
+        |      lead(tok, 7) OVER w AS t7
+        |    FROM tokp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        |  WHERE t7 IS NOT NULL),
+        |duph AS (
+        |  SELECT wh FROM wnd GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        |pd AS (
+        |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN d.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_windows
+        |  FROM wnd w LEFT JOIN duph d USING (wh) GROUP BY w.doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(p.n_windows, 0) AS n_windows,
+        |  coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN coalesce(p.n_windows, 0) > 0
+        |    THEN round(p.n_dup_windows / p.n_windows, 4)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM documents doc LEFT JOIN pd p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "d_bpe_merges" -> (bpeUnrolled(16) +
+      "SELECT * FROM (" +
+      (1 to 16).map(i =>
+        s"SELECT $i AS rank, (SELECT pr FROM tp$i) AS pair, " +
+        s"replace((SELECT pr FROM tp$i), ' _', '') AS merged")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY rank"),
+    "d_bpe_token_count" -> (bpeUnrolled(16) +
+      """SELECT d.doc_id,
+        |  CAST(sum(len(string_split(w.sym, ' '))) AS BIGINT) AS n_bpe_tokens
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents) d
+        |JOIN w16 w USING (word)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
     "g_bfs_landmarks" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

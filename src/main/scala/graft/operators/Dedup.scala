@@ -185,6 +185,54 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  // ---------- substring-level dedup ----------
+
+  /** Substring (passage) level dedup stats: a 100 TB curation stack
+    * also removes text REPEATED ACROSS documents (boilerplate,
+    * templates) that doc-level dedup misses. Distributed form of the
+    * suffix-scan approach: every w-token sliding window is hashed
+    * (portable md5, like the winnowing fingerprints); a window hash
+    * seen in more than one document marks a cross-document repeated
+    * substring. Per doc: window count, duplicated-window count, and
+    * the duplicated fraction — the signal a pipeline thresholds to
+    * drop or trim boilerplate-heavy documents.
+    *
+    * Scale shape: windows are produced by w−1 `lead`s inside one
+    * per-doc window pass (no self-join); the only shuffles are the
+    * map-side-combined groupBy on the window hash and the join back,
+    * both keyed on the hash — never quadratic in anything. */
+  def substringDups(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val exploded = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until w).foldLeft(exploded) { (df, i) =>
+      df.withColumn(s"t$i", lead("t0", i).over(byDoc))
+    }
+    val windows = withLeads
+      .filter(col(s"t${w - 1}").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", (0 until w).map(i => col(s"t$i")): _*)).as("wh"))
+    val dupHashes = windows.groupBy("wh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("wh")
+    val perDoc = windows
+      .join(dupHashes.withColumn("dup", lit(1)), Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("dup"), lit(0))).as("n_dup_windows"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_windows", "n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows") / col("n_windows"), 4))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the token multiset, map-side: bit j of the

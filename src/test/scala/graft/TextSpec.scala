@@ -134,6 +134,27 @@ class TextSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("substring dup stats: exact-copy docs are fully duplicated") {
+    val docs = Tables(spark, sf).documents
+    // pick one text with an exact twin and >= 8 tokens
+    val twins = docs.groupBy("text")
+      .agg(count(lit(1)).as("n"), collect_list("doc_id").as("ids"))
+      .filter($"n" > 1 && size(split($"text", " ")) >= 8)
+      .select("ids").as[Seq[Long]].collect()
+    val stats = Dedup.substringDups(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.values.forall(r => r._3 <= r._2), "dup windows > windows")
+    assert(stats.values.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    if (twins.nonEmpty) {
+      twins.head.foreach { id =>
+        val (_, n, nd, ratio) = stats(id)
+        assert(n > 0 && nd == n && ratio == 1.0,
+          s"doc $id of an exact-copy group: $nd/$n dup windows")
+      }
+    }
+  }
+
   test("multimodal feature extraction is deterministic with real plumbing") {
     val a = Multimodal.multimodalMeta(spark, sf).collect()
     val b = Multimodal.multimodalMeta(spark, sf).collect()
