@@ -426,6 +426,71 @@ object SparkEntry {
     rounds
   }
 
+  /** Oracle for sampled Brandes betweenness. Portable because the
+    * Spark side (a) picks sources by md5 ordering, (b) keeps σ as exact
+    * integer-valued doubles (order-free sums), and (c) accumulates
+    * backward dependencies in FIXED-POINT micro-units — each
+    * contribution floor(σv/σw·(1e9+δw)+0.5) is a long, so sums are
+    * exact in any order and any engine. The oracle replays both sweeps
+    * level-unrolled to depth `maxDepth` (≥ max source eccentricity;
+    * BFS distances come from the same recursive CTE as the BFS-family
+    * oracles). */
+  private def btwUnrolled(maxDepth: Int, numSources: Int, seed: Long): String = {
+    val fwd = (1 to maxDepth).map { l =>
+      s""", sgl$l AS MATERIALIZED (
+         |  SELECT d.s, d.v, $l AS dist, sum(p.sigma) AS sigma
+         |  FROM dist d JOIN sym e ON e.dst = d.v
+         |  JOIN sg${l - 1} p ON p.s = d.s AND p.v = e.src AND p.dist = ${l - 1}
+         |  WHERE d.dist = $l GROUP BY d.s, d.v)
+         |, sg$l AS MATERIALIZED (
+         |  SELECT * FROM sg${l - 1} UNION ALL SELECT * FROM sgl$l)
+         |""".stripMargin
+    }.mkString
+    val bwd = (maxDepth - 1 to 0 by -1).map { l =>
+      s""", dl$l AS MATERIALIZED (
+         |  SELECT cur.s, cur.v, CAST(coalesce(sum(
+         |      CAST(floor(cur.sigma / nxt.sigma * (1000000000.0 + nd.dmicro)
+         |        + 0.5) AS BIGINT)), 0) AS BIGINT) AS dmicro
+         |  FROM (SELECT s, v, sigma FROM sg$maxDepth WHERE dist = $l) cur
+         |  LEFT JOIN sym e ON e.src = cur.v
+         |  LEFT JOIN (SELECT s, v, sigma FROM sg$maxDepth
+         |             WHERE dist = ${l + 1}) nxt
+         |    ON nxt.s = cur.s AND nxt.v = e.dst
+         |  LEFT JOIN dl${l + 1} nd ON nd.s = cur.s AND nd.v = e.dst
+         |    AND nxt.v IS NOT NULL
+         |  GROUP BY cur.s, cur.v)
+         |""".stripMargin
+    }.mkString
+    val allDl = (0 to maxDepth).map(l => s"SELECT s, v, dmicro FROM dl$l")
+      .mkString(" UNION ALL ")
+    "WITH RECURSIVE " + GraphCte.stripPrefix("WITH ") +
+    s""", srcs AS MATERIALIZED (
+       |  SELECT id AS s FROM deg
+       |  ORDER BY md5(id || ':' || $seed), id LIMIT $numSources)
+       |, bfs(s, v, d) AS (
+       |  SELECT s, s, 0 FROM srcs
+       |  UNION
+       |  SELECT b.s, e.dst, b.d + 1
+       |  FROM bfs b JOIN sym e ON e.src = b.v WHERE b.d < $maxDepth)
+       |, dist AS MATERIALIZED (
+       |  SELECT s, v, min(d) AS dist FROM bfs GROUP BY s, v)
+       |, sg0 AS MATERIALIZED (
+       |  SELECT s, s AS v, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM srcs)
+       |""".stripMargin + fwd +
+    s""", dl$maxDepth AS MATERIALIZED (
+       |  SELECT s, v, CAST(0 AS BIGINT) AS dmicro
+       |  FROM sg$maxDepth WHERE dist = $maxDepth)
+       |""".stripMargin + bwd +
+    s""", bw AS (
+       |  SELECT v AS id, CAST(sum(dmicro) AS BIGINT) AS depmicro
+       |  FROM ($allDl) WHERE s <> v GROUP BY v)
+       |SELECT dg.id,
+       |  CAST(coalesce(b.depmicro, 0) * (SELECT count(*) FROM deg) AS DOUBLE)
+       |    / ($numSources * 2.0 * 1000000000.0) AS betweenness
+       |FROM deg dg LEFT JOIN bw b ON b.id = dg.id
+       |ORDER BY dg.id""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -496,10 +561,16 @@ object SparkEntry {
     "g_triangles" -> (GraphCte +
       "SELECT id, triangles FROM tvd ORDER BY id"),
     "g_motif_open_wedges" -> (GraphCte +
-      """SELECT s1.dst AS id, count(*) AS open_wedges
-        |FROM sym s1 JOIN sym s2 ON s1.dst = s2.src AND s1.src <> s2.dst
+      """, sv AS (SELECT p_partkey AS id FROM part WHERE p_size <= 10)
+        |, se AS (
+        |  SELECT src, dst FROM e
+        |  WHERE src IN (SELECT id FROM sv) AND dst IN (SELECT id FROM sv))
+        |, ssym AS (SELECT src, dst FROM se
+        |           UNION ALL SELECT dst, src FROM se)
+        |SELECT s1.dst AS id, count(*) AS open_wedges
+        |FROM ssym s1 JOIN ssym s2 ON s1.dst = s2.src AND s1.src <> s2.dst
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM sym s3 WHERE s3.src = s1.src AND s3.dst = s2.dst)
+        |  SELECT 1 FROM ssym s3 WHERE s3.src = s1.src AND s3.dst = s2.dst)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "g_clustering_coeff" -> (GraphCte +
       """SELECT id, degree, triangles,
@@ -536,6 +607,26 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
+    "g_betweenness" -> btwUnrolled(12, 8, 42L),
+    // payload = utf-8 bytes of text, so md5(payload ++ k) ==
+    // md5(text || k); the float cast + double norm mirror decodeStub
+    "m_multimodal_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS REAL) AS fv
+        |  FROM documents CROSS JOIN range(8) t(k)),
+        |n AS (
+        |  SELECT doc_id, sqrt(sum(CAST(fv AS DOUBLE) * CAST(fv AS DOUBLE)))
+        |    AS feature_norm
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |  octet_length(CAST(d.text AS BLOB)) AS n_bytes,
+        |  round(n.feature_norm, 4) AS feature_norm
+        |FROM documents d JOIN n USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_substring_dups" ->
       """WITH tokp AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

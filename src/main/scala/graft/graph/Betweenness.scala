@@ -31,8 +31,10 @@ object Betweenness {
     val spark = g.edges.sparkSession
     val sym = g.symmetrized.localCheckpoint(true)
     val n = g.vertices.count()
+    // md5-ordered uniform sample (not xxhash64): md5 reproduces in any
+    // engine, which lets the whole estimator oracle-check in DuckDB
     val sources = g.vertices
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .orderBy(md5(concat_ws(":", col("id"), lit(seed))), col("id"))
       .limit(numSources).select("id")
     val k = math.min(numSources.toLong, n)
 
@@ -56,7 +58,13 @@ object Betweenness {
     }
 
     // ---- backward sweep: deepest level has δ = 0 ----
-    var next = levels.last.withColumn("delta", lit(0.0))
+    // δ is FIXED-POINT (long micro-units, 1e-9): each contribution
+    // σv/σw·(1e9+δw) is rounded to a long before summing, so the sum is
+    // exact integer arithmetic — independent of partial-agg order, hence
+    // deterministic run-to-run AND engine-portable (the double inputs σ,
+    // δw are themselves exact, so both engines compute the identical
+    // contribution and round it identically)
+    var next = levels.last.withColumn("delta", lit(0L))
     val deltas = ArrayBuffer(next)
     for (l <- levels.length - 2 to 0 by -1) {
       val cur = levels(l)
@@ -66,10 +74,11 @@ object Betweenness {
         .join(sym.withColumnRenamed("src", "v").withColumnRenamed("dst", "w"), "v")
         .join(succ, Seq("s", "w"))
         .select(col("s"), col("v"),
-          (col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
+          floor(col("sigma") / col("sigma_w")
+            * (lit(1.0e9) + col("delta_w")) + lit(0.5)).cast("long").as("c"))
         .groupBy("s", "v").agg(sum("c").as("delta"))
       next = cur.join(contrib, Seq("s", "v"), "left")
-        .na.fill(0.0, Seq("delta"))
+        .na.fill(0L, Seq("delta"))
         .localCheckpoint(true)
       deltas += next
     }
@@ -81,9 +90,14 @@ object Betweenness {
       .agg(sum("delta").as("dep"))
     // undirected: each pair counted twice across full source sets → /2;
     // sampled sources → extrapolate by n/k
+    // no final round(): micro-grid values land exactly on decimal .5
+    // ties, where Spark (shortest-decimal HALF_UP) and other engines
+    // (binary-double rounding) disagree — the exact rational
+    // depMicro·n/(k·2·1e9) is bit-identical everywhere instead
     g.vertices.select("id").join(all, Seq("id"), "left")
-      .na.fill(0.0, Seq("dep"))
+      .na.fill(0L, Seq("dep"))
       .select(col("id"),
-        round(col("dep") * (n.toDouble / k) / 2.0, 6).as("betweenness"))
+        ((col("dep") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
+          .as("betweenness"))
   }
 }

@@ -202,10 +202,21 @@ object GraphQueries {
     * (GraphFrames `g.find`, the reference library's signature query
     * surface): paths a→b→c with a ≠ c and NO closing a—c edge. The
     * negated term compiles to a left-anti join; the whole query is a
-    * three-way join chain Catalyst plans like hand-written SQL. */
+    * three-way join chain Catalyst plans like hand-written SQL.
+    *
+    * Scoped to the small-parts induced subgraph (the same filter as
+    * g_induced_subgraph): a wedge pattern materializes Σ deg² rows —
+    * ~3×10⁸ on the full sf0.1 graph — so production motif queries run
+    * on a filtered subgraph, exactly how GraphFrames users scope
+    * `find`. The vertex filter is two semi-joins that Catalyst pushes
+    * ahead of the pattern joins. */
   def motifOpenWedges(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    Motif.find(g, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    val keep = Tables(spark, dir).part
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey").as("id"))
+    val sub = Graph(keep, g.inducedSubgraphEdges(keep))
+    Motif.find(sub, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
       .filter(col("a") =!= col("c"))
       .groupBy(col("b").as("id"))
       .agg(count(lit(1)).as("open_wedges"))

@@ -24,8 +24,10 @@ object GxBetweenness {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.vertices.count()
+    // md5-ordered uniform sample — engine-portable source selection,
+    // same ordering as Betweenness.run and the DuckDB oracle
     val sources = g.vertices
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .orderBy(md5(concat_ws(":", col("id"), lit(seed))), col("id"))
       .limit(numSources).select("id").as[Long].collect().toSeq
     val k = math.min(numSources.toLong, n)
     val slot = sources.zipWithIndex.toMap
@@ -105,25 +107,31 @@ object GxBetweenness {
     // grows GraphX's replicated-vertex-view lineage with graph depth,
     // the exact instability the LPA rewrite removed (bimodal runtimes
     // when an upstream view gets re-shipped)
-    var delta: VertexRDD[Array[Double]] =
-      forward.vertices.mapValues(_ => new Array[Double](sources.size)).cache()
+    // δ is FIXED-POINT (long micro-units, 1e-9): each contribution
+    // σv/σw·(1e9+δw) is rounded to a long before summing, so merges are
+    // exact integer adds — independent of GraphX's message-merge order,
+    // hence deterministic run-to-run AND engine-portable (matches
+    // Betweenness.run and the DuckDB oracle bit-for-bit)
+    var delta: VertexRDD[Array[Long]] =
+      forward.vertices.mapValues(_ => new Array[Long](sources.size)).cache()
     delta.count()
     for (level <- maxDist to 1 by -1) {
       val bg = forward.outerJoinVertices(delta)((_, ds, d) =>
-        (ds, d.getOrElse(new Array[Double](sources.size)))).cache()
-      val contribs = bg.aggregateMessages[Array[Double]](
+        (ds, d.getOrElse(new Array[Long](sources.size)))).cache()
+      val contribs = bg.aggregateMessages[Array[Long]](
         t => {
           // successor w (dist level) contributes to predecessor v
-          // (dist level-1): sigma_v/sigma_w * (1 + delta_w)
-          def contrib(vAttr: (DS, Array[Double]), wAttr: (DS, Array[Double])): Array[Double] = {
+          // (dist level-1): round(sigma_v/sigma_w * (1e9 + delta_w))
+          def contrib(vAttr: (DS, Array[Long]), wAttr: (DS, Array[Long])): Array[Long] = {
             val (vds, _) = vAttr
             val (wds, wdelta) = wAttr
             var any = false
-            val out = new Array[Double](sources.size)
+            val out = new Array[Long](sources.size)
             var i = 0
             while (i < out.length) {
               if (wds.dist(i) == level && vds.dist(i) == level - 1 && wds.sigma(i) > 0) {
-                out(i) = vds.sigma(i) / wds.sigma(i) * (1.0 + wdelta(i))
+                out(i) = math.floor(
+                  vds.sigma(i) / wds.sigma(i) * (1.0e9 + wdelta(i)) + 0.5).toLong
                 any = true
               }
               i += 1
@@ -136,7 +144,7 @@ object GxBetweenness {
           if (toDst != null) t.sendToDst(toDst)
         },
         (a, b) => {
-          val out = new Array[Double](sources.size)
+          val out = new Array[Long](sources.size)
           var i = 0
           while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
           out
@@ -146,7 +154,7 @@ object GxBetweenness {
         val (ds, d) = attr
         c match {
           case Some(arr) =>
-            val nd = new Array[Double](sources.size)
+            val nd = new Array[Long](sources.size)
             var i = 0
             // only vertices AT level-1 accept this level's contribution
             while (i < nd.length) {
@@ -165,8 +173,8 @@ object GxBetweenness {
 
     val srcArr = sources.toArray
     val dep = forward.vertices.leftJoin(delta) { (id, ds, dOpt) =>
-      val d = dOpt.getOrElse(new Array[Double](sources.size))
-      var sum = 0.0
+      val d = dOpt.getOrElse(new Array[Long](sources.size))
+      var sum = 0L
       var i = 0
       while (i < d.length) {
         // δ at the source itself is excluded (pairs s≠v)
@@ -176,10 +184,14 @@ object GxBetweenness {
       sum
     }.map { case (id, s) => (id, s) }.toDF("id", "dep")
 
+    // no final round(): see Betweenness.run — the exact rational
+    // depMicro·n/(k·2·1e9) is bit-identical across engines, a decimal
+    // rounding of micro-grid values is not (.5-tie divergence)
     g.vertices.select("id")
       .join(dep, Seq("id"), "left")
-      .na.fill(0.0, Seq("dep"))
+      .na.fill(0L, Seq("dep"))
       .select(col("id"),
-        round(col("dep") * (n.toDouble / k) / 2.0, 6).as("betweenness"))
+        ((col("dep") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
+          .as("betweenness"))
   }
 }

@@ -25,16 +25,21 @@ object Multimodal {
 
   /** Deterministic stand-in for the decode + feature-extract step
     * (??? in spirit — replace with a real codec off-container).
-    * Features are 8 floats derived from rolling xxhash-style mixing of
-    * the payload, so downstream joins/aggregations see realistic shapes. */
+    * Features are 8 floats derived from md5 of (payload ++ k): the
+    * engine-portable construction (same as the walk/minhash pipelines),
+    * so the whole multimodal query — including the stubbed features —
+    * hash-checks against a DuckDB oracle while downstream
+    * joins/aggregations still see realistic shapes. */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val feats = new Array[Float](8)
-    var h = 0x9E3779B97F4A7C15L ^ row.doc_id
-    var i = 0
-    while (i < row.payload.length) {
-      h = (h ^ row.payload(i)) * 0x100000001B3L
-      feats(i % 8) += ((h >>> 40).toInt % 1000) / 1000.0f
-      i += 1
+    var k = 0
+    while (k < 8) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.payload ++ k.toString.getBytes("UTF-8"))
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      feats(k) = (h.toDouble / 4294967296.0).toFloat
+      k += 1
     }
     val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
     MediaFeatures(row.doc_id, row.format, row.payload.length, feats, norm)

@@ -82,11 +82,16 @@ class MotifSpec extends AnyFunSuite {
   }
 
   test("motif open-wedge query equals degree-based closed-form") {
-    // per center b: ordered (a, c) pairs of distinct neighbors minus
-    // wedges closed by an a-c edge = deg(b)·(deg(b)−1) − 2·tri(b)
+    // per center b of the small-parts induced subgraph: ordered (a, c)
+    // pairs of distinct neighbors minus wedges closed by an a-c edge
+    // = deg(b)·(deg(b)−1) − 2·tri(b)
     val g = GraphBuilder.coPurchase(spark, sf)
-    val expected = g.degrees
-      .join(GraphBuilder.triangles(g), "id")
+    val keep = Tables(spark, sf).part
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey").as("id"))
+    val sub = Graph(keep, g.inducedSubgraphEdges(keep))
+    val expected = sub.degrees
+      .join(sub.triangleVertexCounts, "id")
       .select(col("id"), (col("degree") * (col("degree") - 1) -
         lit(2) * col("triangles")).as("w"))
       .filter(col("w") > 0)
