@@ -29,6 +29,7 @@ object SparkEntry {
     "g_transitivity" -> (GraphQueries.transitivity _),
     "g_induced_subgraph" -> (GraphQueries.inducedSubgraph _),
     "g_motif_open_wedges" -> (GraphQueries.motifOpenWedges _),
+    "g_sample_export_dot" -> (GraphQueries.sampleExportDot _),
     "g_connected_components" -> (GraphQueries.connectedComponents _),
     "g_label_propagation" -> (GraphQueries.labelPropagation _),
     "g_community_count" -> (GraphQueries.communityCount _),
@@ -757,6 +758,20 @@ object SparkEntry {
       "SELECT count(DISTINCT label) AS n_communities FROM l5"),
     "g_community_sample" -> (SampleCte +
       "SELECT DISTINCT community, cur AS id FROM walk ORDER BY community, id"),
+    "g_sample_export_dot" -> (SampleCte +
+      """, samp AS MATERIALIZED (SELECT DISTINCT cur AS id FROM walk)
+        |, se AS (
+        |  SELECT e.src, e.dst FROM e
+        |  JOIN samp s1 ON s1.id = e.src JOIN samp s2 ON s2.id = e.dst)
+        |SELECT * FROM (
+        |  SELECT 0 AS section, 0 AS k1, 0 AS k2, 'graph sample {' AS line
+        |  UNION ALL
+        |  SELECT 1, id, 0, '  ' || id || ';' FROM samp
+        |  UNION ALL
+        |  SELECT 2, src, dst, '  ' || src || ' -- ' || dst || ';' FROM se
+        |  UNION ALL
+        |  SELECT 3, 0, 0, '}')
+        |ORDER BY section, k1, k2""".stripMargin),
     "g_sample_metrics" -> (SampleCte +
       """, samp AS MATERIALIZED (SELECT DISTINCT cur AS id FROM walk)
         |, se AS MATERIALIZED (

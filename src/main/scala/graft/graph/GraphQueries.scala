@@ -223,6 +223,18 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** DOT export of the community-sample induced subgraph — the
+    * engine-side analog of the reference's sampled-graph plot artifact
+    * (main.py:200-206): portable text any Graphviz front-end renders.
+    * Rides the session-cached sample + induced-edge tables. */
+  def sampleExportDot(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val sampled = CommunitySample.sample(spark, g)
+      .select(col("id")).distinct()
+    val sub = Graph(sampled, g.inducedSubgraphEdges(sampled))
+    GraphExport.dotLines(sub).orderBy("section", "k1", "k2")
+  }
+
   /** Induced subgraph over a deterministic vertex subset: small parts
     * (p_size <= 10). (ref main.py:192-195 — but linear, not |V|².) */
   def inducedSubgraph(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{Graph, GraphBuilder}
+import graft.graph.{Graph, GraphBuilder, GraphExport}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -53,5 +53,16 @@ class GraphSpec extends AnyFunSuite {
     assert(e.filter($"src" >= $"dst").count() == 0)
     assert(e.count() == e.distinct().count())
     assert(g.vertices.count() > 0)
+  }
+
+  test("DOT export serializes a known graph exactly") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val lines = GraphExport.dotLines(g, "t")
+      .orderBy("section", "k1", "k2")
+      .select("line").as[String].collect().toSeq
+    assert(lines == Seq(
+      "graph t {", "  1;", "  2;", "  3;",
+      "  1 -- 2;", "  2 -- 3;", "}"))
   }
 }
