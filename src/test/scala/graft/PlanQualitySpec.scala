@@ -80,4 +80,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
       s.head.requiredSchema.fieldNames.mkString(","))
   }
+
+  test("substring dedup scans read only doc_id and text") {
+    val s = scans(graft.operators.Dedup.substringDups(spark, sf))
+    assert(s.nonEmpty)
+    s.foreach(sc =>
+      assert(sc.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        sc.requiredSchema.fieldNames.mkString(",")))
+  }
+
+  test("bpe token counting broadcasts the encoded dict") {
+    val plan = graft.operators.Bpe.bpeTokenCounts(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("motif query pushes the part-size predicate into the scan") {
+    val s = scans(graft.graph.GraphQueries.motifOpenWedges(spark, sf))
+    val partScan = s.find(_.requiredSchema.fieldNames.contains("p_size"))
+    assert(partScan.isDefined)
+    val pushed = partScan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("p_size"), s"pushed: $pushed")
+  }
 }
