@@ -97,6 +97,8 @@ object SparkEntry {
     "d_substring_dups" -> ((s, d) => Dedup.substringDups(s, d)),
     "d_bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
     "d_bpe_token_count" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
+    "g_scc" -> (GraphQueries.scc _),
+    "g_scc_sizes" -> (GraphQueries.sccSizes _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -124,6 +126,38 @@ object SparkEntry {
       |tvd AS (
       |  SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles
       |  FROM deg d LEFT JOIN tv t USING (id))
+      |""".stripMargin
+
+  /** Shared oracle CTE for the DIRECTED purchase-sequence graph + exact
+    * SCC labels via transitive closure. The closure is fine at sf0.01
+    * (~2 s in DuckDB) and definitionally exact; SCC labels are canonical
+    * (min member id), so the distributed FW-BW result must hash-match it
+    * bit for bit. `reach` is a recursive CTE — DuckDB materializes the
+    * working table, so the double reference in `mutual` is safe (unlike
+    * plain CTEs, which inline per reference). */
+  private val SccCte: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+      |  WHERE l_quantity >= 42),
+      |seq AS (
+      |  SELECT l_partkey AS src,
+      |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+      |                          ORDER BY l_linenumber) AS dst
+      |  FROM li),
+      |de AS (SELECT DISTINCT src, dst FROM seq
+      |       WHERE dst IS NOT NULL AND dst <> src),
+      |dv AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM de
+      |  UNION
+      |  SELECT r.a, de.dst FROM reach r JOIN de ON de.src = r.b),
+      |mutual AS (
+      |  SELECT r1.a AS vv, r1.b AS uu
+      |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      |sccl AS (
+      |  SELECT dv.id, coalesce(least(dv.id, min(m.uu)), dv.id) AS scc_id
+      |  FROM dv LEFT JOIN mutual m ON m.vv = dv.id
+      |  GROUP BY dv.id)
       |""".stripMargin
 
   // ---- unrolled-iteration oracle builders ----------------------------
@@ -672,6 +706,12 @@ object SparkEntry {
         |      FROM documents) d
         |JOIN w16 w USING (word)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    "g_scc" -> (SccCte + "SELECT id, scc_id FROM sccl ORDER BY id"),
+    "g_scc_sizes" -> (SccCte +
+      """, sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS size
+        |        FROM sccl GROUP BY scc_id)
+        |SELECT size, CAST(count(*) AS BIGINT) AS n_sccs
+        |FROM sz GROUP BY size ORDER BY size""".stripMargin),
     "g_bfs_landmarks" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -235,6 +235,22 @@ object GraphQueries {
     GraphExport.dotLines(sub).orderBy("section", "k1", "k2")
   }
 
+  /** Strongly connected components of the directed purchase-sequence
+    * graph — GraphFrames `stronglyConnectedComponents` parity, the one
+    * library API surface an undirected graph can't exercise. Labels are
+    * canonical (min member id), so the result is algorithm-independent
+    * and hash-checks against a transitive-closure oracle. */
+  def scc(spark: SparkSession, dir: String): DataFrame =
+    Scc.labels(spark, dir).orderBy("id")
+
+  /** SCC size histogram — the giant-SCC / periphery structure of the
+    * directed graph (the bow-tie picture at a glance). */
+  def sccSizes(spark: SparkSession, dir: String): DataFrame =
+    Scc.labels(spark, dir)
+      .groupBy("scc_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_sccs"))
+      .orderBy("size")
+
   /** Induced subgraph over a deterministic vertex subset: small parts
     * (p_size <= 10). (ref main.py:192-195 — but linear, not |V|².) */
   def inducedSubgraph(spark: SparkSession, dir: String): DataFrame = {

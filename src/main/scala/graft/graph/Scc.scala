@@ -1,0 +1,161 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph => XGraph, Pregel, VertexRDD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
+
+/** Strongly connected components on a DIRECTED graph — the one GraphFrames
+  * API surface (`GraphFrame.stronglyConnectedComponents`, backed by
+  * GraphX) the undirected co-purchase graph can't exercise. The reference
+  * library exposes SCC even though its script never calls it
+  * (/root/reference/main.py:3 imports graphframes); a user switching from
+  * GraphFrames to graft would reach for this.
+  *
+  * Algorithm: FW-BW coloring (Orzan) run to exact convergence —
+  *   1. TRIM: a vertex with no unsettled in- or out-neighbor can't lie on
+  *      a cycle among unsettled vertices → it is its own singleton SCC.
+  *      Repeat until stable (peels the DAG periphery in a few rounds).
+  *   2. COLOR: propagate min vertex id along FORWARD edges to fixpoint
+  *      (one Pregel): color(v) = min id that reaches v.
+  *   3. SETTLE: from each root r (color(r) = r), walk BACKWARD edges
+  *      restricted to color class r (one Pregel). Everything reached is
+  *      exactly SCC(r), labeled r — which is also min(SCC(r)), so labels
+  *      are canonical min-member ids, independent of algorithm path.
+  *   4. Remove settled vertices; repeat. Each round settles every color
+  *      root's SCC, so the loop always terminates; on web-shaped graphs
+  *      (one giant SCC + periphery) it converges in 2-3 rounds
+  *      (measured: 2 rounds / ~35 color supersteps at sf0.1).
+  *
+  * Scale: no transitive closure is ever materialized — state is one long
+  * per vertex, messages flow only along improving edges, and the base
+  * edge RDD stays cached and partitioned across all phases (state lives
+  * in VertexRDDs; every phase graph is rebuilt FROM BASE, never chained).
+  * The DuckDB oracle, by contrast, computes the closure — fine at sf0.01,
+  * and definitionally exact: SCC labels are unique, so any correct
+  * distributed path must hash-match it.
+  */
+object Scc {
+
+  /** Directed purchase-sequence edges: within each order (lines ordered
+    * by l_linenumber), an edge from each part to the NEXT part picked.
+    * Restricted to high-quantity lines (l_quantity >= minQty): the full
+    * sequence graph is past the giant-SCC percolation threshold (one
+    * 100%-vertex SCC — structurally trivial); at minQty=42 the graph has
+    * a realistic web shape (sf0.01: 1867 v / 3046 e / 924 SCCs, giant
+    * 944). The filter is a plain pushed-down parquet predicate; the
+    * window shuffles once on l_orderkey (orders are O(1) lines each). */
+  def lineSequenceEdges(spark: SparkSession, dir: String,
+                        minQty: Double = 42.0): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") >= minQty)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    li.select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .distinct()
+  }
+
+  /** Exact SCC labels (id, scc_id = min member id) of a directed edge
+    * DataFrame [src, dst]. Vertices = edge endpoints. */
+  def stronglyConnectedComponents(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val edgeRdd = edgesDf.select("src", "dst").as[(Long, Long)].rdd
+      .map { case (s, d) => Edge(s, d, 1) }
+    val base = XGraph.fromEdges(edgeRdd, 0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    base.edges.count()
+
+    val Unset = -1L
+    var scc: VertexRDD[Long] = base.vertices.mapValues((id, _) => Unset).cache()
+    var remaining = scc.count()
+    var rounds = 0
+    while (remaining > 0) {
+      rounds += 1
+      require(rounds <= 64, s"SCC peel did not converge ($remaining left)")
+
+      // --- 1. trim to fixpoint -------------------------------------
+      var trimming = true
+      while (trimming && remaining > 0) {
+        val g = base.outerJoinVertices(scc)((_, _, s) => s.getOrElse(Unset))
+        val degs = g.aggregateMessages[(Int, Int)](
+          ctx =>
+            if (ctx.srcAttr == Unset && ctx.dstAttr == Unset) {
+              ctx.sendToSrc((0, 1)); ctx.sendToDst((1, 0))
+            },
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        val prev = scc
+        scc = g.vertices.leftJoin(degs) { (id, s, d) =>
+          if (s != Unset) s
+          else d match {
+            case Some((in, out)) if in > 0 && out > 0 => Unset
+            case _ => id // one side empty: not on any unsettled cycle
+          }
+        }.cache()
+        val now = scc.filter(_._2 == Unset).count()
+        prev.unpersist(blocking = false)
+        trimming = now < remaining
+        remaining = now
+      }
+      if (remaining == 0) { /* done */ }
+      else {
+        // --- 2. color: min id reaching v, forward fixpoint ----------
+        val MaxL = Long.MaxValue
+        val cg0 = base.outerJoinVertices(scc)((id, _, s) => {
+          val sv = s.getOrElse(Unset)
+          (sv, if (sv == Unset) id else MaxL)
+        })
+        val colored = Pregel(cg0, MaxL, activeDirection = EdgeDirection.Out)(
+          (_, attr, msg) => (attr._1, math.min(attr._2, msg)),
+          t =>
+            if (t.srcAttr._1 == Unset && t.dstAttr._1 == Unset &&
+                t.srcAttr._2 < t.dstAttr._2)
+              Iterator((t.dstId, t.srcAttr._2))
+            else Iterator.empty,
+          math.min)
+
+        // --- 3. settle: backward reach from roots within color ------
+        val bg0 = colored.mapVertices((id, a) =>
+          (a._1, a._2, a._1 == Unset && a._2 == id))
+        val back = Pregel(bg0, false, activeDirection = EdgeDirection.In)(
+          (_, a, msg) => (a._1, a._2, a._3 || msg),
+          t =>
+            if (t.srcAttr._1 == Unset && t.dstAttr._1 == Unset &&
+                t.dstAttr._3 && !t.srcAttr._3 &&
+                t.srcAttr._2 == t.dstAttr._2)
+              Iterator((t.srcId, true))
+            else Iterator.empty,
+          _ || _)
+
+        val prev = scc
+        scc = back.vertices.mapValues { (_, a: (Long, Long, Boolean)) =>
+          if (a._1 != Unset) a._1 else if (a._3) a._2 else Unset
+        }.cache()
+        remaining = scc.filter(_._2 == Unset).count()
+        prev.unpersist(blocking = false)
+        colored.unpersistVertices(blocking = false)
+        back.unpersistVertices(blocking = false)
+      }
+    }
+    // NOTE: scc stays cached — the returned DataFrame is lazy and callers
+    // (Scc.labels) materialize it into their own persisted table.
+    scc.map { case (id, s) => (id, s) }.toDF("id", "scc_id")
+  }
+
+  // SCC labels feed two queries (per-vertex labels + size histogram);
+  // materialize once per dir, same pattern as GraphBuilder's caches.
+  private val cache = TrieMap.empty[String, DataFrame]
+
+  def labels(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(dir, {
+      val df = stronglyConnectedComponents(lineSequenceEdges(spark, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+}
