@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Ann, Bpe, Dedup, Multimodal, Relational, TextAnalysis}
+import graft.operators.{Ann, Bpe, Curation, Dedup, Multimodal, Relational, TextAnalysis}
 import graft.graph.GraphQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -99,6 +99,10 @@ object SparkEntry {
     "d_bpe_token_count" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
     "g_scc" -> (GraphQueries.scc _),
     "g_scc_sizes" -> (GraphQueries.sccSizes _),
+    "g_bfs_paths" -> (GraphQueries.bfsPaths _),
+    // end-to-end curation decision + deterministic data mixing
+    "d_curation_pipeline" -> ((s, d) => Curation.curationDecisions(s, d)),
+    "d_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -706,6 +710,35 @@ object SparkEntry {
         |      FROM documents) d
         |JOIN w16 w USING (word)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    "g_bfs_paths" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+        |bfs(v, dist) AS (
+        |  SELECT id, 0 FROM lm
+        |  UNION
+        |  SELECT s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |d1 AS (SELECT v, min(dist) AS dist FROM bfs GROUP BY v),
+        |par AS (
+        |  SELECT dw.v AS cur, min(s.src) AS parent
+        |  FROM sym s JOIN d1 dw ON dw.v = s.dst JOIN d1 du ON du.v = s.src
+        |  WHERE du.dist = dw.dist - 1 GROUP BY dw.v),
+        |tgt AS (SELECT v, dist FROM d1 WHERE dist > 0
+        |        ORDER BY dist DESC, v ASC LIMIT 10),
+        |walk(v, dist, cur, path) AS (
+        |  SELECT v, dist, v, CAST(v AS VARCHAR) FROM tgt
+        |  UNION ALL
+        |  SELECT w.v, w.dist, p.parent,
+        |         CAST(p.parent AS VARCHAR) || '->' || w.path
+        |  FROM walk w JOIN par p ON p.cur = w.cur
+        |  WHERE w.cur <> (SELECT id FROM lm))
+        |SELECT v AS id, dist, path FROM walk
+        |WHERE cur = (SELECT id FROM lm) ORDER BY id""".stripMargin,
     "g_scc" -> (SccCte + "SELECT id, scc_id FROM sccl ORDER BY id"),
     "g_scc_sizes" -> (SccCte +
       """, sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS size
@@ -1101,6 +1134,90 @@ object SparkEntry {
       }.mkString +
       """SELECT lbl AS cluster, min(id) AS survivor, count(*) AS n_members
         |FROM pc16 GROUP BY lbl HAVING count(*) > 1 ORDER BY cluster""".stripMargin),
+    // the per-doc curation decision composes the already-oracled
+    // building blocks: minhash CC labels + exact window-min + quality +
+    // langid — same CTEs, one decision row per document
+    "d_curation_pipeline" -> (MinhashCte +
+      """, pe AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+        |psymp AS MATERIALIZED (
+        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+        |  UNION ALL SELECT id, id FROM pv),
+        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+      (1 to 16).map { i =>
+        s""", pc$i AS (
+           |  SELECT s.src AS id, min(n.lbl) AS lbl
+           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+           |""".stripMargin
+      }.mkString +
+      """, nearf AS (
+        |  SELECT id AS doc_id,
+        |    CASE WHEN id <> lbl THEN 1 ELSE 0 END AS near_dup FROM pc16),
+        |exactf AS (
+        |  SELECT doc_id, CASE WHEN doc_id <> min(doc_id)
+        |    OVER (PARTITION BY text) THEN 1 ELSE 0 END AS exact_dup
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id,
+        |    length(text)::DOUBLE AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
+        |    len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
+        |  FROM documents),
+        |qf AS (
+        |  SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.5
+        |    + (n_alpha / n_chars) * 0.3
+        |    + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
+        |  FROM qm),
+        |lt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, 'de' AS lang, round(len(list_filter(toks, x -> x IN
+        |    ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE
+        |    / len(toks), 4) AS score FROM lt
+        |  UNION ALL
+        |  SELECT doc_id, 'en', round(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','that')))::DOUBLE
+        |    / len(toks), 4) FROM lt
+        |  UNION ALL
+        |  SELECT doc_id, 'es', round(len(list_filter(toks, x -> x IN
+        |    ('el','la','los','y','es','un','una','que')))::DOUBLE
+        |    / len(toks), 4) FROM lt
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', round(len(list_filter(toks, x -> x IN
+        |    ('le','la','les','et','est','un','une','dans')))::DOUBLE
+        |    / len(toks), 4) FROM lt),
+        |lb AS (
+        |  SELECT doc_id, lang, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM ls),
+        |lf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score >= 0.02 THEN lang ELSE 'und' END AS lang_pred
+        |  FROM lb WHERE rn = 1)
+        |SELECT e.doc_id, e.exact_dup, coalesce(n.near_dup, 0) AS near_dup,
+        |  q.quality, l.lang_pred,
+        |  CASE WHEN e.exact_dup = 0 AND coalesce(n.near_dup, 0) = 0
+        |    AND q.quality >= 0.6 AND l.lang_pred <> 'und'
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM exactf e
+        |JOIN qf q USING (doc_id)
+        |JOIN lf l USING (doc_id)
+        |LEFT JOIN nearf n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    "d_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+        |      1, 7))::BIGINT % 100 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 60
+        |  ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
     // md5 k-gram hashes are engine-portable, so the whole winnowing
     // pipeline (3-token grams, min per 4-window, distinct) is oracled
     "d_fingerprint" ->

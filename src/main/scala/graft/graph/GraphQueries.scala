@@ -235,6 +235,17 @@ object GraphQueries {
     GraphExport.dotLines(sub).orderBy("section", "k1", "k2")
   }
 
+  /** Path-returning BFS (GraphFrames `bfs(fromExpr, toExpr)` parity):
+    * canonical min-parent shortest paths from the top-degree vertex to
+    * the 10 farthest reachable vertices. Rides the session-cached
+    * landmark BFS table (landmark #1 IS the top-degree vertex). */
+  def bfsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val src = Iterative.topDegreeLandmarks(g, 1).head().getLong(0)
+    Iterative.bfsPaths(g, GraphBuilder.landmarkBfs(g, 8), src, k = 10)
+      .orderBy("id")
+  }
+
   /** Strongly connected components of the directed purchase-sequence
     * graph — GraphFrames `stronglyConnectedComponents` parity, the one
     * library API surface an undirected graph can't exercise. Labels are

@@ -232,6 +232,45 @@ object Iterative {
         round(col("n_reached") / col("total_dist"), 6).as("closeness"))
   }
 
+  /** Canonical shortest PATHS — GraphFrames `bfs(fromExpr, toExpr)`
+    * parity (the path-returning API; our landmark BFS covers the
+    * distance-only `shortestPaths`). From `source` to the k farthest
+    * reachable vertices (dist desc, id asc — a deterministic "toExpr").
+    * Where several shortest paths exist, the MIN-PARENT rule
+    * (parent = smallest-id neighbor one hop closer) picks a canonical
+    * one, so the full path string is deterministic and engine-portable.
+    *
+    * Scale: distances come from the session-cached landmark BFS (no new
+    * traversal); the parent table is one aggregate over edges × dists;
+    * path assembly is maxDist(targets) key-partitioned joins on the
+    * parent table — depth-bounded (graph diameter), never driver-side.
+    */
+  def bfsPaths(g: Graph, dists: DataFrame, source: Long, k: Int = 10): DataFrame = {
+    val d1 = dists.filter(col("landmark") === source).select("v", "dist")
+    val sym = g.edges.select(col("src").as("u"), col("dst").as("w"))
+      .union(g.edges.select(col("dst").as("u"), col("src").as("w")))
+    val par = sym
+      .join(d1.select(col("v").as("w"), col("dist").as("dw")), "w")
+      .join(d1.select(col("v").as("u"), col("dist").as("du")), "u")
+      .filter(col("du") === col("dw") - 1)
+      .groupBy(col("w").as("cur")).agg(min("u").as("parent"))
+    val targets = d1.filter(col("dist") > 0)
+      .orderBy(col("dist").desc, col("v").asc).limit(k)
+    val maxDist = targets.agg(max("dist")).head().getInt(0)
+    var paths = targets.select(col("v"), col("dist"), col("v").as("cur"),
+      col("v").cast("string").as("path"))
+    for (_ <- 1 to maxDist) {
+      // the source row has no parent entry -> left-join null -> fixpoint
+      paths = paths.join(par, Seq("cur"), "left")
+        .select(col("v"), col("dist"),
+          coalesce(col("parent"), col("cur")).as("cur"),
+          when(col("parent").isNotNull,
+            concat(col("parent").cast("string"), lit("->"), col("path")))
+            .otherwise(col("path")).as("path"))
+    }
+    paths.select(col("v").as("id"), col("dist"), col("path"))
+  }
+
   /** Double-sweep diameter estimate: BFS from the max-degree vertex,
     * then BFS from the farthest vertex found; the second eccentricity is
     * a high-quality lower bound (exact on trees). (ref: nx.diameter) */

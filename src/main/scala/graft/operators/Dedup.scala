@@ -174,16 +174,29 @@ object Dedup {
     * Returns (cluster, survivor, n_members) per cluster with >1 member.
     */
   def nearDupClusters(spark: SparkSession, docs: DataFrame,
-                      cacheKey: String, threshold: Double = 0.8): DataFrame = {
-    val pairs = cachedMinhashPairs(cacheKey, docs, threshold)
-      .select(col("a").as("src"), col("b").as("dst"))
-    val g = graft.graph.Graph(graft.graph.GraphBuilder.vertices(pairs), pairs)
-    graft.graph.Gx.connectedComponents(g)
+                      cacheKey: String, threshold: Double = 0.8): DataFrame =
+    nearDupComponents(spark, docs, cacheKey, threshold)
       .groupBy(col("component").as("cluster"))
       .agg(min("id").as("survivor"), count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
       .orderBy("cluster")
-  }
+
+  // CC labels over the pair graph feed both the cluster query and the
+  // curation pipeline; memoize per (key, threshold)
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** CC labels (id, component = min member id) of the LSH near-dup pair
+    * graph, memoized per key. Only docs that appear in some pair have a
+    * row — everything else is trivially its own survivor. */
+  def nearDupComponents(spark: SparkSession, docs: DataFrame,
+                        cacheKey: String, threshold: Double = 0.8): DataFrame =
+    ccCache.getOrElseUpdate(s"$cacheKey/$threshold", {
+      val pairs = cachedMinhashPairs(cacheKey, docs, threshold)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val g = graft.graph.Graph(graft.graph.GraphBuilder.vertices(pairs), pairs)
+      graft.graph.Gx.connectedComponents(g)
+    })
 
   // ---------- substring-level dedup ----------
 
