@@ -103,6 +103,8 @@ object SparkEntry {
     // end-to-end curation decision + deterministic data mixing
     "d_curation_pipeline" -> ((s, d) => Curation.curationDecisions(s, d)),
     "d_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "g_max_neighbor_degree" -> (GraphQueries.maxNeighborDegree _),
+    "g_directed_degrees" -> (GraphQueries.directedDegrees _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -739,6 +741,31 @@ object SparkEntry {
         |  WHERE w.cur <> (SELECT id FROM lm))
         |SELECT v AS id, dist, path FROM walk
         |WHERE cur = (SELECT id FROM lm) ORDER BY id""".stripMargin,
+    "g_max_neighbor_degree" -> (GraphCte +
+      """SELECT s.src AS id, max(d.degree) AS max_nbr_degree
+        |FROM sym s JOIN deg d ON d.id = s.dst
+        |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_directed_degrees" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |  WHERE l_quantity >= 42),
+        |seq AS (
+        |  SELECT l_partkey AS src,
+        |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                          ORDER BY l_linenumber) AS dst
+        |  FROM li),
+        |de AS (SELECT DISTINCT src, dst FROM seq
+        |       WHERE dst IS NOT NULL AND dst <> src),
+        |dv AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+        |i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS c
+        |      FROM de GROUP BY 1),
+        |o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS c
+        |      FROM de GROUP BY 1)
+        |SELECT dv.id,
+        |  coalesce(i.c, CAST(0 AS BIGINT)) AS in_degree,
+        |  coalesce(o.c, CAST(0 AS BIGINT)) AS out_degree
+        |FROM dv LEFT JOIN i USING (id) LEFT JOIN o USING (id)
+        |ORDER BY id""".stripMargin,
     "g_scc" -> (SccCte + "SELECT id, scc_id FROM sccl ORDER BY id"),
     "g_scc_sizes" -> (SccCte +
       """, sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS size

@@ -191,4 +191,42 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .select("src", "dst")
   }
+
+  /** GraphFrames `aggregateMessages` parity, DataFrame-native: build the
+    * triplet view — edge columns plus both endpoints' attributes, the
+    * source's prefixed `src_*` and the destination's `dst_*` — evaluate
+    * the user's message Columns over it, and aggregate arriving messages
+    * per vertex. For the undirected canonical edge set, pass both
+    * `msgToSrc` and `msgToDst` to message across each edge in both
+    * directions (GraphFrames' own undirected idiom).
+    *
+    * Plan shape: two joins of edges against the attribute table (both
+    * broadcast when the attribute table is small, else keyed shuffles),
+    * a map-side union of the two message streams, one groupBy on the
+    * receiving id with map-side partial aggregation. Messages are
+    * Catalyst Columns — codegen'd, never a UDF.
+    *
+    * @param vertexAttrs table with column `id` + attribute columns
+    * @param agg         aggregate applied to the message column, e.g.
+    *                    `max`, `sum`, `collect_list`
+    */
+  def aggregateMessages(vertexAttrs: DataFrame,
+                        msgToSrc: Option[Column],
+                        msgToDst: Option[Column],
+                        agg: Column => Column): DataFrame = {
+    require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
+      "at least one of msgToSrc / msgToDst")
+    def side(prefix: String, key: String): DataFrame =
+      vertexAttrs.columns.foldLeft(vertexAttrs) { (d, c) =>
+        d.withColumnRenamed(c, if (c == "id") key else s"${prefix}_$c")
+      }
+    val triplets = edges
+      .join(side("src", "src"), "src")
+      .join(side("dst", "dst"), "dst")
+    val streams =
+      msgToSrc.map(m => triplets.select(col("src").as("id"), m.as("msg"))).toSeq ++
+      msgToDst.map(m => triplets.select(col("dst").as("id"), m.as("msg"))).toSeq
+    streams.reduce(_ union _)
+      .groupBy("id").agg(agg(col("msg")).as("agg_msg"))
+  }
 }

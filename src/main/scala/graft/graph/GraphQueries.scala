@@ -235,6 +235,38 @@ object GraphQueries {
     GraphExport.dotLines(sub).orderBy("section", "k1", "k2")
   }
 
+  /** The classic `aggregateMessages` example from the GraphFrames docs:
+    * max degree among each vertex's neighbors — exercised through the
+    * public Graph.aggregateMessages API (message Columns over the
+    * triplet view, both directions on the undirected edge set). */
+  def maxNeighborDegree(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    g.aggregateMessages(g.degrees,
+        msgToSrc = Some(col("dst_degree")),
+        msgToDst = Some(col("src_degree")),
+        agg = max)
+      .select(col("id"), col("agg_msg").as("max_nbr_degree"))
+      .orderBy("id")
+  }
+
+  /** In/out degrees of the directed purchase-sequence graph
+    * (GraphFrames `inDegrees` / `outDegrees` parity — the undirected
+    * co-purchase graph can't distinguish them). */
+  def directedDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = Scc.lineSequenceEdges(spark, dir)
+    val outD = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inD = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    val v = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    v.join(inD, Seq("id"), "left")
+      .join(outD, Seq("id"), "left")
+      .na.fill(0L, Seq("in_degree", "out_degree"))
+      .select("id", "in_degree", "out_degree")
+      .orderBy("id")
+  }
+
   /** Path-returning BFS (GraphFrames `bfs(fromExpr, toExpr)` parity):
     * canonical min-parent shortest paths from the top-degree vertex to
     * the 10 farthest reachable vertices. Rides the session-cached

@@ -54,6 +54,31 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STREAM interval join: match each click to the view by the
+    * same user that happened at most `horizon` BEFORE it (attribution —
+    * the canonical two-stream shape). Both sides carry watermarks and
+    * the join condition bounds event time in both directions, which is
+    * exactly what lets Structured Streaming evict buffered rows: state
+    * per side is (watermark + horizon)-bounded, independent of stream
+    * length. Equi-key user_id keeps the join a keyed state lookup, never
+    * a cross product. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+                       horizon: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id"),
+      col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    val c = clicks.select(col("user_id"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"),
+      col("value"))
+      .withWatermark("click_ts", "10 minutes")
+    c.as("c").join(v.as("v"),
+      expr(s"c.user_id = v.user_id AND " +
+        s"v.view_ts <= c.click_ts AND " +
+        s"v.view_ts >= c.click_ts - INTERVAL $horizon"))
+      .select(col("c.user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -55,6 +55,29 @@ class GraphSpec extends AnyFunSuite {
     assert(g.vertices.count() > 0)
   }
 
+  test("aggregateMessages computes max neighbor degree on a path graph") {
+    // path 1-2-3-4: degrees 1,2,2,1 → max nbr degree 2,2,2,2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val got = g.aggregateMessages(g.degrees,
+        msgToSrc = Some($"dst_degree"), msgToDst = Some($"src_degree"),
+        agg = org.apache.spark.sql.functions.max)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("aggregateMessages sums values one-directionally") {
+    // directed semantics: only msgToDst → in-neighbor degree sums
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val got = g.aggregateMessages(g.degrees,
+        msgToSrc = None, msgToDst = Some($"src_degree"),
+        agg = org.apache.spark.sql.functions.sum)
+      .as[(Long, Long)].collect().toMap
+    // degrees: 1→2, 2→2, 3→2; dst 2 gets deg(1)=2; dst 3 gets deg(1)+deg(2)=4
+    assert(got == Map(2L -> 2L, 3L -> 4L))
+  }
+
   test("DOT export serializes a known graph exactly") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val g = Graph(GraphBuilder.vertices(e), e)

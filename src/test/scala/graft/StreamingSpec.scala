@@ -75,6 +75,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L), s"got $ids")
   }
 
+  test("stream-stream interval join attributes clicks to prior views") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    views.addData(
+      Event(10, ts(1), 100, "view", 0.0),  // matches click at 10:05
+      Event(11, ts(2), 101, "view", 0.0),  // user never clicks
+      Event(12, ts(50), 100, "view", 0.0)) // AFTER the click: no match
+    clicks.addData(
+      Event(20, ts(5), 100, "click", 7.0),
+      Event(21, ts(40), 102, "click", 1.0)) // user with no view
+    val q = EventStreams.clickAttribution(views.toDF(), clicks.toDF(),
+      horizon = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    q.processAllAvailable()
+    // push both watermarks forward so buffered state flushes
+    views.addData(Event(98, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "view", 0.0))
+    clicks.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("attr_out")
+      .filter($"user_id" =!= 999) // drop the watermark-pusher pair
+      .select($"user_id", $"click_id", $"view_id", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((100L, 20L, 10L, 7.0)), s"got $out")
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
