@@ -249,11 +249,15 @@ object Iterative {
     val d1 = dists.filter(col("landmark") === source).select("v", "dist")
     val sym = g.edges.select(col("src").as("u"), col("dst").as("w"))
       .union(g.edges.select(col("dst").as("u"), col("src").as("w")))
+    // materialize the parent table ONCE — the assembly loop below joins
+    // against it maxDist times, and an unpersisted plan would recompute
+    // the sym×dists aggregation per iteration (measured 18 s vs ~4 s)
     val par = sym
       .join(d1.select(col("v").as("w"), col("dist").as("dw")), "w")
       .join(d1.select(col("v").as("u"), col("dist").as("du")), "u")
       .filter(col("du") === col("dw") - 1)
       .groupBy(col("w").as("cur")).agg(min("u").as("parent"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val targets = d1.filter(col("dist") > 0)
       .orderBy(col("dist").desc, col("v").asc).limit(k)
     val maxDist = targets.agg(max("dist")).head().getInt(0)
