@@ -65,11 +65,19 @@ object Scc {
   def stronglyConnectedComponents(edgesDf: DataFrame): DataFrame = {
     val spark = edgesDf.sparkSession
     import spark.implicits._
-    val edgeRdd = edgesDf.select("src", "dst").as[(Long, Long)].rdd
+    val ec = edgesDf.persist(StorageLevel.MEMORY_AND_DISK)
+    // partition the GraphX graph by EDGE VOLUME (one partition per ~250k
+    // edges), not the session shuffle width: the peel loop runs dozens
+    // of supersteps and each pays a fixed per-partition cost — on a
+    // sparsified directed graph that overhead dominates real work.
+    val parts = math.max(2L, ec.count() / 250000L + 1L).toInt
+    val edgeRdd = ec.select("src", "dst").repartition(parts)
+      .as[(Long, Long)].rdd
       .map { case (s, d) => Edge(s, d, 1) }
     val base = XGraph.fromEdges(edgeRdd, 0,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     base.edges.count()
+    ec.unpersist(blocking = false)
 
     val Unset = -1L
     var scc: VertexRDD[Long] = base.vertices.mapValues((id, _) => Unset).cache()

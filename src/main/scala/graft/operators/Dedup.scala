@@ -194,7 +194,15 @@ object Dedup {
     ccCache.getOrElseUpdate(s"$cacheKey/$threshold", {
       val pairs = cachedMinhashPairs(cacheKey, docs, threshold)
         .select(col("a").as("src"), col("b").as("dst"))
-      val g = graft.graph.Graph(graft.graph.GraphBuilder.vertices(pairs), pairs)
+      // size the GraphX partitioning to the PAIR graph, not the session
+      // default: Pregel costs a fixed per-partition overhead per
+      // superstep, and the near-dup pair graph is orders of magnitude
+      // smaller than the corpus (measured 7.2 s -> ~2 s at sf0.1 where
+      // the pair graph is tiny). Scales up unchanged: one partition per
+      // ~250k pairs.
+      val parts = math.max(2L, pairs.count() / 250000L + 1L).toInt
+      val pe = pairs.repartition(parts)
+      val g = graft.graph.Graph(graft.graph.GraphBuilder.vertices(pe), pe)
       graft.graph.Gx.connectedComponents(g)
     })
 
