@@ -105,6 +105,13 @@ object SparkEntry {
     "d_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "g_max_neighbor_degree" -> (GraphQueries.maxNeighborDegree _),
     "g_directed_degrees" -> (GraphQueries.directedDegrees _),
+    "g_ppr_parallel" -> (GraphQueries.pprParallel _),
+    // Gopher-style repetition quality rules + unigram-LM scoring
+    "d_repetition" -> (TextAnalysis.repetitionSignals _),
+    "d_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    // benchmark decontamination + sequence packing (training-data prep)
+    "d_contamination" -> ((s, d) => Curation.contamination(s, d)),
+    "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -229,6 +236,30 @@ object SparkEntry {
          |    GROUP BY s.dst) acc ON acc.id = d.id)
          |""".stripMargin
     }.mkString(s", r0 AS ($init)\n", "", "")
+  }
+
+  /** Parallel personalized PageRank unrolled: the [[prUnrolled]] update
+    * rule keyed on (src, id) — all sources in `srcv` iterate jointly,
+    * exactly like the engine's array-state message loop. */
+  private def pprParallelUnrolled(iters: Int): String = {
+    (1 to iters).map { i =>
+      s""", p$i AS (
+         |  SELECT sv.id AS src, d.id,
+         |    (CASE WHEN d.id = sv.id THEN 0.15 ELSE 0.0 END)
+         |      + 0.85 * coalesce(acc.a, 0.0) AS rank
+         |  FROM srcv sv CROSS JOIN deg d LEFT JOIN (
+         |    SELECT r.src, s.dst AS id, sum(r.rank / dg.degree) AS a
+         |    FROM sym s JOIN p${i - 1} r ON r.id = s.src
+         |    JOIN deg dg ON dg.id = s.src
+         |    GROUP BY r.src, s.dst) acc
+         |    ON acc.id = d.id AND acc.src = sv.id)
+         |""".stripMargin
+    }.mkString(
+      """, p0 AS (
+        |  SELECT s.id AS src, d.id,
+        |    CASE WHEN d.id = s.id THEN 1.0 ELSE 0.0 END AS rank
+        |  FROM srcv s CROSS JOIN deg d)
+        |""".stripMargin, "", "")
   }
 
   /** Iterative k-core peeling unrolled: drop vertices with residual
@@ -928,6 +959,11 @@ object SparkEntry {
       ", srcv AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 1)\n" +
       prUnrolled(10, personalized = true) +
       "SELECT id, round(rank, 6) AS ppr FROM r10 ORDER BY id"),
+    "g_ppr_parallel" -> (GraphCte +
+      ", srcv AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 4)\n" +
+      pprParallelUnrolled(10) +
+      """SELECT id, src AS source, round(rank, 6) AS ppr
+        |FROM p10 ORDER BY id, source""".stripMargin),
     "g_kcore" -> (GraphCte + kcoreUnrolled(10, 4) +
       """SELECT id, 4 AS k FROM (
         |  SELECT src AS id FROM ke10 UNION SELECT dst AS id FROM ke10)
@@ -1245,6 +1281,91 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 60
         |  ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+    // Gopher repetition rules: dup-token / top-2gram / dup-2gram ratios
+    "d_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM tk),
+        |pg AS (SELECT doc_id, gram, count(*) AS cnt
+        |       FROM g GROUP BY doc_id, gram),
+        |pd AS (
+        |  SELECT doc_id, sum(cnt) AS n2, max(cnt) AS topc,
+        |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupc
+        |  FROM pg GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  round(1.0 - len(list_distinct(toks)) / len(toks), 4)
+        |    AS dup_token_ratio,
+        |  CASE WHEN coalesce(p.n2, 0) > 0
+        |    THEN round(p.topc / p.n2, 4) ELSE 0.0 END AS top_2gram_ratio,
+        |  CASE WHEN coalesce(p.n2, 0) > 0
+        |    THEN round(p.dupc / p.n2, 4) ELSE 0.0 END AS dup_2gram_ratio
+        |FROM tk t LEFT JOIN pd p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // unigram-LM mean log-likelihood (the model-free perplexity proxy)
+    "d_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(v.cnt / (SELECT total FROM tot))), 4) AS avg_logprob
+        |FROM t JOIN v USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // eval set = every 50th doc; train-doc windows probed against it
+    "d_contamination" ->
+      """WITH tokp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |wnd AS MATERIALIZED (
+        |  SELECT doc_id, md5(concat_ws(' ', t0, t1, t2, t3, t4, t5, t6, t7)) AS wh
+        |  FROM (
+        |    SELECT doc_id, tok AS t0,
+        |      lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+        |      lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4,
+        |      lead(tok, 5) OVER w AS t5, lead(tok, 6) OVER w AS t6,
+        |      lead(tok, 7) OVER w AS t7
+        |    FROM tokp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        |  WHERE t7 IS NOT NULL),
+        |evw AS (SELECT DISTINCT wh FROM wnd WHERE doc_id % 50 = 0),
+        |pd AS (
+        |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN e.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_contaminated
+        |  FROM wnd w LEFT JOIN evw e USING (wh)
+        |  WHERE w.doc_id % 50 <> 0
+        |  GROUP BY w.doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(p.n_windows, 0) AS n_windows,
+        |  coalesce(p.n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN coalesce(p.n_windows, 0) > 0
+        |    THEN round(p.n_contaminated / p.n_windows, 4)
+        |    ELSE 0.0 END AS contamination_ratio
+        |FROM documents doc LEFT JOIN pd p USING (doc_id)
+        |WHERE doc.doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // greedy concat-and-chunk packing: per-shard running token offsets
+    "d_seq_packing" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+        |      1, 7))::BIGINT % 32 AS INT) AS shard,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM b)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(start_tok / 2048.0) AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     // md5 k-gram hashes are engine-portable, so the whole winnowing
     // pipeline (3-token grams, min per 4-window, distinct) is oracled
     "d_fingerprint" ->

@@ -210,6 +210,29 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * @param agg         aggregate applied to the message column, e.g.
     *                    `max`, `sum`, `collect_list`
     */
+  /** GraphFrames `filterVertices` parity: subgraph induced by the
+    * vertices satisfying `cond` — vertex table filtered (Catalyst pushes
+    * the predicate to the scan), edges semi-joined against the kept set
+    * (linear in |E|, the [[inducedSubgraphEdges]] shape). */
+  def filterVertices(cond: Column): Graph = {
+    val v = vertices.filter(cond)
+    Graph(v, inducedSubgraphEdges(v))
+  }
+
+  /** GraphFrames `filterEdges` parity: same vertex set, edges filtered
+    * by `cond` (evaluated over the edge columns — a pushed-down scan
+    * predicate, no shuffle). */
+  def filterEdges(cond: Column): Graph =
+    Graph(vertices, edges.filter(cond))
+
+  /** GraphFrames `dropIsolatedVertices` parity: keep only vertices with
+    * at least one incident edge — one semi-join against the endpoint
+    * union (map-side union, no aggregation). */
+  def dropIsolatedVertices(): Graph = {
+    val endpoints = symmetrized.select(col("src").as("id"))
+    Graph(vertices.join(endpoints, Seq("id"), "left_semi"), edges)
+  }
+
   def aggregateMessages(vertexAttrs: DataFrame,
                         msgToSrc: Option[Column],
                         msgToDst: Option[Column],

@@ -180,6 +180,16 @@ object GraphQueries {
     Gx.personalizedPageRank(g, src).orderBy("id")
   }
 
+  /** Parallel personalized PageRank from the top-4 degree hubs — one
+    * array-state message loop serves all four sources (GraphFrames
+    * `parallelPersonalizedPageRank` parity). */
+  def pprParallel(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val sources = Iterative.topDegreeLandmarks(g, 4)
+      .collect().map(_.getLong(0)).toSeq
+    Gx.parallelPersonalizedPageRank(g, sources).orderBy("id", "source")
+  }
+
   def avgPathLength(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     Iterative.avgPathLength(GraphBuilder.landmarkBfs(g, 8))

@@ -94,6 +94,64 @@ object Gx {
       damping = damping)
       .select(col("id"), round(col("rank"), 6).as("ppr"))
 
+  /** Parallel personalized PageRank (GraphFrames
+    * `parallelPersonalizedPageRank` parity): PPR from k source vertices
+    * in ONE message loop. Vertex state is an Array[Double] of k ranks
+    * merged element-wise — the per-superstep cost is one traversal of
+    * the cached edge partitions regardless of k, where k separate
+    * [[personalizedPageRank]] runs would pay k full loops. Per-slot
+    * semantics are exactly [[personalizedPageRank]] (same init,
+    * teleport, damping), returned long-form as (id, source, ppr). */
+  def parallelPersonalizedPageRank(g: Graph, sources: Seq[Long],
+                                   iters: Int = 10,
+                                   damping: Double = 0.85): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val k = sources.size
+    val slot = sources.zipWithIndex.toMap
+    val xg = of(g)
+    def scaled(a: Array[Double], s: Double): Array[Double] = {
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < k) { out(i) = a(i) * s; i += 1 }
+      out
+    }
+    // vertex attr: (degree, per-source rank vector)
+    var rg: XGraph[(Int, Array[Double]), Int] = xg.mapVertices { (id, d) =>
+      val a = new Array[Double](k)
+      slot.get(id).foreach(s => a(s) = 1.0)
+      (d, a)
+    }.cache()
+    rg.vertices.count()
+    for (_ <- 1 to iters) {
+      val msgs = rg.aggregateMessages[Array[Double]](
+        ctx => {
+          ctx.sendToDst(scaled(ctx.srcAttr._2, 1.0 / ctx.srcAttr._1))
+          ctx.sendToSrc(scaled(ctx.dstAttr._2, 1.0 / ctx.dstAttr._1))
+        },
+        (a, b) => {
+          val out = new Array[Double](k)
+          var i = 0
+          while (i < k) { out(i) = a(i) + b(i); i += 1 }
+          out
+        })
+      val prev = rg
+      rg = xg.outerJoinVertices(msgs) { (id, d, m) =>
+        val acc = m.getOrElse(new Array[Double](k))
+        val out = scaled(acc, damping)
+        slot.get(id).foreach(s => out(s) += 1.0 - damping)
+        (d, out)
+      }.cache()
+      rg.vertices.count() // materialize before releasing the parent
+      prev.unpersistVertices(blocking = false)
+    }
+    val src = sources.toArray
+    rg.vertices.flatMap { case (id, (_, ranks)) =>
+      ranks.iterator.zipWithIndex.map { case (r, i) => (id, src(i), r) }
+    }.toDF("id", "source", "rank")
+      .select(col("id"), col("source"), round(col("rank"), 6).as("ppr"))
+  }
+
   private def rankLoop(g: Graph, iters: Int,
                        init: (Long, Int) => Double,
                        teleport: Long => Double,

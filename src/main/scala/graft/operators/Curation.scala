@@ -71,4 +71,61 @@ object Curation {
       .filter(col("bucket") < rate)
       .orderBy("doc_id")
   }
+
+  /** Benchmark-contamination check: the fraction of each training
+    * document's w-token windows that also appear in the held-out
+    * evaluation set (here: every 50th doc by id — a deterministic
+    * stand-in for the benchmark corpus a real pipeline loads
+    * separately). Train docs above a contamination threshold get
+    * dropped before training; this is the n-gram-overlap
+    * decontamination step every published LLM data pipeline runs.
+    *
+    * Scale shape: reuses the substring-dedup window-hash primitive; the
+    * eval window set is distinct-collapsed (tiny vs the corpus) and the
+    * membership test is a hash-keyed left join — never doc × doc. */
+  def contamination(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val windows = Dedup.windowHashes(docs, w)
+    val isEval = col("doc_id") % 50 === 0
+    val evalWindows = windows.filter(isEval).select("wh").distinct()
+    val perDoc = windows.filter(!isEval)
+      .join(evalWindows.withColumn("hit", lit(1)), Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+    docs.filter(!isEval).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_windows", "n_contaminated"))
+      .select(col("doc_id"), col("n_windows"), col("n_contaminated"),
+        when(col("n_windows") > 0,
+          round(col("n_contaminated") / col("n_windows"), 4))
+          .otherwise(lit(0.0)).as("contamination_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic sequence packing — the step that turns a curated
+    * corpus into fixed-length training sequences: documents are
+    * concatenated within a shard (stable md5 shard, doc_id order) and
+    * chunked into `seqLen`-token sequences; each doc lands at
+    * (shard, seq_id, seq_offset) where its first token falls. The
+    * running total is a per-shard window cumsum — parallelism is the
+    * shard count (thousands at 100 TB), never a global sort, and the
+    * placement is engine/partitioning/run-independent, so a training
+    * run can be byte-reproduced from the recipe. */
+  def sequencePacking(spark: SparkSession, dir: String,
+                      seqLen: Int = 2048, shards: Int = 32): DataFrame = {
+    val shard = (conv(substring(md5(concat(lit("pack:"),
+      col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") % shards).cast("int")
+    val byShard = Window.partitionBy("shard").orderBy("doc_id")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), shard.as("shard"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      .withColumn("start_tok",
+        sum("n_tokens").over(byShard) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / seqLen).as("seq_id"),
+        (col("start_tok") % seqLen).cast("bigint").as("seq_offset"))
+      .orderBy("doc_id")
+  }
 }

@@ -208,6 +208,25 @@ object Dedup {
 
   // ---------- substring-level dedup ----------
 
+  /** Portable md5 hash of every w-token sliding window of each doc
+    * (doc_id, wh) — the shared primitive behind substring dedup and the
+    * benchmark-contamination check. Windows come from w−1 `lead`s
+    * inside one per-doc window pass (no self-join); one shuffle on
+    * doc_id. */
+  private[graft] def windowHashes(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until w).foldLeft(exploded) { (df, i) =>
+      df.withColumn(s"t$i", lead("t0", i).over(byDoc))
+    }
+    withLeads
+      .filter(col(s"t${w - 1}").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", (0 until w).map(i => col(s"t$i")): _*)).as("wh"))
+  }
+
   /** Substring (passage) level dedup stats: a 100 TB curation stack
     * also removes text REPEATED ACROSS documents (boilerplate,
     * templates) that doc-level dedup misses. Distributed form of the
@@ -223,18 +242,8 @@ object Dedup {
     * map-side-combined groupBy on the window hash and the join back,
     * both keyed on the hash — never quadratic in anything. */
   def substringDups(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    val exploded = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val withLeads = (1 until w).foldLeft(exploded) { (df, i) =>
-      df.withColumn(s"t$i", lead("t0", i).over(byDoc))
-    }
-    val windows = withLeads
-      .filter(col(s"t${w - 1}").isNotNull)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", (0 until w).map(i => col(s"t$i")): _*)).as("wh"))
+    val windows = windowHashes(docs, w)
     val dupHashes = windows.groupBy("wh")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1)

@@ -112,6 +112,70 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Gopher-style intra-document repetition signals: the quality rules
+    * real curation stacks threshold on (Rae et al. 2021 §A1.1 — "Gopher
+    * rules"): duplicate-token fraction, most-frequent-2-gram fraction,
+    * duplicated-2-gram fraction. A boilerplate or looping document
+    * scores high on all three long before doc-level dedup can see it.
+    *
+    * Scale shape: 2-grams are built row-local (array zip, no
+    * self-join), then ONE map-side-combined groupBy on (doc_id, gram)
+    * and a per-doc re-aggregate — both shuffles keyed on doc_id or its
+    * superset, never corpus-global. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables(spark, dir).documents)
+
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val perGram = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy("doc_id")
+      .agg(sum("cnt").as("n_2grams"),
+        max("cnt").as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0))).as("dup_cnt"))
+    docs.select(col("doc_id"), size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4)
+          .as("dup_token_ratio"),
+        when(col("n_2grams") > 0,
+          round(col("top_cnt") / col("n_2grams"), 4)).otherwise(lit(0.0))
+          .as("top_2gram_ratio"),
+        when(col("n_2grams") > 0,
+          round(col("dup_cnt") / col("n_2grams"), 4)).otherwise(lit(0.0))
+          .as("dup_2gram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram language-model log-likelihood — the cheap "perplexity"
+    * quality score: train token frequencies over the corpus (one
+    * map-side-combined groupBy), score each document by the mean
+    * ln p(token). Low scorers are gibberish / rare-token soup; the
+    * standard model-free proxy for a perplexity filter.
+    *
+    * Scale shape: the vocabulary aggregate is tiny relative to the
+    * corpus and broadcast back onto the token stream — the score pass
+    * is a broadcast join + one groupBy on doc_id. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    unigramLogProb(Tables(spark, dir).documents)
+
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").cast("double").as("total"))
+    tok.join(broadcast(vocab), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("total"))), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style document fingerprints: 3-token k-gram hashes,
     * minimum per 4-gram window, distinct survivors. Local selection is
     * window-function algebra over (doc, position) — one shuffle on

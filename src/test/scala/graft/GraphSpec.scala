@@ -78,6 +78,46 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(2L -> 2L, 3L -> 4L))
   }
 
+  test("filterVertices keeps the induced subgraph") {
+    val sub = k4.filterVertices($"id" <= 4)
+    assert(sub.vertices.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(sub.edges.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("filterEdges keeps all vertices and drops edges") {
+    val sub = k4.filterEdges($"src" =!= 4L && $"dst" =!= 4L)
+    assert(sub.vertices.count() == k4.vertices.count())
+    assert(sub.edges.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (6L, 7L)))
+  }
+
+  test("dropIsolatedVertices removes edge-free vertices") {
+    // drop vertex 4's edges, leaving 5 isolated
+    val sub = k4.filterEdges($"src" =!= 4L && $"dst" =!= 4L)
+      .dropIsolatedVertices()
+    assert(sub.vertices.as[Long].collect().toSet == Set(1L, 2L, 3L, 6L, 7L))
+  }
+
+  test("Pregel builder runs single-source shortest paths") {
+    import graft.graph.Pregel
+    val Inf = Int.MaxValue
+    // path 1-2-3-4 plus isolated edge 6-7; source = 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val dist = Pregel(g)
+      .withVertexColumn("dist",
+        when($"id" === 1L, lit(0)).otherwise(lit(Inf)),
+        least($"dist", coalesce(Pregel.msg, lit(Inf))))
+      .sendMsgToDst(when(Pregel.src("dist") =!= Inf, Pregel.src("dist") + 1))
+      .sendMsgToSrc(when(Pregel.dst("dist") =!= Inf, Pregel.dst("dist") + 1))
+      .aggMsgs(min(Pregel.msg))
+      .setMaxIter(4)
+      .run()
+      .as[(Long, Int)].collect().toMap
+    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 6L -> Inf, 7L -> Inf))
+  }
+
   test("DOT export serializes a known graph exactly") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val g = Graph(GraphBuilder.vertices(e), e)

@@ -95,6 +95,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sequence packing plans one shard-keyed window, no global sort bottleneck") {
+    val plan = graft.operators.Curation.sequencePacking(spark, sf)
+      .queryExecution.sparkPlan
+    // the cumsum must partition by shard — a SinglePartition exchange
+    // before the window would mean a global (driver-style) sort
+    val tree = plan.treeString
+    val windowIdx = tree.indexOf("Window")
+    assert(windowIdx >= 0, tree)
+    assert(!tree.substring(windowIdx).contains("SinglePartition"), tree)
+  }
+
+  test("repetition/logprob/contamination scans read only doc_id and text") {
+    for (df <- Seq(
+      graft.operators.TextAnalysis.repetitionSignals(spark, sf),
+      graft.operators.TextAnalysis.unigramLogProb(spark, sf),
+      graft.operators.Curation.contamination(spark, sf))) {
+      val s = scans(df)
+      assert(s.nonEmpty)
+      s.foreach(sc =>
+        assert(sc.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+          sc.requiredSchema.fieldNames.mkString(",")))
+    }
+  }
+
+  test("unigram logprob broadcasts the vocabulary back onto the token stream") {
+    val plan = graft.operators.TextAnalysis.unigramLogProb(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("motif query pushes the part-size predicate into the scan") {
     val s = scans(graft.graph.GraphQueries.motifOpenWedges(spark, sf))
     val partScan = s.find(_.requiredSchema.fieldNames.contains("p_size"))

@@ -23,6 +23,20 @@ class PprSpec extends AnyFunSuite {
     assert(pr.values.sum <= 1.0 + 1e-6)
   }
 
+  test("parallel PPR slot-matches independent single-source runs") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L))
+      .toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val par = graft.graph.Gx.parallelPersonalizedPageRank(g, Seq(1L, 3L))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._3).toMap).toMap
+    for (src <- Seq(1L, 3L)) {
+      val single = graft.graph.Gx.personalizedPageRank(g, src)
+        .as[(Long, Double)].collect().toMap
+      assert(par(src) == single, s"slot $src diverges from single-source run")
+    }
+  }
+
   test("avg path length exact on path graph with all-vertex landmarks") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val g = Graph(GraphBuilder.vertices(e), e)
