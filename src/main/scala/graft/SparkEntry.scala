@@ -112,6 +112,7 @@ object SparkEntry {
     // benchmark decontamination + sequence packing (training-data prep)
     "d_contamination" -> ((s, d) => Curation.contamination(s, d)),
     "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
+    "d_curation_report" -> (Curation.curationReport _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -261,6 +262,74 @@ object SparkEntry {
         |  FROM srcv s CROSS JOIN deg d)
         |""".stripMargin, "", "")
   }
+
+  /** Shared curation-decision CTE chain: minhash CC labels (near-dup),
+    * exact window-min (exact-dup), quality signals, and language ID —
+    * the already-oracled building blocks composed once, consumed by
+    * both the per-doc decision and the corpus-level report oracles.
+    * Ends inside the WITH clause (callers append `dec`/final SELECT). */
+  private lazy val CurationCte: String = MinhashCte +
+    """, pe AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+      |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+      |psymp AS MATERIALIZED (
+      |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+      |  UNION ALL SELECT id, id FROM pv),
+      |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+    (1 to 16).map { i =>
+      s""", pc$i AS (
+         |  SELECT s.src AS id, min(n.lbl) AS lbl
+         |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+         |""".stripMargin
+    }.mkString +
+    """, nearf AS (
+      |  SELECT id AS doc_id,
+      |    CASE WHEN id <> lbl THEN 1 ELSE 0 END AS near_dup FROM pc16),
+      |exactf AS (
+      |  SELECT doc_id, CASE WHEN doc_id <> min(doc_id)
+      |    OVER (PARTITION BY text) THEN 1 ELSE 0 END AS exact_dup
+      |  FROM documents),
+      |qm AS (
+      |  SELECT doc_id,
+      |    length(text)::DOUBLE AS n_chars,
+      |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
+      |    len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
+      |  FROM documents),
+      |qf AS (
+      |  SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.5
+      |    + (n_alpha / n_chars) * 0.3
+      |    + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
+      |  FROM qm),
+      |lt AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |  FROM documents),
+      |ls AS (
+      |  SELECT doc_id, 'de' AS lang, round(len(list_filter(toks, x -> x IN
+      |    ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE
+      |    / len(toks), 4) AS score FROM lt
+      |  UNION ALL
+      |  SELECT doc_id, 'en', round(len(list_filter(toks, x -> x IN
+      |    ('the','a','of','and','to','in','is','that')))::DOUBLE
+      |    / len(toks), 4) FROM lt
+      |  UNION ALL
+      |  SELECT doc_id, 'es', round(len(list_filter(toks, x -> x IN
+      |    ('el','la','los','y','es','un','una','que')))::DOUBLE
+      |    / len(toks), 4) FROM lt
+      |  UNION ALL
+      |  SELECT doc_id, 'fr', round(len(list_filter(toks, x -> x IN
+      |    ('le','la','les','et','est','un','une','dans')))::DOUBLE
+      |    / len(toks), 4) FROM lt),
+      |lb AS (
+      |  SELECT doc_id, lang, score, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      |  FROM ls),
+      |lf AS (
+      |  SELECT doc_id,
+      |    CASE WHEN score >= 0.02 THEN lang ELSE 'und' END AS lang_pred
+      |  FROM lb WHERE rn = 1)
+      |""".stripMargin
 
   /** Iterative k-core peeling unrolled: drop vertices with residual
     * degree < k until fixpoint (`rounds` ≥ peel depth; sf0.01 converges
@@ -1200,68 +1269,8 @@ object SparkEntry {
     // the per-doc curation decision composes the already-oracled
     // building blocks: minhash CC labels + exact window-min + quality +
     // langid — same CTEs, one decision row per document
-    "d_curation_pipeline" -> (MinhashCte +
-      """, pe AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
-        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
-        |psymp AS MATERIALIZED (
-        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
-        |  UNION ALL SELECT id, id FROM pv),
-        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
-      (1 to 16).map { i =>
-        s""", pc$i AS (
-           |  SELECT s.src AS id, min(n.lbl) AS lbl
-           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
-           |""".stripMargin
-      }.mkString +
-      """, nearf AS (
-        |  SELECT id AS doc_id,
-        |    CASE WHEN id <> lbl THEN 1 ELSE 0 END AS near_dup FROM pc16),
-        |exactf AS (
-        |  SELECT doc_id, CASE WHEN doc_id <> min(doc_id)
-        |    OVER (PARTITION BY text) THEN 1 ELSE 0 END AS exact_dup
-        |  FROM documents),
-        |qm AS (
-        |  SELECT doc_id,
-        |    length(text)::DOUBLE AS n_chars,
-        |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
-        |    len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |      x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
-        |  FROM documents),
-        |qf AS (
-        |  SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.5
-        |    + (n_alpha / n_chars) * 0.3
-        |    + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
-        |  FROM qm),
-        |lt AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |  FROM documents),
-        |ls AS (
-        |  SELECT doc_id, 'de' AS lang, round(len(list_filter(toks, x -> x IN
-        |    ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE
-        |    / len(toks), 4) AS score FROM lt
-        |  UNION ALL
-        |  SELECT doc_id, 'en', round(len(list_filter(toks, x -> x IN
-        |    ('the','a','of','and','to','in','is','that')))::DOUBLE
-        |    / len(toks), 4) FROM lt
-        |  UNION ALL
-        |  SELECT doc_id, 'es', round(len(list_filter(toks, x -> x IN
-        |    ('el','la','los','y','es','un','una','que')))::DOUBLE
-        |    / len(toks), 4) FROM lt
-        |  UNION ALL
-        |  SELECT doc_id, 'fr', round(len(list_filter(toks, x -> x IN
-        |    ('le','la','les','et','est','un','une','dans')))::DOUBLE
-        |    / len(toks), 4) FROM lt),
-        |lb AS (
-        |  SELECT doc_id, lang, score, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
-        |  FROM ls),
-        |lf AS (
-        |  SELECT doc_id,
-        |    CASE WHEN score >= 0.02 THEN lang ELSE 'und' END AS lang_pred
-        |  FROM lb WHERE rn = 1)
-        |SELECT e.doc_id, e.exact_dup, coalesce(n.near_dup, 0) AS near_dup,
+    "d_curation_pipeline" -> (CurationCte +
+      """SELECT e.doc_id, e.exact_dup, coalesce(n.near_dup, 0) AS near_dup,
         |  q.quality, l.lang_pred,
         |  CASE WHEN e.exact_dup = 0 AND coalesce(n.near_dup, 0) = 0
         |    AND q.quality >= 0.6 AND l.lang_pred <> 'und'
@@ -1271,6 +1280,25 @@ object SparkEntry {
         |JOIN lf l USING (doc_id)
         |LEFT JOIN nearf n USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // corpus-level curation yield: the same decision table aggregated
+    // per predicted language — what a pipeline dashboard reports
+    "d_curation_report" -> (CurationCte +
+      """, dec AS (
+        |  SELECT e.doc_id, e.exact_dup, coalesce(n.near_dup, 0) AS near_dup,
+        |    q.quality, l.lang_pred,
+        |    CASE WHEN e.exact_dup = 0 AND coalesce(n.near_dup, 0) = 0
+        |      AND q.quality >= 0.6 AND l.lang_pred <> 'und'
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM exactf e
+        |  JOIN qf q USING (doc_id)
+        |  JOIN lf l USING (doc_id)
+        |  LEFT JOIN nearf n USING (doc_id))
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+        |  CAST(sum(near_dup) AS BIGINT) AS n_near_dup,
+        |  CAST(sum(keep) AS BIGINT) AS n_keep,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM dec GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
     "d_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -210,6 +210,19 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * @param agg         aggregate applied to the message column, e.g.
     *                    `max`, `sum`, `collect_list`
     */
+  /** GraphFrames `triplets` parity: one row per edge with `src` /
+    * `edge` / `dst` struct columns carrying the full vertex and edge
+    * attributes. Two id-keyed joins (broadcast when the vertex table is
+    * small); the structs are pure projection. */
+  def triplets: DataFrame = {
+    val vStruct = struct(vertices.columns.map(col): _*)
+    val eStruct = struct(edges.columns.map(col): _*)
+    edges.select(eStruct.as("edge"), col("src").as("__sid"), col("dst").as("__did"))
+      .join(vertices.select(vStruct.as("src"), col("id").as("__sid")), "__sid")
+      .join(vertices.select(vStruct.as("dst"), col("id").as("__did")), "__did")
+      .select("src", "edge", "dst")
+  }
+
   /** GraphFrames `filterVertices` parity: subgraph induced by the
     * vertices satisfying `cond` — vertex table filtered (Catalyst pushes
     * the predicate to the scan), edges semi-joined against the kept set

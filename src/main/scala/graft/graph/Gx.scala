@@ -238,6 +238,23 @@ object Gx {
     }.toDF("landmark", "v", "dist")
   }
 
+  /** GraphFrames `shortestPaths` parity: per-vertex map of
+    * landmark → hop distance (only reachable landmarks appear, matching
+    * GraphFrames; unreachable vertices carry an empty map). One
+    * array-state Pregel serves all landmarks ([[multiSourceBfs]]); the
+    * pivot to map form is a per-vertex collect_list — bounded by k. */
+  def shortestPaths(g: Graph, landmarks: Seq[Long]): DataFrame = {
+    val dists = multiSourceBfs(g, landmarks)
+      .groupBy(col("v").as("id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("landmark"), col("dist"))))).as("distances"))
+    g.vertices.select("id").join(dists, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("distances"),
+          map_from_entries(array().cast("array<struct<landmark:bigint,dist:int>>")))
+          .as("distances"))
+  }
+
   /** Synchronous label propagation, exact [[Iterative.labelPropagation]]
     * semantics: labels start as vertex ids; each round every vertex
     * adopts its neighbors' most frequent label, ties broken by smallest

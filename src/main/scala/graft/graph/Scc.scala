@@ -80,6 +80,12 @@ object Scc {
     ec.unpersist(blocking = false)
 
     val Unset = -1L
+    // dev-only phase timing (set SPARK_GRAFT_SCC_DEBUG=1)
+    val debug = sys.env.get("SPARK_GRAFT_SCC_DEBUG").contains("1")
+    def trace(msg: => String): Unit =
+      if (debug) System.err.println(s"[scc] $msg")
+    val t0 = System.nanoTime()
+    def ms: Long = (System.nanoTime() - t0) / 1000000L
     var scc: VertexRDD[Long] = base.vertices.mapValues((id, _) => Unset).cache()
     var remaining = scc.count()
     var rounds = 0
@@ -89,7 +95,9 @@ object Scc {
 
       // --- 1. trim to fixpoint -------------------------------------
       var trimming = true
+      var trims = 0
       while (trimming && remaining > 0) {
+        trims += 1
         val g = base.outerJoinVertices(scc)((_, _, s) => s.getOrElse(Unset))
         val degs = g.aggregateMessages[(Int, Int)](
           ctx =>
@@ -109,6 +117,7 @@ object Scc {
         prev.unpersist(blocking = false)
         trimming = now < remaining
         remaining = now
+        trace(s"round $rounds trim $trims: remaining=$remaining t=${ms}ms")
       }
       if (remaining == 0) { /* done */ }
       else {
@@ -118,6 +127,7 @@ object Scc {
           val sv = s.getOrElse(Unset)
           (sv, if (sv == Unset) id else MaxL)
         })
+        trace(s"round $rounds color start t=${ms}ms")
         val colored = Pregel(cg0, MaxL, activeDirection = EdgeDirection.Out)(
           (_, attr, msg) => (attr._1, math.min(attr._2, msg)),
           t =>
@@ -128,6 +138,7 @@ object Scc {
           math.min)
 
         // --- 3. settle: backward reach from roots within color ------
+        trace(s"round $rounds settle start t=${ms}ms")
         val bg0 = colored.mapVertices((id, a) =>
           (a._1, a._2, a._1 == Unset && a._2 == id))
         val back = Pregel(bg0, false, activeDirection = EdgeDirection.In)(
@@ -145,6 +156,7 @@ object Scc {
           if (a._1 != Unset) a._1 else if (a._3) a._2 else Unset
         }.cache()
         remaining = scc.filter(_._2 == Unset).count()
+        trace(s"round $rounds settled: remaining=$remaining t=${ms}ms")
         prev.unpersist(blocking = false)
         colored.unpersistVertices(blocking = false)
         back.unpersistVertices(blocking = false)

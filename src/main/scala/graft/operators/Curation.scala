@@ -53,6 +53,20 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level curation yield: the decision table aggregated per
+    * predicted language — doc counts, dup counts, kept counts, mean
+    * quality. What a pipeline dashboard reports after a curation run;
+    * one tiny groupBy over the (reused) decision table. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame =
+    curationDecisions(spark, dir)
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("exact_dup").as("n_exact_dup"),
+        sum("near_dup").as("n_near_dup"),
+        sum("keep").as("n_keep"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang_pred")
+
   /** Deterministic stratified sampler (language rebalancing): each doc
     * hashes to a stable md5 bucket in [0, 100); a doc survives when its
     * bucket falls under its language's rate (en downsampled hardest —

@@ -54,6 +54,24 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup filtering — the streaming twin of the MinHash
+    * pipeline: each document's portable MinHash signature is computed
+    * map-side (the same compiled expression as `Dedup.minhashSignatures`,
+    * so stream and batch agree on what counts as a near-dup), and
+    * arrivals whose signature was already seen within the watermark are
+    * dropped. This is the ingest-time guard a training-data pipeline
+    * runs in front of the batch dedup: identical and near-identical
+    * re-crawls never reach storage. Signature state is watermark-bounded,
+    * exactly like [[dedupStream]]. */
+  def nearDupFilterStream(docs: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("sig", graft.functions.HashColumns.minhashSig(
+        split(col("text"), " "), numPerm = 128, portable = true))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+      .drop("sig")
+
   /** Stream-STREAM interval join: match each click to the view by the
     * same user that happened at most `horizon` BEFORE it (attribution —
     * the canonical two-stream shape). Both sides carry watermarks and

@@ -99,6 +99,25 @@ class GraphSpec extends AnyFunSuite {
     assert(sub.vertices.as[Long].collect().toSet == Set(1L, 2L, 3L, 6L, 7L))
   }
 
+  test("triplets carries full endpoint attributes per edge") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val t = g.triplets.selectExpr("src.id", "edge.src", "edge.dst", "dst.id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(t == Set((1L, 1L, 2L, 2L), (2L, 2L, 3L, 3L)))
+  }
+
+  test("shortestPaths returns GraphFrames-shaped landmark maps") {
+    val e = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val got = graft.graph.Gx.shortestPaths(g, Seq(1L, 3L))
+      .as[(Long, Map[Long, Int])].collect().toMap
+    assert(got(1L) == Map(1L -> 0, 3L -> 2))
+    assert(got(2L) == Map(1L -> 1, 3L -> 1))
+    assert(got(3L) == Map(1L -> 2, 3L -> 0))
+    assert(got(6L) == Map.empty && got(7L) == Map.empty)
+  }
+
   test("Pregel builder runs single-source shortest paths") {
     import graft.graph.Pregel
     val Inf = Int.MaxValue

@@ -75,6 +75,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L), s"got $ids")
   }
 
+  test("streaming near-dup filter drops same-signature docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    in.addData(
+      (1L, ts(1), "alpha beta gamma delta"),
+      (2L, ts(2), "alpha beta gamma delta"),       // identical token set → same sig
+      (3L, ts(3), "delta gamma beta alpha alpha"), // same SET (minhash is set-based)
+      (4L, ts(4), "totally different words here"))
+    val q = EventStreams.nearDupFilterStream(
+        in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("neardup_out").select($"doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 4L), s"got $ids")
+  }
+
   test("stream-stream interval join attributes clicks to prior views") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
