@@ -1,15 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the shared session factory: same AQE/Kryo/UTC config the library
+    // documents, so the benchmark measures the intended configuration
+    val spark = GraftSession.get("graft-bench", cpus)
     // absorb session/JIT/codegen startup so it is not attributed to the
     // alphabetically-first query (no data is touched or cached here)
     spark.range(1000).selectExpr("sum(id)")

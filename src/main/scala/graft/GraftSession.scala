@@ -19,6 +19,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Kryo (with chill's Scala registrar) for the GraphX loops: LPA
+      // ships Map messages and BFS ships Array states through the
+      // shuffle serializer every superstep. Measured NEUTRAL at
+      // local[32] (superstep scheduling dominates, volumes tiny), but
+      // on a multi-executor cluster those messages cross the network
+      // and Kryo is the GraphX-recommended default. The DataFrame side
+      // is UnsafeRow/Tungsten and ignores this setting.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String, cpus: Int = 32): SparkSession = {

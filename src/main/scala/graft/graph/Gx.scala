@@ -41,12 +41,21 @@ object Gx {
   def of(g: Graph): XGraph[Int, Int] = cache.getOrElseUpdate(key(g), {
     val spark = g.edges.sparkSession
     import spark.implicits._
+    // partition by EDGE VOLUME (~250k edges each, same rule as the
+    // dedup pair graph), not the session shuffle width: Pregel pays a
+    // fixed per-partition cost per superstep, and iterative loops run
+    // dozens of supersteps — a 1M-edge graph on 32 session partitions
+    // spends more time in that overhead than in real work. Scales up
+    // unchanged: 100 TB-derived graphs get thousands of partitions.
+    val nEdges = g.edges.count()
+    val parts = math.max(2L, nEdges / 250000L + 1L).toInt
     val ed = g.edges.as[(Long, Long)].rdd
       .map { case (s, d) => Edge(s, d, 1) }
-    val raw = XGraph.fromEdges(ed, 0,
+    val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
+    val raw = XGraph.fromEdges(sized, 0,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     val base =
-      if (raw.edges.count() > 10000000L)
+      if (nEdges > 10000000L)
         raw.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
       else raw
     val withDeg = base.outerJoinVertices(base.degrees)((_, _, d) => d.getOrElse(0))
