@@ -311,6 +311,40 @@ object Gx {
     labels.map { case (id, l) => (id, l) }.toDF("id", "label")
   }
 
+  /** GraphFrames `svdPlusPlus` parity: latent-factor rating prediction
+    * on a bipartite (user, item, rating) edge set — GraphFrames wraps
+    * exactly this GraphX implementation (Koren's SVD++, gradient
+    * descent over the rating graph). Returns per-vertex bias and
+    * factor-norm plus the training RMSE. Factor init is GraphX's
+    * unseeded random draw, so this surface is spec-gated (RMSE sanity,
+    * shape) rather than hash-oracled — the one API whose output is
+    * irreducibly run-specific.
+    *
+    * Scale shape is GraphX's: factors live in the vertex RDD (rank
+    * doubles per vertex), each iteration is two aggregateMessages over
+    * the cached rating edges — never a materialized user × item matrix.
+    */
+  def svdPlusPlus(ratings: DataFrame, rank: Int = 8,
+                  iters: Int = 5): (DataFrame, Double) = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val edges = ratings.select(col("src").cast("long"),
+      col("dst").cast("long"), col("rating").cast("double"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (s, d, r) => Edge(s, d, r) }
+    val conf = new org.apache.spark.graphx.lib.SVDPlusPlus.Conf(
+      rank, iters, 0.0, 5.0, 0.007, 0.007, 0.005, 0.015)
+    val (g, _) = org.apache.spark.graphx.lib.SVDPlusPlus.run(edges, conf)
+    // training RMSE from the per-vertex squared error GraphX leaves in
+    // slot 4 of each DESTINATION (item) vertex after the final sweep
+    val sse = g.vertices.map(_._2._4).sum()
+    val rmse = math.sqrt(sse / edges.count())
+    val df = g.vertices.map { case (id, (f, _, bias, _)) =>
+      (id, bias, math.sqrt(f.map(x => x * x).sum))
+    }.toDF("id", "bias", "factor_norm")
+    (df, rmse)
+  }
+
   /** Double-sweep diameter lower bound, exact
     * [[Iterative.diameterEstimate]] semantics: BFS from the max-degree
     * vertex, then BFS from the farthest vertex found (ties: min id). */

@@ -127,12 +127,15 @@ object Curation {
     * placement is engine/partitioning/run-independent, so a training
     * run can be byte-reproduced from the recipe. */
   def sequencePacking(spark: SparkSession, dir: String,
-                      seqLen: Int = 2048, shards: Int = 32): DataFrame = {
+                      seqLen: Int = 2048, shards: Int = 32): DataFrame =
+    sequencePacking(Tables(spark, dir).documents, seqLen, shards)
+
+  def sequencePacking(docs: DataFrame, seqLen: Int, shards: Int): DataFrame = {
     val shard = (conv(substring(md5(concat(lit("pack:"),
       col("doc_id").cast("string"))), 1, 7), 16, 10)
       .cast("long") % shards).cast("int")
     val byShard = Window.partitionBy("shard").orderBy("doc_id")
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), shard.as("shard"),
         size(split(col("text"), "\\s+")).as("n_tokens"))
       .withColumn("start_tok",

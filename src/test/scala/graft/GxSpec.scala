@@ -81,6 +81,23 @@ class GxSpec extends AnyFunSuite {
     }
   }
 
+  test("svdPlusPlus learns a rating graph: RMSE bounded, factors finite") {
+    // bipartite users 1-3 rating items 101-103 in [1,5]; enough signal
+    // that 10 gradient sweeps beat the trivial predictor by a wide margin
+    val ratings = Seq(
+      (1L, 101L, 5.0), (1L, 102L, 4.0), (2L, 101L, 5.0), (2L, 103L, 1.0),
+      (3L, 102L, 4.0), (3L, 103L, 1.0))
+      .toDF("src", "dst", "rating")
+    val (df, rmse) = graft.graph.Gx.svdPlusPlus(ratings, rank = 4, iters = 10)
+    val rows = df.as[(Long, Double, Double)].collect()
+    assert(rows.length == 6, "one row per user and item vertex")
+    assert(rows.forall { case (_, b, n) =>
+      !b.isNaN && !n.isNaN && !b.isInfinite && !n.isInfinite })
+    // ratings span [1,5] with sd ~1.8; a fitted model must do well
+    // under that, and RMSE is definitionally non-negative
+    assert(rmse >= 0.0 && rmse < 1.8, s"rmse $rmse")
+  }
+
   test("Gx BFS handles isolated vertex and multiple components") {
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val tg = Graph(GraphBuilder.vertices(e), e)

@@ -55,6 +55,49 @@ class PropertySpec extends AnyFunSuite {
       a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
     } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
 
+  test("repetition signals match brute-force counting on random docs") {
+    forAllN(Gen.listOfN(4, docGen), n = 4) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.repetitionSignals(df)
+        .as[(Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val toks = text.split("\\s+").toSeq
+        val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        def r4(x: Double) = math.rint(x * 1e4) / 1e4
+        val wantDupTok = r4(1.0 - toks.distinct.size.toDouble / toks.size)
+        val wantTop = r4(counts.values.max.toDouble / grams.size)
+        val wantDup = r4(counts.values.filter(_ > 1).sum.toDouble / grams.size)
+        val (gotDupTok, gotTop, gotDup) = got(i.toLong)
+        assert(math.abs(gotDupTok - wantDupTok) < 1e-9)
+        assert(math.abs(gotTop - wantTop) < 1e-4 + 1e-9)
+        assert(math.abs(gotDup - wantDup) < 1e-9)
+      }
+    }
+  }
+
+  test("sequence packing partitions the shard token stream exactly") {
+    forAllN(Gen.listOfN(30, Gen.chooseNum(1, 50)), n = 4) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text")
+      val r = graft.operators.Curation
+        .sequencePacking(docs, seqLen = 16, shards = 4)
+        .as[(Long, Int, Int, Long, Long)].collect()
+      assert(r.length == lens.length)
+      // within each shard (doc_id order) every doc starts exactly where
+      // the previous one ended: seq_id/offset are the running total
+      r.groupBy(_._2).foreach { case (_, rows) =>
+        var expected = 0L
+        rows.sortBy(_._1).foreach { case (_, _, n, seqId, off) =>
+          assert(seqId == expected / 16 && off == expected % 16)
+          expected += n
+        }
+      }
+    }
+  }
+
   test("triangle counts match brute-force enumeration on random graphs") {
     forAllN(edgeGen) { edges =>
       if (edges.nonEmpty) {
