@@ -75,6 +75,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L), s"got $ids")
   }
 
+  test("parquet file-source stream matches the batch windowed counts") {
+    // the real source plumbing: events.parquet consumed via readStream
+    // (schema pinned, nanos→micros projection identical to Tables) must
+    // produce exactly the batch q_events_hourly aggregates once the
+    // watermark closes the windows
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$sf/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toFile
+    dir.deleteOnExit()
+    val raw = spark.read.parquet(src)
+    raw.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventStreams.windowedCounts(stream, window = "1 hour",
+      watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("file_win_out").start()
+    q.processAllAvailable()
+    // watermark pusher: one far-future event in a second file closes
+    // every real window
+    val maxTs = raw.agg(max($"ts")).head().getLong(0)
+    raw.limit(1).withColumn("ts", lit(maxTs + 86400L * 1000000000L))
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("file_win_out")
+      .groupBy().agg(sum($"n_events")).head().getLong(0)
+    val want = Tables(spark, sf).events.count()
+    assert(got == want, s"streamed window counts $got != batch events $want")
+  }
+
   test("streaming near-dup filter drops same-signature docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
