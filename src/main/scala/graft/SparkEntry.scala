@@ -113,6 +113,7 @@ object SparkEntry {
     "d_contamination" -> ((s, d) => Curation.contamination(s, d)),
     "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
+    "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1412,6 +1413,21 @@ object SparkEntry {
         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |  FROM kg WHERE t2 IS NOT NULL)
         |SELECT DISTINCT doc_id, fp FROM wn ORDER BY doc_id, fp""".stripMargin,
+    // stride-subsample resize stub: every 4th byte of the payload,
+    // oracle-comparable through the text view (ascii corpus)
+    "m_byte_resize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  length(rz) AS n_resized,
+        |  md5(rz) AS resized_md5
+        |FROM (
+        |  SELECT doc_id, text, array_to_string(
+        |    list_transform(range(1, length(text) + 1, 4),
+        |      i -> substr(text, i, 1)), '') AS rz
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // payload = utf-8 text bytes, so the binary frame slices are
     // oracle-comparable through their text view
     "m_frame_sample" ->

@@ -98,4 +98,26 @@ object Multimodal {
         octet_length(col("frame")).as("n_bytes"),
         decode(col("frame"), "UTF-8").as("frame_text"))
       .orderBy("doc_id", "frame_idx")
+
+  /** Resize/downsample over the binary payload: keep every `stride`-th
+    * byte (the media analog: a real pipeline resizes images / resamples
+    * audio here — the stride subsample is the honest stub with the same
+    * dataflow shape). Pure map-side: sequence → transform → concat, all
+    * codegen'd, zero shuffle, runs at scan speed at any corpus size.
+    * Output keeps both sizes plus the md5 of the resized payload —
+    * portable construction, so the whole operator hash-checks against a
+    * DuckDB oracle over the text view. */
+  def byteResize(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("format"),
+        octet_length(col("payload")).as("n_bytes"),
+        expr(
+          s"""array_join(transform(
+             |  sequence(0, octet_length(payload) - 1, $stride),
+             |  s -> decode(substring(payload, s + 1, 1), 'UTF-8')), '')"""
+            .stripMargin).as("resized_text"))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        length(col("resized_text")).as("n_resized"),
+        md5(col("resized_text")).as("resized_md5"))
+      .orderBy("doc_id")
 }
