@@ -114,6 +114,7 @@ object SparkEntry {
     "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
+    "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1446,6 +1447,14 @@ object SparkEntry {
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // the correlated form — DuckDB decorrelates it into the same
+    // aggregate+join plan the Spark side declares explicitly
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     // CAST: DuckDB sum(BIGINT) widens to HUGEINT, which the driver's
     // hasher renders differently from Spark's long — cast back to BIGINT
     "g_weighted_degree" ->

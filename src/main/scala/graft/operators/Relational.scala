@@ -181,6 +181,21 @@ object Relational {
       .orderBy("user_id", "sid")
   }
 
+  /** Correlated aggregate subquery (TPC-H Q17 shape): revenue from
+    * lineitems whose quantity is below 20% of their part's average —
+    * the decorrelation pattern. Expressed as an explicit per-part
+    * aggregate + self-join (exactly what Catalyst decorrelates a
+    * correlated scalar subquery into): one map-side-combined groupBy on
+    * partkey, one co-keyed join — never a per-row subquery execution. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((avg("l_quantity") * 0.2).as("qty_cut"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
   /** Semi-join shape (correlated EXISTS): order-priority counts for
     * orders with at least one lineitem shipped after the order date —
     * equi-key plus a non-equi residual condition. The semi-join keeps
