@@ -115,6 +115,7 @@ object SparkEntry {
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
+    "g_avg_neighbor_degree" -> (GraphQueries.avgNeighborDegree _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -845,6 +846,10 @@ object SparkEntry {
         |WHERE cur = (SELECT id FROM lm) ORDER BY id""".stripMargin,
     "g_max_neighbor_degree" -> (GraphCte +
       """SELECT s.src AS id, max(d.degree) AS max_nbr_degree
+        |FROM sym s JOIN deg d ON d.id = s.dst
+        |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_avg_neighbor_degree" -> (GraphCte +
+      """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
     "g_directed_degrees" ->

@@ -259,6 +259,20 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** Average neighbor degree (nx.average_neighbor_degree — the
+    * reference's metric library): mean degree over each vertex's
+    * neighborhood, via the same aggregateMessages surface —
+    * avg is a map-side-combinable (sum, count) pair. */
+  def avgNeighborDegree(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    g.aggregateMessages(g.degrees,
+        msgToSrc = Some(col("dst_degree")),
+        msgToDst = Some(col("src_degree")),
+        agg = m => round(avg(m), 4))
+      .select(col("id"), col("agg_msg").as("avg_nbr_degree"))
+      .orderBy("id")
+  }
+
   /** In/out degrees of the directed purchase-sequence graph
     * (GraphFrames `inDegrees` / `outDegrees` parity — the undirected
     * co-purchase graph can't distinguish them). */
