@@ -116,6 +116,12 @@ object SparkEntry {
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
     "g_avg_neighbor_degree" -> (GraphQueries.avgNeighborDegree _),
+    "g_katz" -> (GraphQueries.katz _),
+    "g_eigenvector" -> (GraphQueries.eigenvectorCentrality _),
+    "g_hits" -> (GraphQueries.hits _),
+    "g_degree_centrality" -> (GraphQueries.degreeCentrality _),
+    "g_adamic_adar" -> (GraphQueries.adamicAdar _),
+    "d_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -241,6 +247,79 @@ object SparkEntry {
          |""".stripMargin
     }.mkString(s", r0 AS ($init)\n", "", "")
   }
+
+  /** Fixed-iteration Katz centrality unrolled (x₀=1; xᵢ₊₁ = 1 +
+    * 0.005·Σ_nbr xᵢ — [[prUnrolled]] without the degree division). */
+  private def katzUnrolled(iters: Int): String =
+    (1 to iters).map { i =>
+      s""", k$i AS (
+         |  SELECT d.id, 1.0 + 0.005 * coalesce(acc.a, 0.0) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT s.dst AS id, sum(r.rank) AS a
+         |    FROM sym s JOIN k${i - 1} r ON r.id = s.src
+         |    GROUP BY s.dst) acc ON acc.id = d.id)
+         |""".stripMargin
+    }.mkString(", k0 AS (SELECT id, 1.0 AS rank FROM deg)\n", "", "")
+
+  /** Power iteration unrolled (x₀=1; xᵢ₊₁ = round(A·xᵢ/‖A·xᵢ‖₂, 8)):
+    * the per-round 8-dp rounding replays the engine's pinned state
+    * exactly — see Gx.eigenvector. */
+  private def evUnrolled(iters: Int): String =
+    (1 to iters).map { i =>
+      // m_i is referenced twice (norm + state) and ev_i feeds the next
+      // level: both MATERIALIZED, or DuckDB's per-reference inlining
+      // recomputes the whole prefix 2^iters times
+      s""", m$i AS MATERIALIZED (
+         |  SELECT s.dst AS id, sum(x.x) AS m
+         |  FROM sym s JOIN ev${i - 1} x ON x.id = s.src
+         |  GROUP BY s.dst)
+         |, n$i AS (SELECT sqrt(sum(m * m)) AS nv FROM m$i)
+         |, ev$i AS MATERIALIZED (
+         |  SELECT d.id, round(coalesce(m.m, 0.0) / (SELECT nv FROM n$i), 8) AS x
+         |  FROM deg d LEFT JOIN m$i m ON m.id = d.id)
+         |""".stripMargin
+    }.mkString(", ev0 AS (SELECT id, 1.0 AS x FROM deg)\n", "", "")
+
+  /** HITS unrolled over the directed `de`/`dv` tables: per round the
+    * I-step (auth from in-hub) then the O-step (hub from the NEW auth),
+    * each L2-normalized and rounded to 8 dp like the engine state. */
+  private def hitsUnrolled(iters: Int): String =
+    (1 to iters).map { i =>
+      // every multiply-referenced stage MATERIALIZED (see evUnrolled)
+      s""", ar$i AS MATERIALIZED (
+         |  SELECT d.dst AS id, sum(h.h) AS m
+         |  FROM de d JOIN h${i - 1} h ON h.id = d.src
+         |  GROUP BY d.dst)
+         |, an$i AS (SELECT sqrt(sum(m * m)) AS nv FROM ar$i)
+         |, a$i AS MATERIALIZED (
+         |  SELECT v.id, round(coalesce(ar.m, 0.0) / (SELECT nv FROM an$i), 8) AS a
+         |  FROM dv v LEFT JOIN ar$i ar ON ar.id = v.id)
+         |, hr$i AS MATERIALIZED (
+         |  SELECT d.src AS id, sum(a.a) AS m
+         |  FROM de d JOIN a$i a ON a.id = d.dst
+         |  GROUP BY d.src)
+         |, hn$i AS (SELECT sqrt(sum(m * m)) AS nv FROM hr$i)
+         |, h$i AS MATERIALIZED (
+         |  SELECT v.id, round(coalesce(hr.m, 0.0) / (SELECT nv FROM hn$i), 8) AS h
+         |  FROM dv v LEFT JOIN hr$i hr ON hr.id = v.id)
+         |""".stripMargin
+    }.mkString(", h0 AS (SELECT id, 1.0 AS h FROM dv)\n", "", "")
+
+  /** Directed purchase-sequence edge CTE (the [[SccCte]] derivation
+    * minus the transitive closure): `de` (src,dst) + `dv` (id). */
+  private val DirectedCte: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+      |  WHERE l_quantity >= 42),
+      |seq AS (
+      |  SELECT l_partkey AS src,
+      |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+      |                          ORDER BY l_linenumber) AS dst
+      |  FROM li),
+      |de AS (SELECT DISTINCT src, dst FROM seq
+      |       WHERE dst IS NOT NULL AND dst <> src),
+      |dv AS (SELECT src AS id FROM de UNION SELECT dst FROM de)
+      |""".stripMargin
 
   /** Parallel personalized PageRank unrolled: the [[prUnrolled]] update
     * rule keyed on (src, id) — all sources in `srcv` iterate jointly,
@@ -852,6 +931,51 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_katz" -> (GraphCte + katzUnrolled(8) +
+      "SELECT id, round(rank, 6) AS katz FROM k8 ORDER BY id"),
+    "g_eigenvector" -> (GraphCte + evUnrolled(8) +
+      "SELECT id, round(x, 6) AS eigenvector FROM ev8 ORDER BY id"),
+    "g_hits" -> (DirectedCte + hitsUnrolled(8) +
+      """SELECT a.id, round(a.a, 6) AS auth, round(h.h, 6) AS hub
+        |FROM a8 a JOIN h8 h ON h.id = a.id ORDER BY a.id""".stripMargin),
+    "g_degree_centrality" -> (GraphCte +
+      ", nv AS (SELECT count(*) AS c FROM deg)\n" +
+      """SELECT id, round(degree / ((SELECT c FROM nv) - 1.0), 6)
+        |  AS degree_centrality
+        |FROM deg ORDER BY id""".stripMargin),
+    "g_adamic_adar" -> (GraphCte +
+      """, aa AS (
+        |  SELECT l.src, l.dst, count(*) AS common_cnt,
+        |    round(sum(1.0 / ln(d.degree)), 6) AS adamic_adar
+        |  FROM e l
+        |  JOIN sym s1 ON s1.src = l.src
+        |  JOIN sym s2 ON s2.src = l.dst AND s2.dst = s1.dst
+        |  JOIN deg d ON d.id = s1.dst
+        |  GROUP BY l.src, l.dst)
+        |SELECT e.src, e.dst, coalesce(a.common_cnt, 0) AS common_cnt,
+        |  coalesce(a.adamic_adar, 0.0) AS adamic_adar
+        |FROM e LEFT JOIN aa a ON a.src = e.src AND a.dst = e.dst
+        |ORDER BY e.src, e.dst""".stripMargin),
+    "d_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.token,
+        |    round(t.tf * ln((SELECT c FROM n) / CAST(d.df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tf t JOIN dfq d ON d.token = t.token),
+        |r AS (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token ASC) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, token, tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "g_directed_degrees" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem

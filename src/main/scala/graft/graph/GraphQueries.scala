@@ -327,4 +327,26 @@ object GraphQueries {
       .select(col("p_partkey").as("id"))
     g.inducedSubgraphEdges(keep).orderBy("src", "dst")
   }
+
+  /** Fixed-iteration Katz centrality — see [[Gx.katz]]. */
+  def katz(spark: SparkSession, dir: String): DataFrame =
+    Gx.katz(GraphBuilder.coPurchase(spark, dir)).orderBy("id")
+
+  /** Fixed-iteration eigenvector centrality — see [[Gx.eigenvector]]. */
+  def eigenvectorCentrality(spark: SparkSession, dir: String): DataFrame =
+    Gx.eigenvector(GraphBuilder.coPurchase(spark, dir)).orderBy("id")
+
+  /** HITS hubs/authorities on the directed purchase-sequence graph —
+    * see [[Hits.hits]]. */
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    Hits.hits(Scc.lineSequenceEdges(spark, dir)).orderBy("id")
+
+  /** Normalized degree centrality — see [[Metrics.degreeCentrality]]. */
+  def degreeCentrality(spark: SparkSession, dir: String): DataFrame =
+    Metrics.degreeCentrality(GraphBuilder.coPurchase(spark, dir)).orderBy("id")
+
+  /** Per-edge Adamic–Adar link-prediction index — see
+    * [[Graph.adamicAdar]]. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).adamicAdar.orderBy("src", "dst")
 }

@@ -164,7 +164,8 @@ object Gx {
   private def rankLoop(g: Graph, iters: Int,
                        init: (Long, Int) => Double,
                        teleport: Long => Double,
-                       damping: Double): DataFrame = {
+                       damping: Double,
+                       divideByDegree: Boolean = true): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val xg = of(g)
@@ -175,8 +176,13 @@ object Gx {
     for (_ <- 1 to iters) {
       val msgs = rg.aggregateMessages[Double](
         ctx => {
-          ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
-          ctx.sendToSrc(ctx.dstAttr._2 / ctx.dstAttr._1)
+          if (divideByDegree) {
+            ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
+            ctx.sendToSrc(ctx.dstAttr._2 / ctx.dstAttr._1)
+          } else {
+            ctx.sendToDst(ctx.srcAttr._2)
+            ctx.sendToSrc(ctx.dstAttr._2)
+          }
         },
         _ + _)
       val prev = rg
@@ -190,6 +196,64 @@ object Gx {
     }
     rg.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank")
   }
+
+  /** Fixed-iteration Katz centrality (nx.katz_centrality — the
+    * reference's metric library): x₀ = 1; xᵢ₊₁ = β + α·Σ_nbr xᵢ over the
+    * undirected neighborhood — [[rankLoop]] without the degree division
+    * (attenuated path counting instead of a random walk). α = 0.005
+    * keeps α·λ_max ≈ 1 on the co-purchase graph (max degree ~220 at
+    * every SF), so 8 rounds stay O(1)-magnitude and the 6-dp rounding
+    * is noise-free. */
+  def katz(g: Graph, iters: Int = 8, alpha: Double = 0.005,
+           beta: Double = 1.0): DataFrame =
+    rankLoop(g, iters,
+      init = (_, _) => 1.0,
+      teleport = _ => beta,
+      damping = alpha,
+      divideByDegree = false)
+      .select(col("id"), round(col("rank"), 6).as("katz"))
+
+  /** Fixed-iteration eigenvector centrality (nx.eigenvector_centrality):
+    * power iteration x₀ = 1; xᵢ₊₁ = A·xᵢ / ‖A·xᵢ‖₂, each normalized
+    * vector ROUNDED to 8 dp before the next round. The rounding is part
+    * of the operator's semantics: it re-pins the state across engines
+    * every round (GraphX's message merge order and an SQL engine's sum
+    * order differ at the last ulp), so the unrolled DuckDB oracle
+    * reproduces the exact doubles instead of drifting per iteration —
+    * same trick as the IVF centroid rounding (Ann.scala). 8 dp leaves
+    * ~10⁷× headroom between the ulp-level cross-engine noise and the
+    * rounding grid while still carrying 4+ significant digits for the
+    * smallest centrality values. */
+  def eigenvector(g: Graph, iters: Int = 8): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val xg = of(g)
+    var rg: XGraph[Double, Int] = xg.mapVertices((_, _) => 1.0).cache()
+    rg.vertices.count()
+    for (_ <- 1 to iters) {
+      val msgs = rg.aggregateMessages[Double](
+        ctx => {
+          ctx.sendToDst(ctx.srcAttr)
+          ctx.sendToSrc(ctx.dstAttr)
+        },
+        _ + _)
+      // O(1) scalar to the driver per round — the norm of the new
+      // vector, not any per-vertex data
+      val norm = math.sqrt(msgs.values.map(v => v * v).sum())
+      val prev = rg
+      rg = xg.outerJoinVertices(msgs)((_, _, m) =>
+        round8(m.getOrElse(0.0) / norm)).cache()
+      rg.vertices.count()
+      prev.unpersistVertices(blocking = false)
+    }
+    rg.vertices.toDF("id", "x")
+      .select(col("id"), round(col("x"), 6).as("eigenvector"))
+  }
+
+  /** Round half-away-from-zero to 8 dp — matches both Spark's and
+    * DuckDB's `round(x, 8)` on the non-negative values used here. */
+  def round8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Multi-source BFS: exact hop distances from each landmark. Vertex
     * state is a fixed Array[Int] of per-landmark distances (k slots),

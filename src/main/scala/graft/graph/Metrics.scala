@@ -18,6 +18,16 @@ object Metrics {
       round(lit(2.0 * m / (n * (n - 1))), 8).as("density"))
   }
 
+  /** Degree centrality (nx.degree_centrality): degree / (n−1) — the
+    * normalized form the NetworkX metric family reports. One projection
+    * over the cached degree table; n is the graph's memoized vertex
+    * count (no extra job). */
+  def degreeCentrality(g: Graph): DataFrame = {
+    val n = g.vertexCount
+    g.degrees.select(col("id"),
+      round(col("degree") / lit((n - 1).toDouble), 6).as("degree_centrality"))
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees over
     * the symmetrized edge stream. One broadcast-joinable degree table,
     * one corr aggregate. */

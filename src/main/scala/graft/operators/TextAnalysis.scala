@@ -112,6 +112,33 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document top-k TF-IDF terms (the classic keyword/feature
+    * extraction over a curation corpus): tf = in-doc term count,
+    * idf = ln(N / df) with df = documents containing the term.
+    *
+    * Scale shape: both aggregates are map-side combined (tf keyed
+    * (doc_id, token), df keyed token); the score join shuffles on
+    * token — vocabulary-sized, never corpus-sized rows; the top-k
+    * window partitions by doc_id (no global sort). Deterministic
+    * ranking: score rounded to 6 dp FIRST, ties broken by token, so
+    * any engine picks the same k terms. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Gopher-style intra-document repetition signals: the quality rules
     * real curation stacks threshold on (Rae et al. 2021 §A1.1 — "Gopher
     * rules"): duplicate-token fraction, most-frequent-2-gram fraction,

@@ -1,0 +1,118 @@
+package graft
+
+import graft.graph.{Graph, GraphBuilder, Gx, Hits, Metrics}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Known-answer + brute-force-replica coverage for the centrality and
+  * link-prediction family (Katz, eigenvector, HITS, degree centrality,
+  * Adamic–Adar). The replicas re-run the exact fixed-iteration update
+  * rules driver-side (same per-round 8-dp state pinning), so agreement
+  * is expected to rounding precision regardless of summation order. */
+class CentralitySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def graphOf(edges: Seq[(Long, Long)]): Graph = {
+    val e = edges.toDF("src", "dst")
+    Graph(GraphBuilder.vertices(e), e)
+  }
+
+  // seeded random graph: 30 vertices, ~80 canonical edges
+  private lazy val randomEdges: Seq[(Long, Long)] = {
+    val rnd = new Random(7)
+    (1 to 120).map { _ =>
+      val a = rnd.nextInt(30).toLong
+      val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+  }
+
+  private def undirectedAdj(edges: Seq[(Long, Long)]): Map[Long, Seq[Long]] = {
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+  }
+
+  test("katz matches the driver-side replica on a random graph") {
+    val adj = undirectedAdj(randomEdges)
+    var x = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8)
+      x = adj.keys.map(v => v -> (1.0 + 0.005 * adj(v).map(x).sum)).toMap
+    val got = Gx.katz(graphOf(randomEdges))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == x.keySet)
+    for ((v, e) <- x) assert(math.abs(got(v) - e) < 2e-6, s"vertex $v")
+  }
+
+  test("eigenvector matches the replica and is uniform on a clique") {
+    val adj = undirectedAdj(randomEdges)
+    var x = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      val m = adj.keys.map(v => v -> adj(v).map(x).sum).toMap
+      val norm = math.sqrt(m.values.map(v => v * v).sum)
+      x = m.map { case (k, v) => k -> Gx.round8(v / norm) }
+    }
+    val got = Gx.eigenvector(graphOf(randomEdges))
+      .as[(Long, Double)].collect().toMap
+    for ((v, e) <- x) assert(math.abs(got(v) - e) < 2e-6, s"vertex $v")
+
+    // K4: perfectly symmetric → every vertex exactly 1/2 (L2 norm)
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val uni = Gx.eigenvector(graphOf(k4)).as[(Long, Double)].collect()
+    assert(uni.length == 4 && uni.forall { case (_, v) => v == 0.5 })
+  }
+
+  test("hits matches the driver-side replica on a directed graph") {
+    val rnd = new Random(11)
+    val dedges = (1 to 80).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val verts = dedges.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = dedges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val in = dedges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var hub = verts.map(_ -> 1.0).toMap
+    var auth = hub
+    for (_ <- 1 to 8) {
+      val ar = verts.map(v => v -> in.getOrElse(v, Nil).map(hub).sum).toMap
+      val an = math.sqrt(ar.values.map(v => v * v).sum)
+      auth = ar.map { case (k, v) => k -> Gx.round8(v / an) }
+      val hr = verts.map(v => v -> out.getOrElse(v, Nil).map(auth).sum).toMap
+      val hn = math.sqrt(hr.values.map(v => v * v).sum)
+      hub = hr.map { case (k, v) => k -> Gx.round8(v / hn) }
+    }
+    val got = Hits.hits(dedges.toDF("src", "dst"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, h) => id -> (a, h) }.toMap
+    assert(got.keySet == verts.toSet)
+    for (v <- verts) {
+      assert(math.abs(got(v)._1 - auth(v)) < 2e-6, s"auth $v")
+      assert(math.abs(got(v)._2 - hub(v)) < 2e-6, s"hub $v")
+    }
+  }
+
+  test("degree centrality on triangle+pendant") {
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val dc = Metrics.degreeCentrality(g).as[(Long, Double)].collect().toMap
+    assert(dc(3L) == 1.0)           // deg 3 over n-1 = 3
+    assert(dc(4L) == 0.333333)      // 1/3 rounded to 6 dp
+    assert(dc(1L) == 0.666667 && dc(2L) == 0.666667)
+  }
+
+  test("adamic-adar on triangle+pendant") {
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val aa = g.adamicAdar
+      .select($"src", $"dst", $"common_cnt", $"adamic_adar")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (s, d, c, v) => (s, d) -> ((c, v)) }.toMap
+    // edge (1,2): common {3}, deg(3)=3 → 1/ln 3
+    assert(aa((1L, 2L)) == ((1L, BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // edge (1,3): common {2}, deg(2)=2 → 1/ln 2 = 1.442695
+    assert(aa((1L, 3L))._2 == 1.442695)
+    // pendant edge (3,4): no common neighbors → 0
+    assert(aa((3L, 4L)) == ((0L, 0.0)))
+    assert(aa.size == 4)
+  }
+}
