@@ -122,6 +122,10 @@ object SparkEntry {
     "g_degree_centrality" -> (GraphQueries.degreeCentrality _),
     "g_adamic_adar" -> (GraphQueries.adamicAdar _),
     "d_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "g_rich_club" -> (GraphQueries.richClub _),
+    "e_label_centroids" -> (Ann.labelCentroids _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q_running_total" -> (Relational.qRunningTotal _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -931,6 +935,51 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_rich_club" -> (GraphCte +
+      """, dc AS (SELECT degree, count(*) AS nv FROM deg GROUP BY 1),
+        |mdh AS (
+        |  SELECT least(d1.degree, d2.degree) AS mdeg, count(*) AS ne
+        |  FROM e JOIN deg d1 ON d1.id = e.src JOIN deg d2 ON d2.id = e.dst
+        |  GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(0,
+        |         (SELECT max(degree) FROM deg) - 1)) AS k),
+        |nk AS (
+        |  SELECT k,
+        |    CAST(coalesce((SELECT sum(nv) FROM dc WHERE degree > k), 0)
+        |      AS BIGINT) AS n_k,
+        |    CAST(coalesce((SELECT sum(ne) FROM mdh WHERE mdeg > k), 0)
+        |      AS BIGINT) AS e_k
+        |  FROM ks)
+        |SELECT k, n_k, e_k,
+        |  round(2.0 * e_k / (n_k * (n_k - 1.0)), 6) AS rich_club
+        |FROM nk WHERE n_k >= 2 ORDER BY k""".stripMargin),
+    "q18_large_orders" ->
+      """WITH bo AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  round(o.o_totalprice, 2) AS o_total,
+        |  round(b.total_qty, 2) AS total_qty
+        |FROM orders o
+        |JOIN bo b ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "e_label_centroids" ->
+      """SELECT e.label, x.i - 1 AS dim,
+        |  round(avg(CAST(e.embedding[x.i] AS DOUBLE)), 6) AS centroid,
+        |  count(*) AS n_vecs
+        |FROM embeddings e
+        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) x
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "g_katz" -> (GraphCte + katzUnrolled(8) +
       "SELECT id, round(rank, 6) AS katz FROM k8 ORDER BY id"),
     "g_eigenvector" -> (GraphCte + evUnrolled(8) +

@@ -78,6 +78,14 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .na.fill(0L, Seq("triangles"))
   }
 
+  /** GraphFrames/GraphX `collectNeighborIds` parity: per-vertex sorted
+    * neighbor-id array over the undirected edge set. One shuffle keyed
+    * id; the sort is row-local. Hub vertices bound the row width by the
+    * max degree — same envelope as every adjacency-array consumer. */
+  def collectNeighborIds: DataFrame =
+    symmetrized.groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbor_ids"))
+
   /** Per-EDGE triangle (common-neighbor) counts: for each canonical
     * edge, the number of triangles it participates in = |N(u) ∩ N(v)|.
     * A projection of [[edgeCommonStats]]. */

@@ -60,9 +60,14 @@ object GraphQueries {
     GraphBuilder.communities(spark, GraphBuilder.coPurchase(spark, dir))
       .agg(countDistinct("community").as("n_communities"))
 
-  def pageRank(spark: SparkSession, dir: String): DataFrame =
-    Gx.pageRank(GraphBuilder.coPurchase(spark, dir))
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    // slot 0 of the shared rank table = uniform-teleport PageRank
+    Gx.standardRanks(g, rankHubs(g))
+      .filter(col("slot") === 0)
+      .select(col("id"), round(col("rank"), 6).as("pagerank"))
       .orderBy("id")
+  }
 
   def bfsLandmarks(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
@@ -172,22 +177,34 @@ object GraphQueries {
       lit(origRow.getDouble(1)).as("orig_transitivity"))
   }
 
+  /** The top-4 degree hubs — the shared source set of the rank-family
+    * queries (deterministic: degree desc, id asc). */
+  private def rankHubs(g: Graph): Seq[Long] =
+    Iterative.topDegreeLandmarks(g, 4).collect().map(_.getLong(0)).toSeq
+
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    // deterministic source: the max-degree vertex
-    val src = Iterative.topDegreeLandmarks(g, 1)
-      .head().getLong(0)
-    Gx.personalizedPageRank(g, src).orderBy("id")
+    // slot 1 of the shared rank table = PPR from the max-degree vertex
+    Gx.standardRanks(g, rankHubs(g))
+      .filter(col("slot") === 1)
+      .select(col("id"), round(col("rank"), 6).as("ppr"))
+      .orderBy("id")
   }
 
   /** Parallel personalized PageRank from the top-4 degree hubs — one
     * array-state message loop serves all four sources (GraphFrames
-    * `parallelPersonalizedPageRank` parity). */
+    * `parallelPersonalizedPageRank` parity) AND the uniform PageRank
+    * slot, via [[Gx.standardRanks]]. */
   def pprParallel(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    val sources = Iterative.topDegreeLandmarks(g, 4)
-      .collect().map(_.getLong(0)).toSeq
-    Gx.parallelPersonalizedPageRank(g, sources).orderBy("id", "source")
+    val sources = rankHubs(g)
+    val srcCol = element_at(
+      array(sources.map(lit): _*), col("slot").cast("int"))
+    Gx.standardRanks(g, sources)
+      .filter(col("slot") >= 1)
+      .select(col("id"), srcCol.as("source"),
+        round(col("rank"), 6).as("ppr"))
+      .orderBy("id", "source")
   }
 
   def avgPathLength(spark: SparkSession, dir: String): DataFrame = {
@@ -349,4 +366,8 @@ object GraphQueries {
     * [[Graph.adamicAdar]]. */
   def adamicAdar(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).adamicAdar.orderBy("src", "dst")
+
+  /** Rich-club coefficient curve — see [[Metrics.richClub]]. */
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    Metrics.richClub(GraphBuilder.coPurchase(spark, dir))
 }

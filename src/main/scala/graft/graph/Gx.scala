@@ -103,6 +103,70 @@ object Gx {
       damping = damping)
       .select(col("id"), round(col("rank"), 6).as("ppr"))
 
+  // one array-state run serves pagerank + single PPR + parallel PPR;
+  // memoize the long-form (id, slot, rank) table per (graph, sources)
+  private val ranksCache = TrieMap.empty[String, DataFrame]
+
+  /** The standard-parameter rank family (10 iterations, damping 0.85)
+    * in ONE message loop: slot 0 = uniform-teleport PageRank, slot i＞0
+    * = personalized PageRank from `sources(i-1)`. Each slot's update
+    * rule is exactly [[pageRank]] / [[personalizedPageRank]] — the
+    * array state just shares the edge traversals: per superstep ONE
+    * pass over the cached edge partitions serves all k+1 rank vectors,
+    * where the three query entry points used to pay three full loops.
+    * Returns the persisted long-form (id, slot, rank), UNROUNDED —
+    * consumers round at their output surface. */
+  def standardRanks(g: Graph, sources: Seq[Long]): DataFrame =
+    ranksCache.getOrElseUpdate(key(g) + ":" + sources.mkString(","), {
+      val spark = g.edges.sparkSession
+      import spark.implicits._
+      val damping = 0.85
+      val k = sources.size + 1
+      val slot = sources.zipWithIndex.map { case (s, i) => (s, i + 1) }.toMap
+      val xg = of(g)
+      def scaled(a: Array[Double], s: Double): Array[Double] = {
+        val out = new Array[Double](k)
+        var i = 0
+        while (i < k) { out(i) = a(i) * s; i += 1 }
+        out
+      }
+      var rg: XGraph[(Int, Array[Double]), Int] = xg.mapVertices { (id, d) =>
+        val a = new Array[Double](k)
+        a(0) = 1.0
+        slot.get(id).foreach(s => a(s) = 1.0)
+        (d, a)
+      }.cache()
+      rg.vertices.count()
+      for (_ <- 1 to 10) {
+        val msgs = rg.aggregateMessages[Array[Double]](
+          ctx => {
+            ctx.sendToDst(scaled(ctx.srcAttr._2, 1.0 / ctx.srcAttr._1))
+            ctx.sendToSrc(scaled(ctx.dstAttr._2, 1.0 / ctx.dstAttr._1))
+          },
+          (a, b) => {
+            val out = new Array[Double](k)
+            var i = 0
+            while (i < k) { out(i) = a(i) + b(i); i += 1 }
+            out
+          })
+        val prev = rg
+        rg = xg.outerJoinVertices(msgs) { (id, d, m) =>
+          val out = scaled(m.getOrElse(new Array[Double](k)), damping)
+          out(0) += 1.0 - damping
+          slot.get(id).foreach(s => out(s) += 1.0 - damping)
+          (d, out)
+        }.cache()
+        rg.vertices.count()
+        prev.unpersistVertices(blocking = false)
+      }
+      val df = rg.vertices.flatMap { case (id, (_, ranks)) =>
+        ranks.iterator.zipWithIndex.map { case (r, i) => (id, i, r) }
+      }.toDF("id", "slot", "rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** Parallel personalized PageRank (GraphFrames
     * `parallelPersonalizedPageRank` parity): PPR from k source vertices
     * in ONE message loop. Vertex state is an Array[Double] of k ranks

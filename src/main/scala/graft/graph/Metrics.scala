@@ -28,6 +28,40 @@ object Metrics {
       round(col("degree") / lit((n - 1).toDouble), 6).as("degree_centrality"))
   }
 
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for every k in
+    * 0..maxDegree−1 (nx.rich_club_coefficient, unnormalized): N_k =
+    * vertices with degree > k, E_k = edges with BOTH endpoints of
+    * degree > k (equivalently min endpoint degree > k).
+    *
+    * Scale shape: both counts are cumulative sums over DEGREE-domain
+    * aggregates — the degree histogram and the per-edge min-degree
+    * histogram — each at most maxDegree rows no matter the graph size.
+    * The only full-data passes are the one groupBy per histogram; the
+    * k-expansion is a theta-join between two maxDegree-row tables
+    * (broadcast, O(maxDeg²) driver-free work). */
+  def richClub(g: Graph): DataFrame = {
+    val spark = g.edges.sparkSession
+    val deg = g.degrees
+    val dc = deg.groupBy("degree").agg(count(lit(1)).as("nv"))
+    val md = g.edges
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dv"), "dst")
+      .select(least(col("du"), col("dv")).as("mdeg"))
+      .groupBy("mdeg").agg(count(lit(1)).as("ne"))
+    val maxDeg = deg.agg(max(col("degree")).cast("long")).head().getLong(0)
+    val ks = spark.range(0, maxDeg).toDF("k")
+    val nk = ks.join(dc, col("degree") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum("nv"), lit(0L)).as("n_k"))
+    val ek = ks.join(md, col("mdeg") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum("ne"), lit(0L)).as("e_k"))
+    nk.join(ek, "k")
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"), col("e_k"),
+        round(lit(2.0) * col("e_k") /
+          (col("n_k") * (col("n_k") - lit(1.0))), 6).as("rich_club"))
+      .orderBy("k")
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees over
     * the symmetrized edge stream. One broadcast-joinable degree table,
     * one corr aggregate. */

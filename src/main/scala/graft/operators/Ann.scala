@@ -27,6 +27,23 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   /** Exact cosine top-k. Output: (query_id, rank, neighbor_id, sim). */
+  /** Per-label mean embedding (class centroids — the aggregation step
+    * of semantic dedup / cluster-based data mixing), long-form
+    * (label, dim, centroid, n_vecs) so results stay hash-comparable
+    * across engines without array-column ordering issues.
+    *
+    * Scale shape: posexplode is map-side (×dim rows, no shuffle); ONE
+    * map-side-combined groupBy keyed (label, dim) — state is
+    * labels×dim running (sum, count) pairs per partition, independent
+    * of corpus size. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
   def knnBrute(spark: SparkSession, dir: String,
                nQueries: Int = 20, k: Int = 10): DataFrame = {
     val emb = Tables(spark, dir).embeddings

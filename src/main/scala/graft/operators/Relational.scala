@@ -196,6 +196,43 @@ object Relational {
       .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
   }
 
+  /** TPC-H Q18 shape (large-quantity orders): HAVING on a fact
+    * aggregate, then semi-joined back onto the fact⋈dim chain. The
+    * qualifying-keys set is aggregated FIRST (map-side combinable sum,
+    * one shuffle on orderkey) and drives semi/inner joins — no
+    * IN-subquery rewrite, no second scan of lineitem post-filter.
+    * Threshold 150 picks a small top set at every SF. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.lineitem.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    t.orders
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_total"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** Running-total window frame: cumulative order value per customer in
+    * order-date order (rows unbounded-preceding..current). The window
+    * partitions by customer — thousands of independent partitions, no
+    * global sort; ties broken by orderkey for a deterministic frame. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Semi-join shape (correlated EXISTS): order-priority counts for
     * orders with at least one lineitem shipped after the order date —
     * equi-key plus a non-equi residual condition. The semi-join keeps

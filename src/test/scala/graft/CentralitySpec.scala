@@ -92,12 +92,45 @@ class CentralitySpec extends AnyFunSuite {
     }
   }
 
+  test("standardRanks slots equal the independent single-run loops") {
+    val g = graphOf(randomEdges)
+    val hubs = Seq(3L, 7L)
+    val shared = Gx.standardRanks(g, hubs)
+    val pr = shared.filter($"slot" === 0)
+      .select($"id", round($"rank", 6).as("r")).as[(Long, Double)].collect().toMap
+    val prSolo = Gx.pageRank(g).as[(Long, Double)].collect().toMap
+    assert(pr == prSolo)
+    val ppr = shared.filter($"slot" === 1)
+      .select($"id", round($"rank", 6).as("r")).as[(Long, Double)].collect().toMap
+    val pprSolo = Gx.personalizedPageRank(g, 3L).as[(Long, Double)].collect().toMap
+    assert(ppr == pprSolo)
+  }
+
   test("degree centrality on triangle+pendant") {
     val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
     val dc = Metrics.degreeCentrality(g).as[(Long, Double)].collect().toMap
     assert(dc(3L) == 1.0)           // deg 3 over n-1 = 3
     assert(dc(4L) == 0.333333)      // 1/3 rounded to 6 dp
     assert(dc(1L) == 0.666667 && dc(2L) == 0.666667)
+  }
+
+  test("collectNeighborIds on triangle+pendant") {
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val nb = g.collectNeighborIds
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nb == Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L)))
+  }
+
+  test("rich club on triangle+pendant") {
+    val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val rc = Metrics.richClub(g)
+      .select($"k", $"n_k", $"e_k", $"rich_club")
+      .as[(Long, Long, Long, Double)].collect().toList
+    // k=0: all 4 vertices, all 4 edges → 2·4/(4·3); k=1: the triangle
+    // (deg>1 = {1,2,3}, pendant edge drops) → 2·3/(3·2) = 1;
+    // k=2: only vertex 3 remains → filtered (n_k < 2)
+    assert(rc == List((0L, 4L, 4L, 0.666667), (1L, 3L, 3L, 1.0)))
   }
 
   test("adamic-adar on triangle+pendant") {
