@@ -74,7 +74,9 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
       .union(withBoth.select(col("hi").as("id"), size(col("common")).cast("long").as("n")))
       .union(withBoth.select(explode(col("common")).as("id")).withColumn("n", lit(1L)))
       .groupBy("id").agg(sum("n").as("triangles"))
-    vertices.select("id").join(perVertex, Seq("id"), "left")
+    // degree rides along so every clustering consumer is a pure
+    // projection/aggregate over the ONE memoized table — no re-join
+    degrees.join(perVertex, Seq("id"), "left")
       .na.fill(0L, Seq("triangles"))
   }
 
@@ -183,13 +185,13 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
   def clusteringCoefficients: DataFrame = clusteringCoefficients(triangleVertexCounts)
 
   /** As [[clusteringCoefficients]] but with precomputed triangle counts
-    * (lets callers reuse a memoized triangle table). */
+    * (lets callers reuse a memoized triangle table, which carries the
+    * degree column — this is a shuffle-free projection). */
   def clusteringCoefficients(tri: DataFrame): DataFrame =
-    degrees.join(tri, "id")
-      .withColumn("clustering_coeff",
-        when(col("degree") >= 2,
-          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
-          .otherwise(lit(0.0)))
+    tri.withColumn("clustering_coeff",
+      when(col("degree") >= 2,
+        lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
+        .otherwise(lit(0.0)))
 
   /** Global average clustering coefficient (NetworkX semantics: vertices
     * with degree < 2 contribute 0). */
@@ -203,15 +205,13 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * (ref: nx.transitivity / main.py:158) */
   def transitivity: DataFrame = transitivity(triangleVertexCounts)
 
-  def transitivity(tri: DataFrame): DataFrame = {
-    val triTotal = tri
-      .agg((sum("triangles") / 3).as("n_triangles"))
-    val wedgeTotal = degrees
-      .agg(sum(col("degree") * (col("degree") - 1) / 2).as("n_wedges"))
-    triTotal.crossJoin(wedgeTotal)
+  def transitivity(tri: DataFrame): DataFrame =
+    // numerator and denominator in ONE scan of the memoized table
+    tri.agg(
+      (sum("triangles") / 3).as("n_triangles"),
+      sum(col("degree") * (col("degree") - 1) / 2).as("n_wedges"))
       .select(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
         .as("transitivity"))
-  }
 
   /** Edges of the subgraph induced by `keep` (column `id`).
     *

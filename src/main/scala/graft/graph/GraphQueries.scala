@@ -27,7 +27,7 @@ object GraphQueries {
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    GraphBuilder.triangles(g).orderBy("id")
+    GraphBuilder.triangles(g).select("id", "triangles").orderBy("id")
   }
 
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {

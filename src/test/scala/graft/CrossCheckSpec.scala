@@ -26,7 +26,8 @@ class CrossCheckSpec extends AnyFunSuite {
   }
 
   test("triangle counts match GraphX") {
-    val ours = GraphBuilder.triangles(g).as[(Long, Long)].collect().toMap
+    val ours = GraphBuilder.triangles(g).select("id", "triangles")
+      .as[(Long, Long)].collect().toMap
     val theirs = xg.partitionBy(PartitionStrategy.RandomVertexCut)
       .triangleCount().vertices.collect().toMap
       .map { case (k, v) => k -> v.toLong }

@@ -22,7 +22,8 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("triangle counts on known graph") {
-    val t = k4.triangleVertexCounts.as[(Long, Long)].collect().toMap
+    val t = k4.triangleVertexCounts.select("id", "triangles")
+      .as[(Long, Long)].collect().toMap
     assert(t == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 0, 6L -> 0, 7L -> 0))
   }
 

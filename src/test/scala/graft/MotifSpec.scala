@@ -90,8 +90,7 @@ class MotifSpec extends AnyFunSuite {
       .filter(col("p_size") <= 10)
       .select(col("p_partkey").as("id"))
     val sub = Graph(keep, g.inducedSubgraphEdges(keep))
-    val expected = sub.degrees
-      .join(sub.triangleVertexCounts, "id")
+    val expected = sub.triangleVertexCounts
       .select(col("id"), (col("degree") * (col("degree") - 1) -
         lit(2) * col("triangles")).as("w"))
       .filter(col("w") > 0)

@@ -133,4 +133,45 @@ class PlanQualitySpec extends AnyFunSuite {
     val pushed = partScan.get.metadata.getOrElse("PushedFilters", "")
     assert(pushed.contains("p_size"), s"pushed: $pushed")
   }
+
+  test("label centroids: one aggregation exchange, pruned scan") {
+    val df = graft.operators.Ann.labelCentroids(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    // map-side posexplode + ONE hash exchange for the (label, dim)
+    // aggregate; the orderBy adds the output range exchange
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2, plan.treeString)
+    // pruning gate: when another suite has already cached the embeddings
+    // table the plan reads the InMemoryRelation instead of parquet — the
+    // pruning property is only observable on the file scan, so assert it
+    // only when the scan is present
+    scans(df).headOption.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("label", "embedding"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("tfidf top-terms: doc-partitioned window, no single-partition exchange") {
+    val plan = graft.operators.TextAnalysis.tfidfTopTerms(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, plan)
+    assert(!plan.substring(windowIdx).contains("SinglePartition"), plan)
+  }
+
+  test("running total: customer-partitioned window, no single-partition exchange") {
+    val plan = Relational.qRunningTotal(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, plan)
+    assert(!plan.substring(windowIdx).contains("SinglePartition"), plan)
+  }
+
+  test("q18 broadcasts the customer dimension") {
+    val plan = Relational.q18LargeOrders(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -103,7 +103,8 @@ class PropertySpec extends AnyFunSuite {
       if (edges.nonEmpty) {
         val g = Graph(GraphBuilder.vertices(edges.toDF("src", "dst")),
           edges.toDF("src", "dst"))
-        val got = g.triangleVertexCounts.as[(Long, Long)].collect().toMap
+        val got = g.triangleVertexCounts.select("id", "triangles")
+          .as[(Long, Long)].collect().toMap
         // brute force
         val es = edges.toSet
         def adj(v: Long) = es.collect {
