@@ -63,6 +63,11 @@ object SparkEntry {
     "e_knn_ivf" -> ((s, d) =>
       Ann.knnIvf(s, d).select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")),
+    "e_knn_pq" -> ((s, d) =>
+      Ann.knnPq(s, d).select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
+    "d_semantic_dedup" -> ((s, d) => Ann.semanticDedup(s, d)),
+    "d_bigram_logprob" -> (TextAnalysis.bigramLogProb _),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
@@ -545,7 +550,12 @@ object SparkEntry {
     * (the d_embedding_neardup precedent), tie-breaks mirror the Spark
     * side exactly: assignment max(struct(sim, cell)) → cell DESC;
     * probes → cell ASC; top-k → neighbor_id ASC. */
-  private def ivfUnrolled(iters: Int): String = {
+  /** The trained IVF index CTEs (unrolled Lloyd, exactly
+    * `Ann.kmeansCentroids` + `Ann.assignCells`), ending with `idx`
+    * (vec_id → cell) — shared by the e_knn_ivf and d_semantic_dedup
+    * oracles, which are two consumers of the one trained index just
+    * like the Spark side's shared `ivfIndex`. */
+  private def ivfTrainedCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s""", d$k AS (
          |  SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot,
@@ -575,8 +585,7 @@ object SparkEntry {
         |c0 AS MATERIALIZED (
         |  SELECT vec_id AS cell, i, x AS c FROM ev WHERE vec_id < 16)
         |""".stripMargin, "", "")
-    // final inverted index under the converged centroids, then probe
-    // the 4 nearest cells per query and rank candidates exactly
+    // final inverted index under the converged centroids
     rounds +
     s""", dx AS (
        |  SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot,
@@ -590,7 +599,15 @@ object SparkEntry {
        |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell DESC) AS rn
        |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id)
        |  WHERE rn = 1)
-       |, probes AS MATERIALIZED (
+       |""".stripMargin
+  }
+
+  /** The IVF probe query on top of the trained index (exactly
+    * `Ann.knnIvf`): probe the 4 nearest cells per query, rank
+    * candidates by exact cosine. */
+  private def ivfUnrolled(iters: Int): String = {
+    ivfTrainedCtes(iters) +
+    s""", probes AS MATERIALIZED (
        |  SELECT query_id, cell FROM (
        |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
        |      PARTITION BY d.vec_id
@@ -612,6 +629,112 @@ object SparkEntry {
        |    ORDER BY cd.dot / (nq.nrm * nn.nrm) DESC, cd.neighbor_id ASC) AS rank
        |  FROM cd JOIN evn nq ON nq.vec_id = cd.query_id
        |  JOIN evn nn ON nn.vec_id = cd.neighbor_id)
+       |SELECT query_id, rank, neighbor_id FROM rr
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup on top of the trained index (exactly
+    * `Ann.semanticDedup`): within-cell pairs, exact cosine, drop to
+    * the smallest qualifying lower id. */
+  private def semDedupUnrolled(iters: Int, threshold: Double): String =
+    ivfTrainedCtes(iters) +
+    s""", pr AS (
+       |  SELECT la.vec_id AS a, lb.vec_id AS b
+       |  FROM idx la JOIN idx lb
+       |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id)
+       |, cosab AS (
+       |  SELECT pr.a, pr.b, sum(ea.x * eb.x) AS dot
+       |  FROM pr
+       |  JOIN ev ea ON ea.vec_id = pr.a
+       |  JOIN ev eb ON eb.vec_id = pr.b AND eb.i = ea.i
+       |  GROUP BY pr.a, pr.b)
+       |, dup AS (
+       |  SELECT c.b AS vec_id, min(c.a) AS dup_of
+       |  FROM cosab c
+       |  JOIN evn na ON na.vec_id = c.a
+       |  JOIN evn nb ON nb.vec_id = c.b
+       |  WHERE c.dot / (na.nrm * nb.nrm) >= $threshold
+       |  GROUP BY c.b)
+       |SELECT i.vec_id, i.cell, d.dup_of, d.dup_of IS NULL AS keep
+       |FROM idx i LEFT JOIN dup d USING (vec_id)
+       |ORDER BY i.vec_id""".stripMargin
+
+  /** Unrolled PQ training + ADC search (exactly `Ann.pqCodebooks` +
+    * `Ann.knnPq`): per-subspace Lloyd with 6-dp mean rounding,
+    * L2 code assignment (d2 rounded 6 dp, ties → smaller code), then
+    * the per-(query, subspace, code) LUT of 6-dp partial dots. */
+  private def pqUnrolled(iters: Int, m: Int, sub: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s""", pd$k AS (
+         |  SELECT e.vec_id, e.m, c.code,
+         |    round(sum((e.x - c.c) * (e.x - c.c)), 6) AS d2
+         |  FROM sv e JOIN pc${k - 1} c ON c.m = e.m AND c.j = e.j
+         |  GROUP BY e.vec_id, e.m, c.code)
+         |, pa$k AS MATERIALIZED (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, row_number() OVER (
+         |      PARTITION BY vec_id, m
+         |      ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM pd$k)
+         |  WHERE rn = 1)
+         |, pc$k AS MATERIALIZED (
+         |  SELECT a.m, a.code, e.j,
+         |    CAST(CAST(round(avg(e.x), 6) AS REAL) AS DOUBLE) AS c
+         |  FROM pa$k a JOIN sv e ON e.vec_id = a.vec_id AND e.m = a.m
+         |  GROUP BY a.m, a.code, e.j)
+         |""".stripMargin
+    }.mkString(
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+         |    SELECT vec_id, unnest(embedding) AS x,
+         |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |sv AS MATERIALIZED (
+         |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
+         |         CAST((i - 1) % $sub AS INT) AS j, x
+         |  FROM ev),
+         |pc0 AS MATERIALIZED (
+         |  SELECT m, CAST(vec_id AS INT) AS code, j, x AS c
+         |  FROM sv WHERE vec_id < 16)
+         |""".stripMargin, "", "")
+    rounds +
+    s""", pdx AS (
+       |  SELECT e.vec_id, e.m, c.code,
+       |    round(sum((e.x - c.c) * (e.x - c.c)), 6) AS d2
+       |  FROM sv e JOIN pc$iters c ON c.m = e.m AND c.j = e.j
+       |  GROUP BY e.vec_id, e.m, c.code)
+       |, enc AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code, row_number() OVER (
+       |      PARTITION BY vec_id, m
+       |      ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM pdx)
+       |  WHERE rn = 1)
+       |, lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.m, c.code,
+       |    round(sum(q.x * c.c), 6) AS pdot
+       |  FROM sv q JOIN pc$iters c ON c.m = q.m AND c.j = q.j
+       |  WHERE q.vec_id < 20
+       |  GROUP BY q.vec_id, c.m, c.code)
+       |, pn AS MATERIALIZED (
+       |  SELECT m, code, round(sum(c * c), 6) AS pn2
+       |  FROM pc$iters GROUP BY m, code)
+       |, qn AS (
+       |  SELECT vec_id AS query_id, sqrt(sum(x * x)) AS qnorm
+       |  FROM ev WHERE vec_id < 20 GROUP BY vec_id)
+       |, sc AS (
+       |  SELECT l.query_id, e.vec_id,
+       |    sum(l.pdot) AS dot, sum(p.pn2) AS rn2
+       |  FROM enc e
+       |  JOIN lut l ON l.m = e.m AND l.code = e.code
+       |  JOIN pn p ON p.m = e.m AND p.code = e.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY l.query_id, e.vec_id)
+       |, rr AS (
+       |  SELECT sc.query_id, sc.vec_id AS neighbor_id, row_number() OVER (
+       |    PARTITION BY sc.query_id
+       |    ORDER BY sc.dot / (q.qnorm * sqrt(sc.rn2)) DESC, sc.vec_id ASC)
+       |    AS rank
+       |  FROM sc JOIN qn q ON q.query_id = sc.query_id)
        |SELECT query_id, rank, neighbor_id FROM rr
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
@@ -834,6 +957,8 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
+    "e_knn_pq" -> pqUnrolled(2, 4, 16),
+    "d_semantic_dedup" -> semDedupUnrolled(3, 0.35),
     "g_betweenness" -> btwUnrolled(12, 8, 42L),
     // payload = utf-8 bytes of text, so md5(payload ++ k) ==
     // md5(text || k); the float cast + double norm mirror decodeStub
@@ -1524,6 +1649,33 @@ object SparkEntry {
         |  round(avg(ln(v.cnt / (SELECT total FROM tot))), 4) AS avg_logprob
         |FROM t JOIN v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // interpolated bigram LM: p = 0.75·c2/c1(prev) + 0.25·c1(cur)/N
+    "d_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, token AS w1,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM t),
+        |bgx AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bgx GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(ln(0.75 * c2.cnt2 / v1.cnt
+        |      + 0.25 * v2.cnt / (SELECT total FROM tot))), 4) AS avg_logprob
+        |  FROM bgx
+        |  JOIN c2 USING (w1, w2)
+        |  JOIN v v1 ON v1.token = bgx.w1
+        |  JOIN v v2 ON v2.token = bgx.w2
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // eval set = every 50th doc; train-doc windows probed against it
     "d_contamination" ->
       """WITH tokp AS (

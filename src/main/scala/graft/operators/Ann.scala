@@ -96,14 +96,31 @@ object Ann {
       .agg(max("sc").as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"))
 
+  /** One trained IVF index per (session, dir): the persisted embedding
+    * table, converged centroids and cell assignments are shared by
+    * [[knnIvf]] and [[semanticDedup]] — training runs once no matter
+    * how many consumers probe it (same memoization pattern as
+    * GraphBuilder's graph caches). */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private def ivfIndex(spark: SparkSession, dir: String,
+                       cells: Int = 16): (DataFrame, DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(s"$dir#$cells", {
+      val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
+      val centroids = kmeansCentroids(emb, cells).persist(StorageLevel.MEMORY_AND_DISK)
+      centroids.count()
+      val assigned = assignCells(emb, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+      assigned.count()
+      (emb, centroids, assigned)
+    })
+
   /** IVF ANN: probe the `nProbe` nearest cells per query.
     * Output shape identical to [[knnBrute]]. */
   def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10,
              cells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val emb = Tables(spark, dir).embeddings
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val centroids = kmeansCentroids(emb, cells).persist(StorageLevel.MEMORY_AND_DISK)
-    val index = assignCells(emb, centroids)
+    val (emb, centroids, assigned) = ivfIndex(spark, dir, cells)
+    val index = assigned
       .join(emb, "vec_id") // inverted index rows: (cell, vec_id, embedding)
     val q = queriesOf(emb, nQueries)
     val probes = q.crossJoin(broadcast(centroids))
@@ -118,6 +135,147 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        round(col("nn.score"), 6).as("sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings (k-means, the
+    * SAME portable trained index as [[knnIvf]]), then compare pairs
+    * only WITHIN a cluster — a document is dropped when a lower-id
+    * member of its cluster is cosine-similar above `threshold`.
+    * Output: one row per vector — (vec_id, cell, dup_of, keep), where
+    * dup_of is the smallest qualifying lower id (null when kept).
+    *
+    * Scale shape: the pairwise stage is cell-keyed — cost is
+    * Σ C(|cell|,2), bounded by growing the cell count with the corpus
+    * (|cell| ≈ |D|/cells stays constant; that is SemDeDup's design),
+    * never the |D|² matrix. Training is shared with knnIvf; the join
+    * ships (cell, id, embedding) rows partitioned by cell, so a
+    * cluster co-locates each cell. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.35): DataFrame = {
+    val (emb, _, assigned) = ivfIndex(spark, dir)
+    val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    val l = members.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = members.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val dupOf = l.join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(cosineSim(col("ea"), col("eb")) >= threshold)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"))
+    assigned.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Product-quantization codebooks: the embedding is split into `m`
+    * subspaces and each subspace gets its own K-code codebook (Jégou
+    * et al. 2011, "Product quantization for nearest neighbor search").
+    * Returns (m, code, centroid: array<float>). Same deterministic
+    * init (first K vectors' slices) and per-round 6-dp mean rounding
+    * as [[kmeansCentroids]], so training reproduces on any engine.
+    * Assignment metric is L2 on the subvector (the PQ standard),
+    * ties → smaller code. */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, codes: Int = 16,
+                  iters: Int = 2, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    // (vec_id, m, sv): the corpus as M subvectors per row, built by
+    // native slice — map-side only
+    val subvecs = emb.select(col("vec_id"), posexplode(
+      array((0 until m).map(i =>
+        slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+    var cb = subvecs.filter(col("vec_id") < codes)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assignedCodes = assignPqCodes(subvecs, cb)
+      cb = assignedCodes
+        .join(subvecs, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos").agg(round(avg("x"), 6).as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean").cast("float")).as("centroid"))
+    }
+    cb
+  }
+
+  /** Nearest-code assignment per (vector, subspace): (vec_id, m, code).
+    * L2 on the subvector, ties → smaller code — mirrored exactly by
+    * the SQL oracle. */
+  private def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame =
+    subvecs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), struct(
+        // every element promoted to double BEFORE arithmetic (what the
+        // SQL oracle does with CAST AS DOUBLE), and the distance
+        // rounded to 6 dp so cross-engine ulp noise cannot reorder the
+        // (d2, code) tie-break
+        round(aggregate(zip_with(col("sv"), col("centroid"),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+          lit(0.0d), (acc, x) => acc + x), 6).as("d2"),
+        col("code")).as("dc"))
+      .groupBy("vec_id", "m")
+      .agg(min("dc").as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+
+  /** PQ ANN via asymmetric distance computation (ADC): corpus vectors
+    * are encoded once as `m` small codes; queries score candidates by
+    * summing a per-(query, subspace, code) lookup table of partial dot
+    * products. Output shape identical to [[knnBrute]].
+    *
+    * THE 100 TB shape: after encoding, the corpus-side scan carries
+    * (vec_id, m, code) — 4 bytes of code replaces 256 bytes of floats
+    * per vector (64× less I/O and shuffle than brute force), and the
+    * score join is a broadcast of the tiny LUT (|queries|·m·K rows)
+    * against the code stream. The LUT entries are rounded to 6 dp —
+    * that rounding IS the quantized similarity semantics, and pins the
+    * ranking bit-identically across engines (same move as the IVF
+    * centroid rounding). */
+  def knnPq(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10,
+            m: Int = 4, codes: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val dim = 64
+    val sub = dim / m
+    val cb = pqCodebooks(emb, m, codes, iters = 2, dim = dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val subvecs = emb.select(col("vec_id"), posexplode(
+      array((0 until m).map(i =>
+        slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+    // the encoded corpus: m codes per vector — at scale this table IS
+    // the index (written once, scanned instead of the raw floats)
+    val encoded = assignPqCodes(subvecs, cb).persist(StorageLevel.MEMORY_AND_DISK)
+    val q = queriesOf(emb, nQueries)
+    // LUT: partial dot + partial squared norm per (query, m, code);
+    // 6-dp rounding makes every downstream sum engine-exact
+    val lut = q.select(col("query_id"), posexplode(
+      array((0 until m).map(i =>
+        slice(col("q_emb"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        round(aggregate(zip_with(col("qv"), col("centroid"),
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0d), (acc, x) => acc + x), 6).as("pdot"),
+        round(aggregate(transform(col("centroid"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0d), (acc, x) => acc + x), 6).as("pn2"))
+    val qn = q.select(col("query_id"),
+      sqrt(aggregate(transform(col("q_emb"),
+        x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)).as("qnorm"))
+    encoded.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pdot").as("dot"), sum("pn2").as("rn2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (col("dot") / (col("qnorm") * sqrt(col("rn2")))).as("sim"))
       .groupBy("query_id")
       .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))

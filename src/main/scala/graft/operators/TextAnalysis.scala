@@ -203,6 +203,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram-LM mean log-likelihood per document — the
+    * next step up from [[unigramLogProb]] toward a KenLM-style
+    * perplexity filter: p(wᵢ|wᵢ₋₁) = 0.75·c₂(wᵢ₋₁wᵢ)/c₁(wᵢ₋₁) +
+    * 0.25·c₁(wᵢ)/N (absolute-interpolation smoothing with fixed
+    * weights — deterministic, engine-portable).
+    *
+    * Scale shape: bigrams are built row-local (slice+zip, no window
+    * shuffle); the corpus LM (bigram counts, unigram counts, N) is
+    * three map-side-combined aggregates whose results are vocab-sized
+    * and broadcast back onto the token stream; the per-doc aggregate is
+    * ONE shuffle keyed doc_id. Nothing scales with corpus² — the same
+    * plan trains and applies the LM over 100 TB in one pass. */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    bigramLogProb(Tables(spark, dir).documents)
+
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val bigrams = docs.select(col("doc_id"),
+      explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val uni = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum("cnt").cast("double").as("total"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val scored = bigrams
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("token").as("w1"), col("cnt").as("cnt_prev"))), "w1")
+      .join(broadcast(uni.select(col("token").as("w2"), col("cnt").as("cnt_cur"))), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(lit(0.75) * col("cnt2") / col("cnt_prev") +
+          lit(0.25) * col("cnt_cur") / col("total"))), 4).as("avg_logprob"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams")).na.fill(0.0, Seq("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style document fingerprints: 3-token k-gram hashes,
     * minimum per 4-gram window, distinct survivors. Local selection is
     * window-function algebra over (doc, position) — one shuffle on

@@ -64,4 +64,65 @@ class AnnSpec extends AnyFunSuite {
     val pairs = Ann.embeddingNearDups(spark, sf, threshold = 0.2)
     assert(pairs.filter($"cos" < 0.2).count() == 0)
   }
+
+  test("semanticDedup: one row per vector, dup_of is a lower id in the same cell") {
+    val r = Ann.semanticDedup(spark, sf, threshold = 0.2).cache()
+    val n = Tables(spark, sf).embeddings.count()
+    assert(r.count() == n)
+    assert(r.filter($"keep" =!= $"dup_of".isNull).count() == 0)
+    val dropped = r.filter(!$"keep")
+      .select($"vec_id", $"cell", $"dup_of").as[(Long, Int, Long)].collect()
+    assert(dropped.nonEmpty, "threshold 0.2 should drop something at sf0.001")
+    dropped.foreach { case (v, _, d) => assert(d < v) }
+    // the named duplicate really is in the same cell and really is similar
+    val cells = r.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    dropped.foreach { case (v, c, d) => assert(cells(d) == c, s"$v dup_of $d") }
+    val emb = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    dropped.foreach { case (v, _, d) =>
+      assert(cos(emb(v), emb(d)) >= 0.2 - 1e-9, s"$v dup_of $d not similar")
+    }
+  }
+
+  test("semanticDedup keeps the lowest id of every duplicate group") {
+    val r = Ann.semanticDedup(spark, sf, threshold = 0.2)
+    // a vector named as someone's dup_of may itself be dropped (chains
+    // are allowed — SemDeDup drops against ANY lower similar id), but
+    // vec 0 of a cell can never be dropped
+    assert(r.filter(!$"keep" && $"dup_of" >= $"vec_id").count() == 0)
+    val minPerCell = r.groupBy("cell").agg(min("vec_id").as("lo")).as[(Int, Long)]
+      .collect().toMap
+    val droppedMins = r.filter(!$"keep").select($"vec_id", $"cell")
+      .as[(Long, Int)].collect()
+      .filter { case (v, c) => v == minPerCell(c) }
+    assert(droppedMins.isEmpty, "cell-minimum vector can have no lower neighbor")
+  }
+
+  test("knnPq ranks reasonably vs brute (quantized recall)") {
+    val brute = Ann.knnBrute(spark, sf, nQueries = 10, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Ann.knnPq(spark, sf, nQueries = 10, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.2, s"PQ recall $recall too low")
+  }
+
+  test("knnPq output shape: k ranked rows per query, deterministic across runs") {
+    val a = Ann.knnPq(spark, sf, nQueries = 5, k = 8)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Ann.knnPq(spark, sf, nQueries = 5, k = 8)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 40)
+    a.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 8))
+    }
+  }
 }

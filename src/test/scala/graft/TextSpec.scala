@@ -183,6 +183,25 @@ class TextSpec extends AnyFunSuite {
     assert(r(2L)._2 < r(1L)._2, "rarer tokens → lower mean logprob")
   }
 
+  test("bigram logprob: exact interpolated values on a known corpus") {
+    // tokens: doc1 = a b a b, doc2 = a b → c1(a)=3, c1(b)=3, N=6
+    // bigrams: (a,b)×3 (both docs), (b,a)×1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val pAB = 0.75 * 3.0 / 3.0 + 0.25 * 3.0 / 7.0 // N=7 incl. "solo"
+    val pBA = 0.75 * 1.0 / 3.0 + 0.25 * 3.0 / 7.0
+    val d1 = (2 * math.log(pAB) + math.log(pBA)) / 3.0
+    val d2 = math.log(pAB)
+    assert(r(1L)._1 == 3 && math.abs(r(1L)._2 - math.rint(d1 * 1e4) / 1e4) < 1e-9)
+    assert(r(2L)._1 == 1 && math.abs(r(2L)._2 - math.rint(d2 * 1e4) / 1e4) < 1e-9)
+    // a single-token doc has no bigrams and scores 0
+    assert(r(3L) == ((0L, 0.0)))
+    // repeated common bigrams score higher than rare ones
+    assert(r(2L)._2 > math.log(pBA))
+  }
+
   test("contamination: eval docs excluded, ratios bounded") {
     val r = graft.operators.Curation.contamination(spark, sf).cache()
     assert(r.filter($"doc_id" % 50 === 0).count() == 0, "eval docs must not be scored")
