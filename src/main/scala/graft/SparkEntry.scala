@@ -108,6 +108,7 @@ object SparkEntry {
     // end-to-end curation decision + deterministic data mixing
     "d_curation_pipeline" -> ((s, d) => Curation.curationDecisions(s, d)),
     "d_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "d_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
     "g_max_neighbor_degree" -> (GraphQueries.maxNeighborDegree _),
     "g_directed_degrees" -> (GraphQueries.directedDegrees _),
     "g_ppr_parallel" -> (GraphQueries.pprParallel _),
@@ -1604,6 +1605,32 @@ object SparkEntry {
         |  CAST(sum(keep) AS BIGINT) AS n_keep,
         |  round(avg(quality), 4) AS avg_quality
         |FROM dec GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
+    // α=0.5 temperature reweighting: sqrt is an exact IEEE op in both
+    // engines; weight/keep_rate rounded 6 dp; same md5 bucket sampler
+    // as d_stratified_sample
+    "d_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(sqrt(n_docs)) AS DOUBLE) AS z,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |r AS (
+        |  SELECT source, n_docs,
+        |    round(sqrt(n_docs) / (SELECT z FROM t), 6) AS weight,
+        |    least(1.0, round(0.5 * (SELECT n_total FROM t)
+        |      * round(sqrt(n_docs) / (SELECT z FROM t), 6) / n_docs, 6))
+        |      AS keep_rate
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST(('0x' || substr(md5('mixt:' || CAST(doc_id AS VARCHAR)),
+        |      1, 7))::BIGINT % 10000 AS INT) < keep_rate * 10000
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.weight, r.keep_rate,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k USING (source)
+        |ORDER BY r.source""".stripMargin,
     "d_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

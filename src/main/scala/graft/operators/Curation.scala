@@ -86,6 +86,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture sampling (the α-power reweighting every
+    * multilingual / multi-source LLM recipe uses, α = 0.5 here so the
+    * power is an exact IEEE sqrt in every engine): source weights
+    * w_s ∝ n_s^α flatten the source distribution, per-source keep
+    * rates hit a global target fraction, and the per-doc keep decision
+    * is the same deterministic md5 bucket as [[stratifiedSample]] —
+    * the sample is byte-identical on any engine or partitioning.
+    * Output: the mixing RECIPE table (source, n_docs, weight,
+    * keep_rate, n_kept) — what a data-recipe audit actually reviews.
+    *
+    * Scale shape: one map-side-combined groupBy for the counts, a
+    * broadcast of the source-sized recipe back onto the doc stream,
+    * one more tiny groupBy for n_kept. Nothing holds more than
+    * |sources| rows of state. */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     targetFraction: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(sqrt(col("n_docs"))).as("z"),
+      sum("n_docs").as("n_total"))
+    val recipe = counts.crossJoin(broadcast(tot))
+      .withColumn("weight", round(sqrt(col("n_docs")) / col("z"), 6))
+      .withColumn("keep_rate", least(lit(1.0),
+        round(lit(targetFraction) * col("n_total") * col("weight") / col("n_docs"), 6)))
+      .select("source", "n_docs", "weight", "keep_rate")
+    val bucket = conv(substring(md5(concat(lit("mixt:"),
+      col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") % 10000
+    val kept = docs.select(col("source"), bucket.cast("int").as("bucket"))
+      .join(broadcast(recipe.select("source", "keep_rate")), "source")
+      .filter(col("bucket") < col("keep_rate") * 10000)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    recipe.join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy("source")
+  }
+
   /** Benchmark-contamination check: the fraction of each training
     * document's w-token windows that also appear in the held-out
     * evaluation set (here: every 50th doc by id — a deterministic

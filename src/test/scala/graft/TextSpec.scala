@@ -202,6 +202,26 @@ class TextSpec extends AnyFunSuite {
     assert(r(2L)._2 > math.log(pBA))
   }
 
+  test("temperature mix: weights sum to 1, flatten the distribution, counts consistent") {
+    val r = graft.operators.Curation.temperatureMix(spark, sf).cache()
+    val rows = r.as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "weights must sum to ~1")
+    rows.foreach { case (_, n, w, rate, kept) =>
+      assert(w > 0 && rate > 0 && rate <= 1.0)
+      assert(kept <= n)
+      // the sampler must land near rate·n (md5 buckets are uniform)
+      assert(math.abs(kept - rate * n) <= math.max(10.0, 0.2 * n),
+        s"kept $kept far from ${rate * n}")
+    }
+    // α-flattening: a source's share of the sample exceeds its share of
+    // the corpus iff it is smaller than average → rarest source gains
+    val total = rows.map(_._2).sum.toDouble
+    val smallest = rows.minBy(_._2)
+    assert(smallest._3 >= smallest._2 / total - 1e-9,
+      "sqrt weighting must never downweight the rarest source")
+  }
+
   test("contamination: eval docs excluded, ratios bounded") {
     val r = graft.operators.Curation.contamination(spark, sf).cache()
     assert(r.filter($"doc_id" % 50 === 0).count() == 0, "eval docs must not be scored")
