@@ -76,6 +76,7 @@ object SparkEntry {
     "q_value_percentiles" -> (Relational.qValuePercentiles _),
     "q_customers_no_orders" -> (Relational.qCustomersNoOrders _),
     "g_weighted_degree" -> (GraphQueries.weightedDegree _),
+    "g_pagerank_weighted" -> (GraphQueries.weightedPageRank _),
     "d_token_count" -> (TextAnalysis.tokenCounts _),
     "d_quality_score" -> (TextAnalysis.qualityScores _),
     "d_lang_id" -> (TextAnalysis.langId _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "g_assortativity" -> (GraphQueries.assortativity _),
     "g_neighbor_jaccard" -> (GraphQueries.neighborJaccard _),
     "g_kcore" -> (GraphQueries.kCore _),
+    "g_ktruss" -> (GraphQueries.kTruss _),
     "g_modularity" -> (GraphQueries.modularity _),
     "g_component_sizes" -> (GraphQueries.componentSizes _),
     "g_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
@@ -257,6 +259,20 @@ object SparkEntry {
          |""".stripMargin
     }.mkString(s", r0 AS ($init)\n", "", "")
   }
+
+  /** Weighted-PageRank rounds (exactly `Gx.weightedPageRank`): the
+    * [[prUnrolled]] update with rank·w/strength message mass. */
+  private def wprUnrolled(iters: Int): String =
+    (1 to iters).map { i =>
+      s""", w$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(acc.a, 0.0) AS rank
+         |  FROM ws v LEFT JOIN (
+         |    SELECT y.dst AS id, sum(r.rank * y.weight / st.strength) AS a
+         |    FROM wsym y JOIN w${i - 1} r ON r.id = y.src
+         |    JOIN ws st ON st.id = y.src
+         |    GROUP BY y.dst) acc ON acc.id = v.id)
+         |""".stripMargin
+    }.mkString(", w0 AS (SELECT id, 1.0 AS rank FROM ws)\n", "", "")
 
   /** Fixed-iteration Katz centrality unrolled (x₀=1; xᵢ₊₁ = 1 +
     * 0.005·Σ_nbr xᵢ — [[prUnrolled]] without the degree division). */
@@ -442,6 +458,32 @@ object SparkEntry {
          |  JOIN kk$i b ON b.id = t.dst)
          |""".stripMargin
     }.mkString(", ke0 AS MATERIALIZED (SELECT src, dst FROM e)\n", "", "")
+
+  /** Unrolled k-truss peel (exactly `Metrics.kTruss`): per round,
+    * enumerate each triangle once on the canonical surviving edges,
+    * count per-edge support via the 3-leg union, drop edges below
+    * k−2. `rounds` must cover the fixpoint at the oracle SF (sf0.01
+    * converges in 5 rounds at k=12; extra rounds are no-ops on the
+    * converged set). Final support is within the converged subgraph. */
+  private def ktrussUnrolled(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s""", tt$i AS MATERIALIZED (
+         |  SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+         |  FROM te${i - 1} ab
+         |  JOIN te${i - 1} ac ON ac.src = ab.src AND ac.dst > ab.dst
+         |  JOIN te${i - 1} bc ON bc.src = ab.dst AND bc.dst = ac.dst)
+         |, ts$i AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS support FROM (
+         |    SELECT a AS src, b AS dst FROM tt$i
+         |    UNION ALL SELECT a, c FROM tt$i
+         |    UNION ALL SELECT b, c FROM tt$i)
+         |  GROUP BY src, dst)
+         |, te$i AS MATERIALIZED (
+         |  SELECT s.src, s.dst FROM ts$i s
+         |  JOIN te${i - 1} t ON t.src = s.src AND t.dst = s.dst
+         |  WHERE s.support >= ${k - 2})
+         |""".stripMargin
+    }.mkString(", te0 AS MATERIALIZED (SELECT src, dst FROM e)\n", "", "")
 
   /** Shared portable-MinHash pipeline CTEs: md5-derived 28-bit base
     * hash, Carter–Wegman permutations (a·h + b) mod 2³¹−1 with
@@ -1339,6 +1381,11 @@ object SparkEntry {
       pprParallelUnrolled(10) +
       """SELECT id, src AS source, round(rank, 6) AS ppr
         |FROM p10 ORDER BY id, source""".stripMargin),
+    "g_ktruss" -> (GraphCte + ktrussUnrolled(8, 12) +
+      """SELECT s.src, s.dst, s.support
+        |FROM ts8 s JOIN te8 t ON t.src = s.src AND t.dst = s.dst
+        |WHERE s.support >= 10
+        |ORDER BY s.src, s.dst""".stripMargin),
     "g_kcore" -> (GraphCte + kcoreUnrolled(10, 4) +
       """SELECT id, 4 AS k FROM (
         |  SELECT src AS id FROM ke10 UNION SELECT dst AS id FROM ke10)
@@ -1824,6 +1871,21 @@ object SparkEntry {
         |  SELECT src AS id, weight FROM we
         |  UNION ALL SELECT dst AS id, weight FROM we)
         |GROUP BY id ORDER BY id""".stripMargin,
+    // weighted PageRank: transition mass ∝ edge weight / strength(u);
+    // same fixed-iteration update as g_pagerank otherwise
+    "g_pagerank_weighted" -> ("""WITH we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |wsym AS MATERIALIZED (
+        |  SELECT src, dst, weight FROM we
+        |  UNION ALL SELECT dst, src, weight FROM we),
+        |ws AS MATERIALIZED (
+        |  SELECT src AS id, CAST(sum(weight) AS DOUBLE) AS strength
+        |  FROM wsym GROUP BY src)
+        |""".stripMargin + wprUnrolled(10) +
+      "SELECT id, round(rank, 6) AS wpagerank FROM w10 ORDER BY id"),
     "q_rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name,
         |  coalesce(n_name, 'ALL') AS n_name,

@@ -96,6 +96,12 @@ object GraphQueries {
     Metrics.kCore(GraphBuilder.coPurchase(spark, dir), k = 4)
       .orderBy("id")
 
+  /** 12-truss of the co-purchase graph: the clique-ish dense core
+    * (every surviving edge closes ≥ 10 triangles among survivors). */
+  def kTruss(spark: SparkSession, dir: String): DataFrame =
+    Metrics.kTruss(GraphBuilder.coPurchase(spark, dir), k = 12)
+      .orderBy("src", "dst")
+
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     Metrics.modularity(g, GraphBuilder.communities(spark, g))
@@ -104,6 +110,12 @@ object GraphQueries {
   def componentSizes(spark: SparkSession, dir: String): DataFrame =
     Metrics.componentSizes(GraphBuilder.coPurchase(spark, dir))
       .orderBy("size")
+
+  /** Weighted PageRank over the co-purchase edge weights. */
+  def weightedPageRank(spark: SparkSession, dir: String): DataFrame =
+    Gx.weightedPageRank(GraphBuilder.weightedEdges(spark, dir))
+      .select(col("id"), round(col("rank"), 6).as("wpagerank"))
+      .orderBy("id")
 
   /** Weighted degree (vertex strength): sum of incident edge weights. */
   def weightedDegree(spark: SparkSession, dir: String): DataFrame = {

@@ -167,6 +167,61 @@ object Gx {
       df
     })
 
+  /** Weighted PageRank (nx.pagerank's weighted default; GraphFrames
+    * pageRank over a weighted edge column): the transition probability
+    * from u to v is w(u,v)/strength(u) instead of 1/deg(u) — hub
+    * influence flows proportionally to co-purchase VOLUME, not just
+    * link existence. Same fixed-iteration semantics as the unweighted
+    * loop (r₀ = 1, additive (1−d) teleport, 10 rounds).
+    *
+    * Scale shape: identical to [[standardRanks]] — weights live as
+    * edge attributes in the cached, volume-partitioned edge RDD;
+    * strength is one aggregateMessages; each round is one traversal
+    * with map-side merge. State per vertex is (strength, rank). */
+  def weightedPageRank(weightedEdges: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = weightedEdges.sparkSession
+    import spark.implicits._
+    val nEdges = weightedEdges.count()
+    val parts = math.max(2L, nEdges / 250000L + 1L).toInt
+    val ed = weightedEdges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (s, d, w) => Edge(s, d, w) }
+    val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
+    val base = XGraph.fromEdges(sized, 0.0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val strength: VertexRDD[Double] = base.aggregateMessages[Double](
+      ctx => { ctx.sendToDst(ctx.attr); ctx.sendToSrc(ctx.attr) },
+      _ + _)
+    // static strength graph: every round's state graph is derived ONE
+    // join from this (never view-chained — the same lineage rule as
+    // standardRanks/labelPropagation)
+    val sg: XGraph[Double, Double] =
+      base.outerJoinVertices(strength)((_, _, s) => s.getOrElse(0.0)).cache()
+    sg.vertices.count()
+    var rg: XGraph[(Double, Double), Double] =
+      sg.mapVertices((_, s) => (s, 1.0)).cache()
+    rg.vertices.count()
+    for (_ <- 1 to iters) {
+      val msgs = rg.aggregateMessages[Double](
+        ctx => {
+          ctx.sendToDst(ctx.srcAttr._2 * ctx.attr / ctx.srcAttr._1)
+          ctx.sendToSrc(ctx.dstAttr._2 * ctx.attr / ctx.dstAttr._1)
+        },
+        _ + _)
+      val prev = rg
+      rg = sg.outerJoinVertices(msgs) { (_, s, m) =>
+        (s, 0.15 + 0.85 * m.getOrElse(0.0))
+      }.cache()
+      rg.vertices.count()
+      prev.unpersistVertices(blocking = false)
+    }
+    val df = rg.vertices.map { case (id, (_, r)) => (id, r) }
+      .toDF("id", "rank")
+    df
+  }
+
   /** Parallel personalized PageRank (GraphFrames
     * `parallelPersonalizedPageRank` parity): PPR from k source vertices
     * in ONE message loop. Vertex state is an Array[Double] of k ranks

@@ -116,6 +116,73 @@ object Metrics {
     GraphBuilder.vertices(edges).withColumn("k", lit(k))
   }
 
+  /** Per-edge triangle support computed FRESH on an arbitrary canonical
+    * (src < dst) edge set — the inner step of iterative peels that
+    * re-evaluate support on a shrinking graph. Same degree-ordered
+    * orientation + adjacency-intersection shape as
+    * [[Graph.edgeCommonStats]] (never the Σ deg² wedge self-join), but
+    * unpersisted and with plain shuffle joins: peel rounds run on
+    * subsets whose size the peel itself controls, and at 100 TB the
+    * adjacency side must be co-partitioned, not broadcast. */
+  private def edgeSupport(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val e = edges
+      .join(deg.select(col("id").as("src"), col("d").as("sd")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
+    val oriented = e.select(
+      when(col("sd") < col("dd") ||
+           (col("sd") === col("dd") && col("src") < col("dst")),
+        struct(col("src").as("lo"), col("dst").as("hi")))
+        .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    val adj = oriented.groupBy(col("lo").as("v"))
+      .agg(collect_list(col("hi")).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
+      .join(adj.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        explode(array_intersect(col("nu"),
+          coalesce(col("nv"), typedLit(Array.empty[Long])))).as("w"))
+    def leg(x: String, y: String): DataFrame =
+      tri.select(least(col(x), col(y)).as("src"),
+        greatest(col(x), col(y)).as("dst"))
+    leg("lo", "hi").union(leg("lo", "w")).union(leg("hi", "w"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss (nx.k_truss): the maximal subgraph in which every edge
+    * participates in at least k−2 triangles WITHIN the subgraph —
+    * the edge analog of k-core and a much tighter cohesion filter
+    * (it extracts the clique-ish core that co-purchase noise buries).
+    * Peels to a fixpoint; requires k ≥ 3. Returns the surviving edges
+    * with their final within-truss support.
+    *
+    * Round 1 reuses the session-cached [[Graph.edgeCommonStats]]
+    * (support on the full graph — already materialized for the
+    * link-prediction queries); every later round recomputes support
+    * only on the survivors, which the peel itself shrinks. Each round
+    * is localCheckpointed: iteration i's plan never re-derives rounds
+    * 1..i−1. */
+  def kTruss(g: Graph, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var edges = g.edges.select("src", "dst").localCheckpoint(true)
+    var sup = g.edgeCommonStats
+      .select(col("src"), col("dst"), col("common").as("support"))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val keep = sup.filter(col("support") >= k - 2)
+      val pruned = keep.select("src", "dst").localCheckpoint(true)
+      changed = pruned.count() != edges.count()
+      edges = pruned
+      if (changed) sup = edgeSupport(edges).localCheckpoint(true)
+      i += 1
+    }
+    sup.filter(col("support") >= k - 2)
+      .select("src", "dst", "support")
+  }
+
   /** Newman modularity of a vertex partition (labels: id, community):
     * Q = Σ_c [ e_c/m − (d_c/2m)² ]. Two aggregates over the labeled
     * edge/degree streams — no per-pair work. */

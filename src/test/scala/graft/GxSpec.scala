@@ -23,6 +23,34 @@ class GxSpec extends AnyFunSuite {
     assert(ours == dfImpl)
   }
 
+  test("weighted pagerank with unit weights == unweighted pagerank") {
+    val unit = g.edges.select($"src", $"dst").withColumn("weight", lit(1L))
+    val wpr = Gx.weightedPageRank(unit).as[(Long, Double)].collect().toMap
+    val pr = Gx.pageRank(g, iters = 10).as[(Long, Double)].collect().toMap
+    assert(wpr.keySet == pr.keySet)
+    wpr.foreach { case (id, r) =>
+      assert(math.abs(r - pr(id)) <= 1e-6, s"vertex $id: $r vs ${pr(id)}")
+    }
+  }
+
+  test("weighted pagerank shifts rank toward heavy edges (hand-checked)") {
+    // path 1 —(10)— 2 —(1)— 3: from 2, mass flows 10/11 to 1, 1/11 to 3
+    val we = Seq((1L, 2L, 10L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    val got = Gx.weightedPageRank(we).as[(Long, Double)].collect().toMap
+    // replay the same fixed-iteration update locally
+    var r = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 10) {
+      r = Map(
+        1L -> (0.15 + 0.85 * r(2L) * 10.0 / 11.0),
+        2L -> (0.15 + 0.85 * (r(1L) * 10.0 / 10.0 + r(3L) * 1.0 / 1.0)),
+        3L -> (0.15 + 0.85 * r(2L) * 1.0 / 11.0))
+    }
+    r.foreach { case (id, want) =>
+      assert(math.abs(got(id) - want) < 1e-9, s"vertex $id: ${got(id)} vs $want")
+    }
+    assert(got(1L) > got(3L), "heavy edge must attract more rank")
+  }
+
   test("Gx pagerank == DataFrame pagerank (same fixed-point iteration)") {
     val ours = Gx.pageRank(g, iters = 10).as[(Long, Double)].collect().toMap
     val dfImpl = Iterative.pageRank(g, iters = 10)

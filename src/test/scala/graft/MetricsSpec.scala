@@ -40,6 +40,38 @@ class MetricsSpec extends AnyFunSuite {
     assert(core3.isEmpty) // triangle has degree 2 internally
   }
 
+  test("kTruss keeps a clique, drops pendants and weakly-attached triangles") {
+    // K4 {1,2,3,4} + vertex 5 forming triangle {1,2,5} + pendant 6 on 1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (1L, 6L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    // k=4: edges (1,5),(2,5) have support 1 → pruned round 1; K4 edges
+    // then re-evaluate to support 2 within survivors → all kept
+    val t4 = Metrics.kTruss(g, k = 4)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(t4.map(r => (r._1, r._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t4.forall(_._3 == 2), t4.mkString(","))
+    // k=5 needs support ≥ 3: K4 cannot provide it → empty truss
+    assert(Metrics.kTruss(g, k = 5).count() == 0)
+    // k=3 keeps every triangle edge, drops only the pendant
+    val t3 = Metrics.kTruss(g, k = 3)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(t3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("kTruss peel cascades: removing the bridge collapses the chain") {
+    // two triangles sharing edge (2,3): {1,2,3} and {2,3,4}
+    // k=4: every edge has support ≤ 2; (2,3) has support 2, others 1 →
+    // round 1 drops the side edges, then (2,3) has support 0 → empty
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    assert(Metrics.kTruss(g, k = 4).count() == 0)
+    // k=3 keeps everything (each edge closes ≥1 triangle)
+    assert(Metrics.kTruss(g, k = 3).count() == 5)
+  }
+
   test("modularity of the trivial one-community partition is near zero") {
     val labels = triPendant.vertices.select($"id", lit(0).as("community"))
     val q = Metrics.modularity(triPendant, labels).as[Double].head()
