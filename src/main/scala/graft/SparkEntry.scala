@@ -91,6 +91,7 @@ object SparkEntry {
     "g_neighbor_jaccard" -> (GraphQueries.neighborJaccard _),
     "g_kcore" -> (GraphQueries.kCore _),
     "g_ktruss" -> (GraphQueries.kTruss _),
+    "g_walk_corpus" -> ((s, d) => GraphQueries.walkCorpus(s, d)),
     "g_modularity" -> (GraphQueries.modularity _),
     "g_component_sizes" -> (GraphQueries.componentSizes _),
     "g_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
@@ -484,6 +485,30 @@ object SparkEntry {
          |  WHERE s.support >= ${k - 2})
          |""".stripMargin
     }.mkString(", te0 AS MATERIALIZED (SELECT src, dst FROM e)\n", "", "")
+
+  /** Unrolled DeepWalk steps (exactly `GraphQueries.walkCorpus`): one
+    * adjacency join per step, next = sorted-neighbor list indexed by
+    * md5("seed:walk:step") mod degree (1-based list index in DuckDB). */
+  private def walkUnrolled(steps: Int, stride: Long, seed: Long): String =
+    (1 to steps).map { t =>
+      s""", wk$t AS MATERIALIZED (
+         |  SELECT w.walk_id,
+         |    a.nbrs[CAST(('0x' || substr(md5('$seed:' ||
+         |      CAST(w.walk_id AS VARCHAR) || ':$t'), 1, 8))::BIGINT
+         |      % len(a.nbrs) AS INT) + 1] AS pos,
+         |    list_append(w.seq, a.nbrs[CAST(('0x' || substr(md5('$seed:' ||
+         |      CAST(w.walk_id AS VARCHAR) || ':$t'), 1, 8))::BIGINT
+         |      % len(a.nbrs) AS INT) + 1]) AS seq
+         |  FROM wk${t - 1} w JOIN wadj a ON a.pos = w.pos)
+         |""".stripMargin
+    }.mkString(
+      s""", wadj AS MATERIALIZED (
+         |  SELECT src AS pos, list_sort(list(dst)) AS nbrs
+         |  FROM sym GROUP BY src)
+         |, wk0 AS (
+         |  SELECT id AS walk_id, id AS pos, [id] AS seq
+         |  FROM deg WHERE id % $stride = 0)
+         |""".stripMargin, "", "")
 
   /** Shared portable-MinHash pipeline CTEs: md5-derived 28-bit base
     * hash, Carter–Wegman permutations (a·h + b) mod 2³¹−1 with
@@ -1381,6 +1406,12 @@ object SparkEntry {
       pprParallelUnrolled(10) +
       """SELECT id, src AS source, round(rank, 6) AS ppr
         |FROM p10 ORDER BY id, source""".stripMargin),
+    // DeepWalk corpus: every step choice replayed via
+    // md5('42:'||walk||':'||t) over the sorted adjacency list
+    "g_walk_corpus" -> (GraphCte + walkUnrolled(8, 20, 42L) +
+      """SELECT walk_id, generate_subscripts(seq, 1) - 1 AS step,
+        |  unnest(seq) AS vertex
+        |FROM wk8 ORDER BY walk_id, step""".stripMargin),
     "g_ktruss" -> (GraphCte + ktrussUnrolled(8, 12) +
       """SELECT s.src, s.dst, s.support
         |FROM ts8 s JOIN te8 t ON t.src = s.src AND t.dst = s.dst

@@ -111,6 +111,46 @@ object GraphQueries {
     Metrics.componentSizes(GraphBuilder.coPurchase(spark, dir))
       .orderBy("size")
 
+  /** DeepWalk-style walk corpus (Perozzi et al. 2014): fixed-length
+    * random walks from a deterministic start set, emitted long-form as
+    * (walk_id, step, vertex) — the training corpus a skip-gram graph
+    * embedding consumes, and the graph-side twin of the text pipeline's
+    * sequence operators. Every step choice is
+    * md5("seed:walk:step") mod degree over the SORTED adjacency array
+    * (the [[CommunitySample]] portable-walk idiom), so the corpus is
+    * bit-identical on any engine — the DuckDB oracle replays all steps.
+    *
+    * Scale shape: NO per-task graph state (unlike the flagship's
+    * community-local walks — these are global walks): the adjacency
+    * table is built once (one shuffle, sorted row-local) and each step
+    * is ONE hash join of the |starts|-row frontier against it; `steps`
+    * joins total, all expressions native (md5/conv/element_at — no
+    * UDF). 100 TB: frontier and adjacency co-partition on the join
+    * key; walk count scales with the vertex stride. */
+  def walkCorpus(spark: SparkSession, dir: String, steps: Int = 8,
+                 stride: Long = 20L, seed: Long = 42L): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val adj = g.collectNeighborIds
+      .select(col("id").as("pos"), col("neighbor_ids").as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = g.vertices.filter(col("id") % stride === 0)
+      .select(col("id").as("walk_id"), col("id").as("pos"),
+        array(col("id")).as("seq"))
+    for (t <- 1 to steps) {
+      val choice = (conv(substring(md5(concat_ws(":",
+        lit(seed), col("walk_id"), lit(t))), 1, 8), 16, 10)
+        .cast("long") % size(col("nbrs"))).cast("int")
+      state = state.join(adj, "pos")
+        .withColumn("nxt", element_at(col("nbrs"), choice + 1))
+        .select(col("walk_id"), col("nxt").as("pos"),
+          concat(col("seq"), array(col("nxt"))).as("seq"))
+    }
+    val out = state
+      .select(col("walk_id"), posexplode(col("seq")).as(Seq("step", "vertex")))
+      .orderBy("walk_id", "step")
+    out
+  }
+
   /** Weighted PageRank over the co-purchase edge weights. */
   def weightedPageRank(spark: SparkSession, dir: String): DataFrame =
     Gx.weightedPageRank(GraphBuilder.weightedEdges(spark, dir))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{Betweenness, CommunitySample, Graph, GraphBuilder}
+import graft.graph.{Betweenness, CommunitySample, Graph, GraphBuilder, GraphQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -104,5 +104,33 @@ class SamplingSpec extends AnyFunSuite {
     val s = CommunitySample.sample(spark, g, alpha = 2.0, lpaIters = 2, seed = 7L)
     assert(s.count() <= 4)
     assert(s.count() >= 1)
+  }
+
+  test("walk corpus: every consecutive pair is a real edge, walks deterministic") {
+    val w = GraphQueries.walkCorpus(spark, sf, steps = 4, stride = 10L).cache()
+    val rows = w.as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    // every walk has steps 0..4 and starts at its walk_id
+    val byWalk = rows.groupBy(_._1)
+    byWalk.foreach { case (wid, steps) =>
+      assert(steps.map(_._2).sorted.toSeq == (0 to 4))
+      assert(steps.minBy(_._2)._3 == wid, s"walk $wid must start at itself")
+    }
+    // consecutive positions are joined by an edge of the graph
+    val edges = GraphBuilder.coPurchase(spark, sf).edges
+      .as[(Long, Long)].collect()
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toSet
+    byWalk.values.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(edges.contains((a._3, b._3)),
+          s"${a._3} -> ${b._3} is not an edge")
+        case _ =>
+      }
+    }
+    // determinism: identical second run
+    val again = GraphQueries.walkCorpus(spark, sf, steps = 4, stride = 10L)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
   }
 }
