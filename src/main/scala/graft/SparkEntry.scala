@@ -71,6 +71,7 @@ object SparkEntry {
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
+    "q_asof_attribution" -> (Relational.qAsofAttribution _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "q_rollup_revenue" -> (Relational.qRollupRevenue _),
     "q_value_percentiles" -> (Relational.qValuePercentiles _),
@@ -1963,6 +1964,22 @@ object SparkEntry {
         |SELECT user_id, sid, min(epoch_ms(ts)) AS session_start_ms,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    // the oracle uses DuckDB's NATIVE ASOF JOIN against our
+    // union+window implementation — two independent algorithms, one
+    // hash
+    "q_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_ms(ts) AS view_ms
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id, p.purchase_ms,
+        |  v.view_ms AS last_view_ms,
+        |  p.purchase_ms - v.view_ms AS gap_ms
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.view_ms <= p.purchase_ms
+        |ORDER BY p.event_id""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,

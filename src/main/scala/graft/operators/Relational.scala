@@ -181,6 +181,35 @@ object Relational {
       .orderBy("user_id", "sid")
   }
 
+  /** As-of join (event attribution): every purchase matched to the
+    * user's most recent view at-or-before it — the canonical time-series
+    * join (market data, attribution, slowly-changing dims). DuckDB runs
+    * its native ASOF JOIN as the oracle; Spark has no asof operator, so
+    * this is the UNION + ordered-window form — the scalable shape:
+    * both sides union into one stream, ONE shuffle on the join key,
+    * and `last(view_ts) ignoring nulls` over the time-ordered window
+    * resolves the match without a range self-join (a naive
+    * per-row max-subquery ships |purchases|·|views| pairs; this ships
+    * each row once). At equal timestamps the view orders BEFORE the
+    * purchase (≤ semantics), event_id completes the total order. */
+  def qAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_type").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("last_view_ms",
+        last(when(col("event_type") === "view", col("ms")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms").as("purchase_ms"),
+        col("last_view_ms"),
+        (col("ms") - col("last_view_ms")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   /** Correlated aggregate subquery (TPC-H Q17 shape): revenue from
     * lineitems whose quantity is below 20% of their part's average —
     * the decorrelation pattern. Expressed as an explicit per-part

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Relational
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -25,6 +26,32 @@ class RelationalSpec extends AnyFunSuite {
   test("every oracleSql key has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("asof attribution equals brute-force latest-at-or-before view") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.qAsofAttribution(spark, sf)
+      .select(col("event_id"), col("last_view_ms"))
+      .as[(Long, Option[Long])](org.apache.spark.sql.Encoders.product)
+      .collect().toMap
+    val ev = Tables(spark, sf).events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")))
+      .as[(Long, String, Long, Long)](org.apache.spark.sql.Encoders.product)
+      .collect()
+    val viewsByUser = ev.filter(_._2 == "view")
+      .groupBy(_._1).view.mapValues(_.map(_._4)).toMap
+    val purchases = ev.filter(_._2 == "purchase")
+    assert(purchases.nonEmpty && got.nonEmpty)
+    purchases.foreach { case (u, _, eid, ms) =>
+      val want = viewsByUser.getOrElse(u, Array.empty[Long])
+        .filter(_ <= ms) match {
+        case a if a.isEmpty => None
+        case a => Some(a.max)
+      }
+      assert(got(eid) == want, s"purchase $eid user $u at $ms")
+    }
   }
 
   test("q1 aggregates match a hand check") {
