@@ -72,6 +72,7 @@ object SparkEntry {
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
     "q_asof_attribution" -> (Relational.qAsofAttribution _),
+    "q_range_join" -> (Relational.qRangeJoin _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "q_rollup_revenue" -> (Relational.qRollupRevenue _),
     "q_value_percentiles" -> (Relational.qValuePercentiles _),
@@ -1980,6 +1981,22 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.view_ms <= p.purchase_ms
         |ORDER BY p.event_id""".stripMargin,
+    // oracle = straight inequality join (DuckDB IEJoin); the engine
+    // side buckets time and equi-joins — same result, one hash
+    "q_range_join" ->
+      """WITH er AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS error_ms
+        |  FROM events WHERE event_type = 'error'),
+        |cl AS (
+        |  SELECT user_id, epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click')
+        |SELECT er.user_id, er.event_id, er.error_ms,
+        |  count(cl.click_ms) AS n_nearby_clicks
+        |FROM er LEFT JOIN cl
+        |  ON er.user_id = cl.user_id
+        |  AND abs(cl.click_ms - er.error_ms) <= 300000
+        |GROUP BY er.user_id, er.event_id, er.error_ms
+        |ORDER BY er.event_id""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,

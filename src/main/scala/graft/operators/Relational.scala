@@ -210,6 +210,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: for every error event, how many clicks the
+    * same user made within ±5 minutes — the time-proximity join shape
+    * (incident correlation, feature windows). A naive formulation is an
+    * inequality join — |errors|·|clicks| pairs per user before
+    * filtering. The scalable form BUCKETIZES time: every click lands in
+    * exactly one 5-minute bucket, every error probes its own bucket ±1,
+    * so the join is a plain equi-join on (user, bucket) — each
+    * candidate pair produced exactly once (a click has one bucket) —
+    * followed by the exact |Δt| ≤ 5 min filter. Candidates per error
+    * are bounded by the user's clicks in 3 buckets, never the whole
+    * history. The DuckDB oracle runs the straight inequality join. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winMs = 300000L
+    val ev = Tables(spark, dir).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("error_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("click_ms"))
+      .withColumn("bucket", expr(s"click_ms DIV $winMs"))
+    val probes = errors
+      .withColumn("b0", expr(s"error_ms DIV $winMs"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    val counts = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(abs(col("click_ms") - col("error_ms")) <= winMs)
+      .groupBy("user_id", "event_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+    errors.join(counts, Seq("user_id", "event_id"), "left")
+      .na.fill(0L, Seq("n_nearby_clicks"))
+      .select("user_id", "event_id", "error_ms", "n_nearby_clicks")
+      .orderBy("event_id")
+  }
+
   /** Correlated aggregate subquery (TPC-H Q17 shape): revenue from
     * lineitems whose quantity is below 20% of their part's average —
     * the decorrelation pattern. Expressed as an explicit per-part

@@ -54,6 +54,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("range join equals brute-force ±5-minute click count") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.qRangeJoin(spark, sf)
+      .select(col("event_id"), col("n_nearby_clicks"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product)
+      .collect().toMap
+    val ev = Tables(spark, sf).events
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")))
+      .as[(Long, String, Long, Long)](org.apache.spark.sql.Encoders.product)
+      .collect()
+    val clicksByUser = ev.filter(_._2 == "click")
+      .groupBy(_._1).view.mapValues(_.map(_._4)).toMap
+    val errors = ev.filter(_._2 == "error")
+    assert(errors.nonEmpty && got.nonEmpty)
+    errors.foreach { case (u, _, eid, ms) =>
+      val want = clicksByUser.getOrElse(u, Array.empty[Long])
+        .count(c => math.abs(c - ms) <= 300000L)
+      assert(got(eid) == want, s"error $eid user $u at $ms")
+    }
+    assert(got.values.sum > 0, "some error must have a nearby click")
+  }
+
   test("q1 aggregates match a hand check") {
     val row = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .filter("l_returnflag = 'A'").collect()
