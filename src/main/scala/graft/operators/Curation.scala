@@ -53,6 +53,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Curated-corpus SINK: the kept documents written as parquet,
+    * PARTITIONED BY predicted language and sorted by doc_id within
+    * each file — the handoff artifact a training pipeline reads next.
+    * Partitioning by language gives downstream per-language readers
+    * partition pruning for free; sortWithinPartitions keeps row
+    * groups doc_id-clustered so id-range scans skip pages. Returns
+    * the kept-row count (the number a pipeline run logs).
+    *
+    * Scale shape: one decision join against the session-cached
+    * curation table, one shuffle on the partition key; writer
+    * parallelism = shuffle partitions per language. */
+  def writeCuratedCorpus(spark: SparkSession, dir: String,
+                         outDir: String): Long = {
+    val docs = Tables(spark, dir).documents
+    val dec = curationDecisions(spark, dir)
+      .filter(col("keep") === 1)
+      .select("doc_id", "quality", "lang_pred")
+    val curated = docs.join(dec, "doc_id")
+      .select(col("doc_id"), col("text"), col("source"),
+        col("quality"), col("lang_pred"))
+    curated
+      .repartition(col("lang_pred"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .partitionBy("lang_pred")
+      .parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Corpus-level curation yield: the decision table aggregated per
     * predicted language — doc counts, dup counts, kept counts, mean
     * quality. What a pipeline dashboard reports after a curation run;

@@ -219,11 +219,15 @@ object TextAnalysis {
     bigramLogProb(Tables(spark, dir).documents)
 
   def bigramLogProb(docs: DataFrame): DataFrame = {
+    // the bigram stream feeds BOTH the LM counts and the scoring join;
+    // localCheckpoint materializes it once instead of re-tokenizing the
+    // corpus for each consumer
     val bigrams = docs.select(col("doc_id"),
       explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1))).as("bg"))
       .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .localCheckpoint(true)
     val uni = docs.select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = uni.agg(sum("cnt").cast("double").as("total"))

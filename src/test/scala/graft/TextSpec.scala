@@ -251,6 +251,32 @@ class TextSpec extends AnyFunSuite {
     assert(r.filter($"seq_offset" < 0 || $"seq_offset" >= 2048).count() == 0)
   }
 
+  test("curated-corpus sink: language-partitioned parquet round-trips the kept set") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    try {
+      val n = graft.operators.Curation.writeCuratedCorpus(spark, sf, out)
+      val wantKeep = graft.operators.Curation.curationDecisions(spark, sf)
+        .filter($"keep" === 1).count()
+      assert(n == wantKeep, s"sink wrote $n, decisions keep $wantKeep")
+      // hive-style language partitions exist and prune on read
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang_pred=")), dirs)
+      val back = spark.read.parquet(out)
+      assert(back.columns.toSet ==
+        Set("doc_id", "text", "source", "quality", "lang_pred"))
+      // no dropped doc leaks into the curated output
+      val dropped = graft.operators.Curation.curationDecisions(spark, sf)
+        .filter($"keep" === 0).select("doc_id")
+      assert(back.join(dropped, "doc_id").count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("multimodal feature extraction is deterministic with real plumbing") {
     val a = Multimodal.multimodalMeta(spark, sf).collect()
     val b = Multimodal.multimodalMeta(spark, sf).collect()
