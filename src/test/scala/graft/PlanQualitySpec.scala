@@ -196,4 +196,27 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.sparkPlan.treeString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("asof join: one window pass, no range self-join or cartesian") {
+    val plan = Relational.qAsofAttribution(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("range join: bucketized equi-join, never a nested-loop product") {
+    val plan = Relational.qRangeJoin(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("walk corpus: events/documents untouched, lineitem scan pruned to 2 cols") {
+    val df = graft.graph.GraphQueries.walkCorpus(spark, sf, steps = 2)
+    scans(df).foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("l_orderkey", "l_partkey")), cols.mkString(","))
+    }
+  }
 }

@@ -123,6 +123,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kTruss matches brute-force peel on random graphs") {
+    forAllN(edgeGen, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val g = Graph(GraphBuilder.vertices(edges.toDF("src", "dst")),
+          edges.toDF("src", "dst"))
+        val got = graft.graph.Metrics.kTruss(g, k = 4)
+          .select("src", "dst").as[(Long, Long)].collect().toSet
+        // brute-force fixpoint peel
+        var es = edges.toSet
+        def support(e: (Long, Long), s: Set[(Long, Long)]): Int = {
+          def nbr(v: Long) = s.collect {
+            case (a, b) if a == v => b
+            case (a, b) if b == v => a
+          }
+          (nbr(e._1) intersect nbr(e._2)).size
+        }
+        var changed = true
+        while (changed) {
+          val next = es.filter(e => support(e, es) >= 2)
+          changed = next != es
+          es = next
+        }
+        assert(got == es, s"edges=$edges")
+      }
+    }
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     forAllN(edgeGen) { edges =>
       if (edges.nonEmpty) {
