@@ -21,29 +21,44 @@ import scala.collection.concurrent.TrieMap
   */
 object GraphBuilder {
 
-  /** Canonical (src < dst, distinct) co-purchase edges. */
-  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    a.join(b, "l_orderkey")
+  /** Per-order sorted part sets — the shared guts of both edge
+    * derivations. ONE shuffle of lineitem (groupBy orderkey with
+    * partial aggregation) instead of the self-join's two full-table
+    * shuffles; pair generation is then row-LOCAL. Orders bound the
+    * array width (TPC-H-ish data: ≤ ~7 parts per order), and a
+    * pathological giant order costs C(k,2) rows in EITHER formulation
+    * — the self-join materializes the same k² join rows. */
+  private def orderParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list("l_partkey")).as("ps"))
+
+  /** Canonical (src < dst) co-purchase ROW pairs — one row per pair of
+    * lineitems sharing an order (exactly the self-join's semantics: a
+    * part appearing twice in an order contributes multiplicatively to
+    * the weighted counts; equal-part pairs are excluded by the strict
+    * filter). Both generate stages are codegen'd native generators
+    * (posexplode + slice) — no interpreted lambdas on the hot path,
+    * and the sorted list makes src ≤ dst structural. */
+  private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    orderParts(spark, dir)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      .select(col("src"),
+        explode(slice(col("ps"), col("i") + 2,
+          size(col("ps")))).as("dst"))
       .filter(col("src") < col("dst"))
-      .select("src", "dst")
-      .distinct()
-  }
+
+  /** Canonical (src < dst, distinct) co-purchase edges. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(spark, dir).distinct()
 
   /** Weighted co-purchase edges: weight = number of orders the pair
-    * co-occurs in. Same single shuffle as the unweighted derivation —
-    * the distinct becomes a count aggregate. */
-  def coPurchaseWeightedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    a.join(b, "l_orderkey")
-      .filter(col("src") < col("dst"))
+    * co-occurs in. Same derivation — the distinct becomes a count
+    * aggregate. */
+  def coPurchaseWeightedEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(spark, dir)
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
-  }
 
   /** Vertices = all parts that appear in any lineitem (graph endpoints). */
   def vertices(edges: DataFrame): DataFrame =
