@@ -93,6 +93,7 @@ object SparkEntry {
     "g_neighbor_jaccard" -> (GraphQueries.neighborJaccard _),
     "g_kcore" -> (GraphQueries.kCore _),
     "g_ktruss" -> (GraphQueries.kTruss _),
+    "g_core_number" -> (GraphQueries.coreNumbers _),
     "g_walk_corpus" -> ((s, d) => GraphQueries.walkCorpus(s, d)),
     "g_modularity" -> (GraphQueries.modularity _),
     "g_component_sizes" -> (GraphQueries.componentSizes _),
@@ -461,6 +462,25 @@ object SparkEntry {
          |  JOIN kk$i b ON b.id = t.dst)
          |""".stripMargin
     }.mkString(", ke0 AS MATERIALIZED (SELECT src, dst FROM e)\n", "", "")
+
+  /** Unrolled iterated-h-index core decomposition (exactly
+    * `Metrics.coreNumbers`): h₀ = degree; each round every vertex
+    * takes the h-index of its neighbors' values (rank neighbors'
+    * values descending, h = max rank with value ≥ rank). `rounds`
+    * must cover the fixpoint at the oracle SF (sf0.01 converges in
+    * 19; extra rounds are no-ops at the fixpoint). */
+  private def coreUnrolled(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""", h$i AS MATERIALIZED (
+         |  SELECT v AS id, max(CASE WHEN cv >= rn THEN rn ELSE 0 END) AS c
+         |  FROM (
+         |    SELECT s.dst AS v, p.c AS cv,
+         |      row_number() OVER (PARTITION BY s.dst ORDER BY p.c DESC) AS rn
+         |    FROM sym s JOIN h${i - 1} p ON p.id = s.src)
+         |  GROUP BY v)
+         |""".stripMargin
+    }.mkString(
+      ", h0 AS MATERIALIZED (SELECT id, degree AS c FROM deg)\n", "", "")
 
   /** Unrolled k-truss peel (exactly `Metrics.kTruss`): per round,
     * enumerate each triangle once on the canonical surviving edges,
@@ -1414,6 +1434,10 @@ object SparkEntry {
       """SELECT walk_id, generate_subscripts(seq, 1) - 1 AS step,
         |  unnest(seq) AS vertex
         |FROM wk8 ORDER BY walk_id, step""".stripMargin),
+    "g_core_number" -> (GraphCte + coreUnrolled(22) +
+      """SELECT d.id, CAST(coalesce(h.c, 0) AS BIGINT) AS core
+        |FROM deg d LEFT JOIN h22 h USING (id)
+        |ORDER BY d.id""".stripMargin),
     "g_ktruss" -> (GraphCte + ktrussUnrolled(8, 12) +
       """SELECT s.src, s.dst, s.support
         |FROM ts8 s JOIN te8 t ON t.src = s.src AND t.dst = s.dst

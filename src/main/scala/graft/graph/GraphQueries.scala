@@ -96,6 +96,11 @@ object GraphQueries {
     Metrics.kCore(GraphBuilder.coPurchase(spark, dir), k = 4)
       .orderBy("id")
 
+  /** Full core decomposition: per-vertex coreness. */
+  def coreNumbers(spark: SparkSession, dir: String): DataFrame =
+    Metrics.coreNumbers(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("id")
+
   /** 12-truss of the co-purchase graph: the clique-ish dense core
     * (every surviving edge closes ≥ 10 triangles among survivors). */
   def kTruss(spark: SparkSession, dir: String): DataFrame =

@@ -3,6 +3,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Additional whole-graph and per-edge SNA metrics beyond the
   * reference's direct surface — standard companions in any SNA toolkit,
@@ -114,6 +115,51 @@ object Metrics {
       i += 1
     }
     GraphBuilder.vertices(edges).withColumn("k", lit(k))
+  }
+
+  /** FULL core decomposition (nx.core_number) — every vertex's
+    * coreness, not just k-core membership — via the iterated-h-index
+    * fixpoint (Lü et al. 2016, "The H-index of a network node"):
+    * start from degree; each round every vertex replaces its value
+    * with the h-index of its neighbors' values; the fixpoint IS the
+    * core number. Deterministic (the h-index is invariant to tie
+    * order), so the oracle replays the unrolled rounds exactly.
+    *
+    * Scale shape: the symmetric edge list is persisted ONCE and stays
+    * put; each round ships only the |V|-row state — broadcast below
+    * 500k vertices, co-partitioned shuffle join beyond — then one
+    * shuffle keyed on the receiving vertex for the rank window, whose
+    * partitioning the following aggregate reuses. Convergence is
+    * data-dependent (19 rounds at sf0.01, 38 at sf0.1). */
+  def coreNumbers(g: Graph, maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = g.symmetrized.persist(StorageLevel.MEMORY_AND_DISK)
+    val broadcastable = g.vertexCount <= 500000
+    var state = g.degrees
+      .select(col("id"), col("degree").cast("long").as("c"))
+      .localCheckpoint(true)
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val st = state.withColumnRenamed("id", "src")
+      val msgs = sym
+        .join(if (broadcastable) broadcast(st) else st, "src")
+        .select(col("dst").as("v"), col("c").as("cv"))
+      val w = Window.partitionBy("v").orderBy(col("cv").desc)
+      val agg = msgs.withColumn("rn", row_number().over(w))
+        .groupBy(col("v").as("id"))
+        .agg(max(when(col("cv") >= col("rn"), col("rn"))
+          .otherwise(lit(0L))).as("c"))
+      val next = g.vertices.select("id").join(agg, Seq("id"), "left")
+        .na.fill(0L, Seq("c"))
+        .localCheckpoint(true)
+      changed = next.join(state.withColumnRenamed("c", "pc"), "id")
+        .filter(col("c") =!= col("pc")).count() > 0
+      state = next
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    state.select(col("id"), col("c").as("core"))
   }
 
   /** Per-edge triangle support computed FRESH on an arbitrary canonical

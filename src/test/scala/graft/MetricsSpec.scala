@@ -40,6 +40,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(core3.isEmpty) // triangle has degree 2 internally
   }
 
+  test("coreNumbers: known coreness on triangle+pendant and K4+tail") {
+    val got = Metrics.coreNumbers(triPendant)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1), got.toString)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val k4 = Metrics.coreNumbers(g).as[(Long, Long)].collect().toMap
+    assert(k4 == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1, 6L -> 1),
+      k4.toString)
+  }
+
+  test("coreNumbers consistent with kCore membership at sf") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val core4 = Metrics.kCore(g, k = 4).select("id")
+      .as[Long].collect().toSet
+    val byCore = Metrics.coreNumbers(g).as[(Long, Long)].collect()
+    val wantIn = byCore.filter(_._2 >= 4).map(_._1).toSet
+    assert(wantIn == core4, s"${wantIn.size} vs ${core4.size}")
+  }
+
   test("kTruss keeps a clique, drops pendants and weakly-attached triangles") {
     // K4 {1,2,3,4} + vertex 5 forming triangle {1,2,5} + pendant 6 on 1
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
