@@ -67,6 +67,7 @@ object SparkEntry {
       Ann.knnPq(s, d).select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")),
     "d_semantic_dedup" -> ((s, d) => Ann.semanticDedup(s, d)),
+    "e_centroid_assign" -> (Ann.centroidAssign _),
     "d_bigram_logprob" -> (TextAnalysis.bigramLogProb _),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
@@ -1048,6 +1049,38 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
+    // nearest-centroid confusion: centroids = 6-dp label means pinned
+    // through REAL; argmax cosine with clabel-DESC tie-break (the
+    // max-struct convention)
+    "e_centroid_assign" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT vec_id, label, i, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, label, unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |ce AS MATERIALIZED (
+        |  SELECT label AS clabel, i,
+        |    CAST(CAST(round(avg(x), 6) AS REAL) AS DOUBLE) AS c
+        |  FROM ev GROUP BY label, i),
+        |evn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+        |cn AS (SELECT clabel, sqrt(sum(c * c)) AS cnrm FROM ce GROUP BY clabel),
+        |dots AS (
+        |  SELECT e.vec_id, c.clabel, sum(e.x * c.c) AS dot
+        |  FROM ev e JOIN ce c ON c.i = e.i
+        |  GROUP BY e.vec_id, c.clabel),
+        |asg AS (
+        |  SELECT vec_id, clabel FROM (
+        |    SELECT d.vec_id, d.clabel, row_number() OVER (
+        |      PARTITION BY d.vec_id
+        |      ORDER BY d.dot / (n.nrm * cn.cnrm) DESC, d.clabel DESC) AS rn
+        |    FROM dots d
+        |    JOIN evn n ON n.vec_id = d.vec_id
+        |    JOIN cn ON cn.clabel = d.clabel)
+        |  WHERE rn = 1),
+        |tl AS (SELECT DISTINCT vec_id, label FROM ev)
+        |SELECT t.label, a.clabel AS assigned_label, count(*) AS n
+        |FROM tl t JOIN asg a USING (vec_id)
+        |GROUP BY t.label, a.clabel
+        |ORDER BY t.label, a.clabel""".stripMargin,
     "d_semantic_dedup" -> semDedupUnrolled(3, 0.35),
     "g_betweenness" -> btwUnrolled(12, 8, 42L),
     // payload = utf-8 bytes of text, so md5(payload ++ k) ==

@@ -44,6 +44,37 @@ object Ann {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
+  /** Nearest-centroid classification + confusion matrix: every vector
+    * assigned to its cosine-nearest LABEL centroid (the class-centroid
+    * aggregation of [[labelCentroids]]), cross-tabulated against the
+    * true label — the evaluation step of centroid-based semantic
+    * mixing/classification. Centroid means round to 6 dp then pin
+    * through float (same portability move as the k-means pipelines).
+    *
+    * Scale shape: centroids are a labels×dim broadcast; the corpus
+    * streams once through the scoring crossJoin; the per-vector argmax
+    * is a max-struct aggregate (ties → larger label, same convention
+    * as assignCells); the confusion matrix is a labels² groupBy. */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = emb
+      .select(col("label").as("clabel"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("clabel", "dim").agg(round(avg(col("v")), 6).as("m"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m").cast("float")).as("cvec"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        struct(cosineSim(col("embedding"), col("cvec")).as("sim"),
+          col("clabel")).as("sc"))
+      .groupBy("vec_id", "label")
+      .agg(max("sc").as("best"))
+      .groupBy(col("label"), col("best.clabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned_label")
+  }
+
   def knnBrute(spark: SparkSession, dir: String,
                nQueries: Int = 20, k: Int = 10): DataFrame = {
     val emb = Tables(spark, dir).embeddings

@@ -105,6 +105,19 @@ class AnnSpec extends AnyFunSuite {
     assert(droppedMins.isEmpty, "cell-minimum vector can have no lower neighbor")
   }
 
+  test("centroid confusion matrix partitions the corpus") {
+    val r = Ann.centroidAssign(spark, sf).cache()
+    val total = r.agg(sum("n")).as[Long].head()
+    assert(total == Tables(spark, sf).embeddings.count(),
+      "every vector classified exactly once")
+    // row sums equal the true label counts
+    val rows = r.groupBy("label").agg(sum("n").as("s"))
+      .as[(Int, Long)].collect().toMap
+    val want = Tables(spark, sf).embeddings.groupBy("label")
+      .agg(count(lit(1)).as("c")).as[(Int, Long)].collect().toMap
+    assert(rows == want)
+  }
+
   test("knnPq ranks reasonably vs brute (quantized recall)") {
     val brute = Ann.knnBrute(spark, sf, nQueries = 10, k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
