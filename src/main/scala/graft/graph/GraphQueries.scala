@@ -96,9 +96,10 @@ object GraphQueries {
     Metrics.kCore(GraphBuilder.coPurchase(spark, dir), k = 4)
       .orderBy("id")
 
-  /** Full core decomposition: per-vertex coreness. */
+  /** Full core decomposition: per-vertex coreness (delta Pregel;
+    * [[Metrics.coreNumbers]] is the spec-asserted DataFrame twin). */
   def coreNumbers(spark: SparkSession, dir: String): DataFrame =
-    Metrics.coreNumbers(GraphBuilder.coPurchase(spark, dir))
+    Gx.coreNumbers(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
   /** 12-truss of the co-purchase graph: the clique-ish dense core

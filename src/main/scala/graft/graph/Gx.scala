@@ -167,6 +167,69 @@ object Gx {
       df
     })
 
+  // coreness serves the query + spec cross-checks; memoize per graph
+  private val coreCache = TrieMap.empty[String, DataFrame]
+
+  /** Full core decomposition via the SYNCHRONOUS iterated-h-index
+    * fixpoint (Lü et al. 2016): every round each vertex takes the
+    * h-index of its neighbors' round-(k−1) values; the fixpoint is the
+    * core number. Exactly [[Metrics.coreNumbers]]'s update rule
+    * (spec-asserted equal) but on the cached, co-partitioned GraphX
+    * edges: per round ONE aggregateMessages (value arrays merged by
+    * concat — total message volume 2·|E| ints) + one vertex join from
+    * the BASE graph (never chained views), instead of the DataFrame
+    * twin's per-round Catalyst planning + shuffle + checkpoint. The
+    * h-index is a counting pass, O(deg) per vertex, no sort.
+    *
+    * (A delta-propagating variant — refresh only stale neighbor
+    * caches — was measured to trickle: asynchronous value mixing
+    * stretches the fixpoint into hundreds of near-empty supersteps
+    * whose fixed cost dwarfs the saved work. Synchronous rounds are
+    * few — 19 at sf0.01, 38 at sf0.1 — and each is one cheap
+    * traversal.) */
+  def coreNumbers(g: Graph, maxIter: Int = 64): DataFrame =
+    coreCache.getOrElseUpdate(key(g), {
+      val spark = g.edges.sparkSession
+      import spark.implicits._
+      val xg = of(g)
+      def hIndex(vals: Array[Int]): Int = {
+        val n = vals.length
+        val cnt = new Array[Int](n + 1)
+        var i = 0
+        while (i < n) { cnt(math.min(vals(i), n)) += 1; i += 1 }
+        var h = n
+        var run = cnt(n)
+        while (h > 0 && run < h) { h -= 1; run += cnt(h) }
+        h
+      }
+      var values: VertexRDD[Int] = xg.vertices.mapValues((_, d) => d).cache()
+      values.count()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val vg = xg.outerJoinVertices(values)((_, _, v) => v.getOrElse(0))
+        val msgs = vg.aggregateMessages[Array[Int]](
+          ctx => {
+            ctx.sendToDst(Array(ctx.srcAttr))
+            ctx.sendToSrc(Array(ctx.dstAttr))
+          },
+          _ ++ _)
+        val prev = values
+        values = prev.leftJoin(msgs)((_, old, m) =>
+          m.map(hIndex).getOrElse(old)).cache()
+        changed = prev.innerJoin(values)((_, a, b) => a != b)
+          .filter(_._2).count()
+        prev.unpersist(blocking = false)
+        vg.unpersistVertices(blocking = false)
+        iter += 1
+      }
+      val df = values.map { case (id, c) => (id, c.toLong) }
+        .toDF("id", "core")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** Weighted PageRank (nx.pagerank's weighted default; GraphFrames
     * pageRank over a weighted edge column): the transition probability
     * from u to v is w(u,v)/strength(u) instead of 1/deg(u) — hub

@@ -61,6 +61,19 @@ class MetricsSpec extends AnyFunSuite {
     assert(wantIn == core4, s"${wantIn.size} vs ${core4.size}")
   }
 
+  test("Gx delta-Pregel coreness == DataFrame h-index twin") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val gx = graft.graph.Gx.coreNumbers(g)
+      .as[(Long, Long)].collect().toMap
+    val df = Metrics.coreNumbers(g).as[(Long, Long)].collect().toMap
+    assert(gx == df)
+    // and on the known small graphs
+    val small = Metrics.coreNumbers(triPendant).as[(Long, Long)].collect().toMap
+    val smallGx = graft.graph.Gx.coreNumbers(triPendant)
+      .as[(Long, Long)].collect().toMap
+    assert(smallGx == small)
+  }
+
   test("kTruss keeps a clique, drops pendants and weakly-attached triangles") {
     // K4 {1,2,3,4} + vertex 5 forming triangle {1,2,5} + pendant 6 on 1
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
