@@ -98,6 +98,7 @@ object SparkEntry {
     "g_walk_corpus" -> ((s, d) => GraphQueries.walkCorpus(s, d)),
     "g_modularity" -> (GraphQueries.modularity _),
     "g_component_sizes" -> (GraphQueries.componentSizes _),
+    "g_summary" -> (GraphQueries.summary _),
     "g_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
     "g_avg_path_length" -> (GraphQueries.avgPathLength _),
     "g_eccentricity" -> (GraphQueries.eccentricity _),
@@ -662,13 +663,15 @@ object SparkEntry {
          |  WHERE rn = 1)
          |, c$k AS MATERIALIZED (
          |  SELECT a.cell, e.i,
-         |    CAST(CAST(round(avg(e.x), 6) AS REAL) AS DOUBLE) AS c
+         |    CAST(CAST(round(sum(e.xi) / (count(*) * 1000000.0), 6)
+         |      AS REAL) AS DOUBLE) AS c
          |  FROM a$k a JOIN ev e ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.i)
          |""".stripMargin
     }.mkString(
       """WITH ev AS MATERIALIZED (
-        |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+        |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi FROM (
         |    SELECT vec_id, unnest(embedding) AS x,
         |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
         |evn AS MATERIALIZED (
@@ -758,7 +761,7 @@ object SparkEntry {
     val rounds = (1 to iters).map { k =>
       s""", pd$k AS (
          |  SELECT e.vec_id, e.m, c.code,
-         |    round(sum((e.x - c.c) * (e.x - c.c)), 6) AS d2
+         |    sum((e.xi - c.ci) * (e.xi - c.ci)) AS d2
          |  FROM sv e JOIN pc${k - 1} c ON c.m = e.m AND c.j = e.j
          |  GROUP BY e.vec_id, e.m, c.code)
          |, pa$k AS MATERIALIZED (
@@ -769,28 +772,33 @@ object SparkEntry {
          |    FROM pd$k)
          |  WHERE rn = 1)
          |, pc$k AS MATERIALIZED (
-         |  SELECT a.m, a.code, e.j,
-         |    CAST(CAST(round(avg(e.x), 6) AS REAL) AS DOUBLE) AS c
-         |  FROM pa$k a JOIN sv e ON e.vec_id = a.vec_id AND e.m = a.m
-         |  GROUP BY a.m, a.code, e.j)
+         |  SELECT m, code, j, c, CAST(round(c * 1000000) AS BIGINT) AS ci
+         |  FROM (
+         |    SELECT a.m, a.code, e.j,
+         |      CAST(CAST(round(sum(e.xi) / (count(*) * 1000000.0), 6)
+         |        AS REAL) AS DOUBLE) AS c
+         |    FROM pa$k a JOIN sv e ON e.vec_id = a.vec_id AND e.m = a.m
+         |    GROUP BY a.m, a.code, e.j))
          |""".stripMargin
     }.mkString(
       s"""WITH ev AS MATERIALIZED (
-         |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+         |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x,
+         |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi FROM (
          |    SELECT vec_id, unnest(embedding) AS x,
          |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
          |sv AS MATERIALIZED (
          |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
-         |         CAST((i - 1) % $sub AS INT) AS j, x
+         |         CAST((i - 1) % $sub AS INT) AS j, x, xi
          |  FROM ev),
          |pc0 AS MATERIALIZED (
-         |  SELECT m, CAST(vec_id AS INT) AS code, j, x AS c
+         |  SELECT m, CAST(vec_id AS INT) AS code, j, x AS c,
+         |    CAST(round(x * 1000000) AS BIGINT) AS ci
          |  FROM sv WHERE vec_id < 16)
          |""".stripMargin, "", "")
     rounds +
     s""", pdx AS (
        |  SELECT e.vec_id, e.m, c.code,
-       |    round(sum((e.x - c.c) * (e.x - c.c)), 6) AS d2
+       |    sum((e.xi - c.ci) * (e.xi - c.ci)) AS d2
        |  FROM sv e JOIN pc$iters c ON c.m = e.m AND c.j = e.j
        |  GROUP BY e.vec_id, e.m, c.code)
        |, enc AS MATERIALIZED (
@@ -802,15 +810,16 @@ object SparkEntry {
        |  WHERE rn = 1)
        |, lut AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, c.m, c.code,
-       |    round(sum(q.x * c.c), 6) AS pdot
+       |    sum(q.xi * c.ci) AS pdot
        |  FROM sv q JOIN pc$iters c ON c.m = q.m AND c.j = q.j
        |  WHERE q.vec_id < 20
        |  GROUP BY q.vec_id, c.m, c.code)
        |, pn AS MATERIALIZED (
-       |  SELECT m, code, round(sum(c * c), 6) AS pn2
+       |  SELECT m, code, sum(ci * ci) AS pn2
        |  FROM pc$iters GROUP BY m, code)
        |, qn AS (
-       |  SELECT vec_id AS query_id, sqrt(sum(x * x)) AS qnorm
+       |  SELECT vec_id AS query_id,
+       |    sqrt(CAST(sum(xi * xi) AS DOUBLE)) AS qnorm
        |  FROM ev WHERE vec_id < 20 GROUP BY vec_id)
        |, sc AS (
        |  SELECT l.query_id, e.vec_id,
@@ -823,7 +832,8 @@ object SparkEntry {
        |, rr AS (
        |  SELECT sc.query_id, sc.vec_id AS neighbor_id, row_number() OVER (
        |    PARTITION BY sc.query_id
-       |    ORDER BY sc.dot / (q.qnorm * sqrt(sc.rn2)) DESC, sc.vec_id ASC)
+       |    ORDER BY CAST(sc.dot AS DOUBLE)
+       |      / (q.qnorm * sqrt(CAST(sc.rn2 AS DOUBLE))) DESC, sc.vec_id ASC)
        |    AS rank
        |  FROM sc JOIN qn q ON q.query_id = sc.query_id)
        |SELECT query_id, rank, neighbor_id FROM rr
@@ -1059,7 +1069,8 @@ object SparkEntry {
         |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
         |ce AS MATERIALIZED (
         |  SELECT label AS clabel, i,
-        |    CAST(CAST(round(avg(x), 6) AS REAL) AS DOUBLE) AS c
+        |    CAST(CAST(round(sum(CAST(round(x * 1000000) AS BIGINT))
+        |      / (count(*) * 1000000.0), 6) AS REAL) AS DOUBLE) AS c
         |  FROM ev GROUP BY label, i),
         |evn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
         |cn AS (SELECT clabel, sqrt(sum(c * c)) AS cnrm FROM ce GROUP BY clabel),
@@ -1223,7 +1234,8 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "e_label_centroids" ->
       """SELECT e.label, x.i - 1 AS dim,
-        |  round(avg(CAST(e.embedding[x.i] AS DOUBLE)), 6) AS centroid,
+        |  round(sum(CAST(round(CAST(e.embedding[x.i] AS DOUBLE) * 1000000)
+        |    AS BIGINT)) / (count(*) * 1000000.0), 6) AS centroid,
         |  count(*) AS n_vecs
         |FROM embeddings e
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) x
@@ -1375,6 +1387,38 @@ object SparkEntry {
         |ORDER BY e.src, e.dst""".stripMargin),
     "g_connected_components" -> (GraphCte + ccUnrolled(8) +
       "SELECT id, lbl AS component FROM c8 ORDER BY id"),
+    // the reference's printed end-of-run metric block as ONE row —
+    // composed from the same proven CTE pieces (counts/clustering/
+    // transitivity from GraphCte, components from ccUnrolled, diameter
+    // from the double-sweep recursive CTE)
+    "g_summary" -> ("WITH RECURSIVE " + GraphCte.stripPrefix("WITH ") +
+      ccUnrolled(8) +
+      """, lm1 AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+        |b1(v, dist) AS (
+        |  SELECT id, 0 FROM lm1
+        |  UNION
+        |  SELECT s.dst, b.dist + 1
+        |  FROM b1 b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |b1m AS (SELECT v, min(dist) AS dist FROM b1 GROUP BY v),
+        |far AS (SELECT v FROM b1m ORDER BY dist DESC, v ASC LIMIT 1),
+        |b2(v, dist) AS (
+        |  SELECT v, 0 FROM far
+        |  UNION
+        |  SELECT s.dst, b.dist + 1
+        |  FROM b2 b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |b2m AS (SELECT v, min(dist) AS dist FROM b2 GROUP BY v)
+        |SELECT
+        |  (SELECT count(*) FROM deg) AS n_vertices,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT round(avg(degree), 4) FROM deg) AS avg_degree,
+        |  (SELECT round(avg(CASE WHEN degree >= 2
+        |     THEN 2.0 * triangles / (degree * (degree - 1))
+        |     ELSE 0.0 END), 6) FROM tvd) AS avg_clustering,
+        |  (SELECT round(3.0 * (SELECT sum(triangles) / 3.0 FROM tvd)
+        |     / (SELECT sum(degree * (degree - 1) / 2) FROM deg), 6))
+        |    AS transitivity,
+        |  (SELECT count(DISTINCT lbl) FROM c8) AS n_components,
+        |  (SELECT max(dist) FROM b2m) AS diameter_lower_bound""".stripMargin),
     "g_component_sizes" -> (GraphCte + ccUnrolled(8) +
       """, comp AS (SELECT lbl, count(*) AS size FROM c8 GROUP BY lbl)
         |SELECT size, count(*) AS n_components FROM comp

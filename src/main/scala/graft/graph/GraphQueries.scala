@@ -117,6 +117,28 @@ object GraphQueries {
     Metrics.componentSizes(GraphBuilder.coPurchase(spark, dir))
       .orderBy("size")
 
+  /** One-row whole-graph summary — the metric block the reference
+    * PRINTS at the end of a run (main.py:129-159: |V|, |E|, average
+    * degree, average clustering, transitivity, components, diameter).
+    * Every input is a session-cached table (degrees, triangle stream,
+    * CC labels, double-sweep diameter), so the summary is a crossJoin
+    * of one-row aggregates — the dashboard query costs nothing extra. */
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val tri = GraphBuilder.triangles(g)
+    val counts = spark.range(1).select(
+      lit(g.vertexCount).as("n_vertices"))
+      .crossJoin(g.edges.agg(count(lit(1)).as("n_edges")))
+    val degAvg = g.degrees.agg(round(avg("degree"), 4).as("avg_degree"))
+    val clus = g.averageClustering(tri)
+    val trans = g.transitivity(tri)
+    val comps = Gx.connectedComponents(g)
+      .agg(countDistinct("component").as("n_components"))
+    val diam = Gx.diameterEstimate(g)
+    counts.crossJoin(degAvg).crossJoin(clus).crossJoin(trans)
+      .crossJoin(comps).crossJoin(diam)
+  }
+
   /** DeepWalk-style walk corpus (Perozzi et al. 2014): fixed-length
     * random walks from a deterministic start set, emitted long-form as
     * (walk_id, step, vertex) — the training corpus a skip-gram graph

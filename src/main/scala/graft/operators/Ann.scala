@@ -26,6 +26,15 @@ object Ann {
     emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** Micro-int quantization: value × 10⁶ rounded to a long. Sums of
+    * micro-ints are EXACT and order-free in every engine — the fix for
+    * a real observed flake where parallel double summation shifted a
+    * centroid mean across its 6-dp rounding boundary between two runs
+    * of the SAME oracle. Every centroid mean (and the whole PQ
+    * distance/LUT pipeline) now runs on micro-ints. */
+  private def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c.cast("double") * 1e6).cast("long")
+
   /** Exact cosine top-k. Output: (query_id, rank, neighbor_id, sim). */
   /** Per-label mean embedding (class centroids — the aggregation step
     * of semantic dedup / cluster-based data mixing), long-form
@@ -40,7 +49,7 @@ object Ann {
     Tables(spark, dir).embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
-      .agg(round(avg(col("v")), 6).as("centroid"),
+      .agg(round(sum(micro(col("v"))) / (count(lit(1)) * 1e6), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
@@ -60,7 +69,8 @@ object Ann {
     val cents = emb
       .select(col("label").as("clabel"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("clabel", "dim").agg(round(avg(col("v")), 6).as("m"))
+      .groupBy("clabel", "dim")
+      .agg(round(sum(micro(col("v"))) / (count(lit(1)) * 1e6), 6).as("m"))
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m").cast("float")).as("cvec"))
@@ -109,7 +119,8 @@ object Ann {
       centroids = assigned
         .join(emb, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cell", "pos")
+        .agg(round(sum(micro(col("x"))) / (count(lit(1)) * 1e6), 6).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
@@ -229,7 +240,8 @@ object Ann {
       cb = assignedCodes
         .join(subvecs, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("m", "code", "pos").agg(round(avg("x"), 6).as("mean"))
+        .groupBy("m", "code", "pos")
+        .agg(round(sum(micro(col("x"))) / (count(lit(1)) * 1e6), 6).as("mean"))
         .groupBy("m", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean").cast("float")).as("centroid"))
@@ -243,14 +255,16 @@ object Ann {
   private def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame =
     subvecs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), struct(
-        // every element promoted to double BEFORE arithmetic (what the
-        // SQL oracle does with CAST AS DOUBLE), and the distance
-        // rounded to 6 dp so cross-engine ulp noise cannot reorder the
-        // (d2, code) tie-break
-        round(aggregate(zip_with(col("sv"), col("centroid"),
-          (a, b) => (a.cast("double") - b.cast("double")) *
-            (a.cast("double") - b.cast("double"))),
-          lit(0.0d), (acc, x) => acc + x), 6).as("d2"),
+        // micro-int L2: every element quantized to value×10⁶ longs, so
+        // the distance is an EXACT integer sum — order-free in both
+        // engines, and the (d2, code) tie-break can never flip on ulp
+        // noise
+        aggregate(zip_with(col("sv"), col("centroid"),
+          (a, b) => {
+            val d = micro(a) - micro(b)
+            d * d
+          }),
+          lit(0L), (acc, x) => acc + x).as("d2"),
         col("code")).as("dc"))
       .groupBy("vec_id", "m")
       .agg(min("dc").as("best"))
@@ -290,16 +304,16 @@ object Ann {
         slice(col("q_emb"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
-        round(aggregate(zip_with(col("qv"), col("centroid"),
-          (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0d), (acc, x) => acc + x), 6).as("pdot"),
-        round(aggregate(transform(col("centroid"),
-          x => x.cast("double") * x.cast("double")),
-          lit(0.0d), (acc, x) => acc + x), 6).as("pn2"))
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (a, b) => micro(a) * micro(b)),
+          lit(0L), (acc, x) => acc + x).as("pdot"),
+        aggregate(transform(col("centroid"),
+          x => micro(x) * micro(x)),
+          lit(0L), (acc, x) => acc + x).as("pn2"))
     val qn = q.select(col("query_id"),
       sqrt(aggregate(transform(col("q_emb"),
-        x => x.cast("double") * x.cast("double")),
-        lit(0.0d), (acc, x) => acc + x)).as("qnorm"))
+        x => micro(x) * micro(x)),
+        lit(0L), (acc, x) => acc + x).cast("double")).as("qnorm"))
     encoded.join(broadcast(lut), Seq("m", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum("pdot").as("dot"), sum("pn2").as("rn2"))

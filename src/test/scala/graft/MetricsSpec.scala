@@ -61,6 +61,22 @@ class MetricsSpec extends AnyFunSuite {
     assert(wantIn == core4, s"${wantIn.size} vs ${core4.size}")
   }
 
+  test("graph summary row equals the individual metric queries") {
+    val s = graft.graph.GraphQueries.summary(spark, sf).head()
+    val g = GraphBuilder.coPurchase(spark, sf)
+    assert(s.getAs[Long]("n_vertices") == g.vertices.count())
+    assert(s.getAs[Long]("n_edges") == g.edges.count())
+    val avgDeg = graft.graph.GraphQueries.avgDegree(spark, sf)
+      .head().getDouble(0)
+    assert(s.getAs[Double]("avg_degree") == avgDeg)
+    val clus = graft.graph.GraphQueries.avgClustering(spark, sf)
+      .head().getDouble(0)
+    assert(s.getAs[Double]("avg_clustering") == clus)
+    val comps = graft.graph.Gx.connectedComponents(g)
+      .select("component").distinct().count()
+    assert(s.getAs[Long]("n_components") == comps)
+  }
+
   test("Gx delta-Pregel coreness == DataFrame h-index twin") {
     val g = GraphBuilder.coPurchase(spark, sf)
     val gx = graft.graph.Gx.coreNumbers(g)
