@@ -253,17 +253,17 @@ object Ann {
     * L2 on the subvector, ties → smaller code — mirrored exactly by
     * the SQL oracle. */
   private def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame =
-    subvecs.join(broadcast(cb), Seq("m"))
+    // micro-int L2: elements quantized to value×10⁶ longs ONCE per
+    // array (hoisted out of the per-code distance lambda — quantizing
+    // inside it re-ran the conversion |codes| times per element), so
+    // the distance is an EXACT integer sum — order-free in both
+    // engines, and the (d2, code) tie-break can never flip on ulp noise
+    subvecs.withColumn("svi", transform(col("sv"), micro(_)))
+      .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
+        Seq("m"))
       .select(col("vec_id"), col("m"), struct(
-        // micro-int L2: every element quantized to value×10⁶ longs, so
-        // the distance is an EXACT integer sum — order-free in both
-        // engines, and the (d2, code) tie-break can never flip on ulp
-        // noise
-        aggregate(zip_with(col("sv"), col("centroid"),
-          (a, b) => {
-            val d = micro(a) - micro(b)
-            d * d
-          }),
+        aggregate(zip_with(col("svi"), col("cbi"),
+          (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("d2"),
         col("code")).as("dc"))
       .groupBy("vec_id", "m")
@@ -302,18 +302,19 @@ object Ann {
     val lut = q.select(col("query_id"), posexplode(
       array((0 until m).map(i =>
         slice(col("q_emb"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
-      .join(broadcast(cb), Seq("m"))
+      .withColumn("qi", transform(col("qv"), micro(_)))
+      .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
+        Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
-        aggregate(zip_with(col("qv"), col("centroid"),
-          (a, b) => micro(a) * micro(b)),
+        aggregate(zip_with(col("qi"), col("cbi"),
+          (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("pdot"),
-        aggregate(transform(col("centroid"),
-          x => micro(x) * micro(x)),
+        aggregate(transform(col("cbi"), x => x * x),
           lit(0L), (acc, x) => acc + x).as("pn2"))
-    val qn = q.select(col("query_id"),
-      sqrt(aggregate(transform(col("q_emb"),
-        x => micro(x) * micro(x)),
-        lit(0L), (acc, x) => acc + x).cast("double")).as("qnorm"))
+    val qn = q.withColumn("qi", transform(col("q_emb"), micro(_)))
+      .select(col("query_id"),
+        sqrt(aggregate(transform(col("qi"), x => x * x),
+          lit(0L), (acc, x) => acc + x).cast("double")).as("qnorm"))
     encoded.join(broadcast(lut), Seq("m", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum("pdot").as("dot"), sum("pn2").as("rn2"))
