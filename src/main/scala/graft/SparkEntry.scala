@@ -301,16 +301,21 @@ object SparkEntry {
       // m_i is referenced twice (norm + state) and ev_i feeds the next
       // level: both MATERIALIZED, or DuckDB's per-reference inlining
       // recomputes the whole prefix 2^iters times
+      // micro-int state: sums of BIGINTs are exact (DuckDB widens the
+      // aggregate to HUGEINT), so no parallel-summation order can move
+      // a value across its rounding grid — mirrors the engine exactly
       s""", m$i AS MATERIALIZED (
-         |  SELECT s.dst AS id, sum(x.x) AS m
+         |  SELECT s.dst AS id, CAST(sum(x.q) AS BIGINT) AS m
          |  FROM sym s JOIN ev${i - 1} x ON x.id = s.src
          |  GROUP BY s.dst)
-         |, n$i AS (SELECT sqrt(sum(m * m)) AS nv FROM m$i)
+         |, n$i AS (SELECT sqrt(CAST(sum(m * m) AS DOUBLE)) AS nv FROM m$i)
          |, ev$i AS MATERIALIZED (
-         |  SELECT d.id, round(coalesce(m.m, 0.0) / (SELECT nv FROM n$i), 8) AS x
+         |  SELECT d.id, CAST(round(1000000.0 * coalesce(m.m, 0)
+         |    / (SELECT nv FROM n$i)) AS BIGINT) AS q
          |  FROM deg d LEFT JOIN m$i m ON m.id = d.id)
          |""".stripMargin
-    }.mkString(", ev0 AS (SELECT id, 1.0 AS x FROM deg)\n", "", "")
+    }.mkString(
+      ", ev0 AS (SELECT id, CAST(1000000 AS BIGINT) AS q FROM deg)\n", "", "")
 
   /** HITS unrolled over the directed `de`/`dv` tables: per round the
     * I-step (auth from in-hub) then the O-step (hub from the NEW auth),
@@ -318,24 +323,29 @@ object SparkEntry {
   private def hitsUnrolled(iters: Int): String =
     (1 to iters).map { i =>
       // every multiply-referenced stage MATERIALIZED (see evUnrolled)
+      // micro-int state like evUnrolled — exact integer sums, no
+      // summation-order sensitivity
       s""", ar$i AS MATERIALIZED (
-         |  SELECT d.dst AS id, sum(h.h) AS m
+         |  SELECT d.dst AS id, CAST(sum(h.q) AS BIGINT) AS m
          |  FROM de d JOIN h${i - 1} h ON h.id = d.src
          |  GROUP BY d.dst)
-         |, an$i AS (SELECT sqrt(sum(m * m)) AS nv FROM ar$i)
+         |, an$i AS (SELECT sqrt(CAST(sum(m * m) AS DOUBLE)) AS nv FROM ar$i)
          |, a$i AS MATERIALIZED (
-         |  SELECT v.id, round(coalesce(ar.m, 0.0) / (SELECT nv FROM an$i), 8) AS a
+         |  SELECT v.id, CAST(round(1000000.0 * coalesce(ar.m, 0)
+         |    / (SELECT nv FROM an$i)) AS BIGINT) AS q
          |  FROM dv v LEFT JOIN ar$i ar ON ar.id = v.id)
          |, hr$i AS MATERIALIZED (
-         |  SELECT d.src AS id, sum(a.a) AS m
+         |  SELECT d.src AS id, CAST(sum(a.q) AS BIGINT) AS m
          |  FROM de d JOIN a$i a ON a.id = d.dst
          |  GROUP BY d.src)
-         |, hn$i AS (SELECT sqrt(sum(m * m)) AS nv FROM hr$i)
+         |, hn$i AS (SELECT sqrt(CAST(sum(m * m) AS DOUBLE)) AS nv FROM hr$i)
          |, h$i AS MATERIALIZED (
-         |  SELECT v.id, round(coalesce(hr.m, 0.0) / (SELECT nv FROM hn$i), 8) AS h
+         |  SELECT v.id, CAST(round(1000000.0 * coalesce(hr.m, 0)
+         |    / (SELECT nv FROM hn$i)) AS BIGINT) AS q
          |  FROM dv v LEFT JOIN hr$i hr ON hr.id = v.id)
          |""".stripMargin
-    }.mkString(", h0 AS (SELECT id, 1.0 AS h FROM dv)\n", "", "")
+    }.mkString(
+      ", h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS q FROM dv)\n", "", "")
 
   /** Directed purchase-sequence edge CTE (the [[SccCte]] derivation
     * minus the transitive closure): `de` (src,dst) + `dv` (id). */
@@ -1243,9 +1253,10 @@ object SparkEntry {
     "g_katz" -> (GraphCte + katzUnrolled(8) +
       "SELECT id, round(rank, 6) AS katz FROM k8 ORDER BY id"),
     "g_eigenvector" -> (GraphCte + evUnrolled(8) +
-      "SELECT id, round(x, 6) AS eigenvector FROM ev8 ORDER BY id"),
+      "SELECT id, round(q / 1000000.0, 6) AS eigenvector FROM ev8 ORDER BY id"),
     "g_hits" -> (DirectedCte + hitsUnrolled(8) +
-      """SELECT a.id, round(a.a, 6) AS auth, round(h.h, 6) AS hub
+      """SELECT a.id, round(a.q / 1000000.0, 6) AS auth,
+        |  round(h.q / 1000000.0, 6) AS hub
         |FROM a8 a JOIN h8 h ON h.id = a.id ORDER BY a.id""".stripMargin),
     "g_degree_centrality" -> (GraphCte +
       ", nv AS (SELECT count(*) AS c FROM deg)\n" +

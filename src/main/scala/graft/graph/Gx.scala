@@ -410,32 +410,35 @@ object Gx {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val xg = of(g)
-    var rg: XGraph[Double, Int] = xg.mapVertices((_, _) => 1.0).cache()
+    // state on the micro-int grid (value × 10⁶ as a long): message sums
+    // and the norm's square sum are EXACT integer arithmetic, so no
+    // summation order — GraphX merge, SQL parallel agg, cluster
+    // repartition — can shift a value across its rounding boundary
+    // (the per-round `round8(double)` pinning this replaces had a
+    // residual ulp-at-the-boundary flake class)
+    var rg: XGraph[Long, Int] = xg.mapVertices((_, _) => 1000000L).cache()
     rg.vertices.count()
     for (_ <- 1 to iters) {
-      val msgs = rg.aggregateMessages[Double](
+      val msgs = rg.aggregateMessages[Long](
         ctx => {
           ctx.sendToDst(ctx.srcAttr)
           ctx.sendToSrc(ctx.dstAttr)
         },
         _ + _)
-      // O(1) scalar to the driver per round — the norm of the new
-      // vector, not any per-vertex data
-      val norm = math.sqrt(msgs.values.map(v => v * v).sum())
+      // O(1) scalar to the driver per round: ‖m‖² as an exact BigInt
+      // (m² can exceed Long range summed over the graph)
+      val normSq = msgs.values.map(m => BigInt(m) * BigInt(m))
+        .fold(BigInt(0))(_ + _)
+      val norm = math.sqrt(normSq.toDouble)
       val prev = rg
       rg = xg.outerJoinVertices(msgs)((_, _, m) =>
-        round8(m.getOrElse(0.0) / norm)).cache()
+        math.round(1e6 * m.getOrElse(0L).toDouble / norm)).cache()
       rg.vertices.count()
       prev.unpersistVertices(blocking = false)
     }
-    rg.vertices.toDF("id", "x")
-      .select(col("id"), round(col("x"), 6).as("eigenvector"))
+    rg.vertices.toDF("id", "q")
+      .select(col("id"), round(col("q") / 1e6, 6).as("eigenvector"))
   }
-
-  /** Round half-away-from-zero to 8 dp — matches both Spark's and
-    * DuckDB's `round(x, 8)` on the non-negative values used here. */
-  def round8(x: Double): Double =
-    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Multi-source BFS: exact hop distances from each landmark. Vertex
     * state is a fixed Array[Int] of per-landmark distances (k slots),

@@ -41,26 +41,34 @@ object Hits {
         StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK).cache()
     base.vertices.count()
 
-    var hub: VertexRDD[Double] = base.vertices.mapValues(_ => 1.0).cache()
-    var auth: VertexRDD[Double] = hub
+    // micro-int state (value × 10⁶ as longs): message sums and norm
+    // squares are exact integer arithmetic — no summation order can
+    // shift a value across its rounding grid (same hardening as
+    // Gx.eigenvector; the per-round round8(double) this replaces had a
+    // residual ulp-at-the-boundary flake class)
+    def normOf(v: VertexRDD[Long]): Double =
+      math.sqrt(v.values.map(m => BigInt(m) * BigInt(m))
+        .fold(BigInt(0))(_ + _).toDouble)
+    var hub: VertexRDD[Long] = base.vertices.mapValues(_ => 1000000L).cache()
+    var auth: VertexRDD[Long] = hub
     for (_ <- 1 to iters) {
       // I-step: authority mass flows along the edge direction
-      val hg = base.outerJoinVertices(hub)((_, _, h) => h.getOrElse(1.0)).cache()
-      val authRaw = hg.aggregateMessages[Double](
+      val hg = base.outerJoinVertices(hub)((_, _, h) => h.getOrElse(1000000L)).cache()
+      val authRaw = hg.aggregateMessages[Long](
         ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
       // O(1) scalars to the driver: the L2 norms, never per-vertex data
-      val an = math.sqrt(authRaw.values.map(v => v * v).sum())
+      val an = normOf(authRaw)
       val prevAuth = auth
       auth = base.vertices.leftJoin(authRaw)((_, _, m) =>
-        Gx.round8(m.getOrElse(0.0) / an)).cache()
+        math.round(1e6 * m.getOrElse(0L).toDouble / an)).cache()
       // O-step: hub mass is the sum of the NEW authority of out-neighbors
-      val ag = base.outerJoinVertices(auth)((_, _, a) => a.getOrElse(0.0)).cache()
-      val hubRaw = ag.aggregateMessages[Double](
+      val ag = base.outerJoinVertices(auth)((_, _, a) => a.getOrElse(0L)).cache()
+      val hubRaw = ag.aggregateMessages[Long](
         ctx => ctx.sendToSrc(ctx.dstAttr), _ + _)
-      val hn = math.sqrt(hubRaw.values.map(v => v * v).sum())
+      val hn = normOf(hubRaw)
       val prevHub = hub
       hub = base.vertices.leftJoin(hubRaw)((_, _, m) =>
-        Gx.round8(m.getOrElse(0.0) / hn)).cache()
+        math.round(1e6 * m.getOrElse(0L).toDouble / hn)).cache()
       hub.count()
       prevAuth.unpersist(blocking = false)
       prevHub.unpersist(blocking = false)
@@ -70,7 +78,7 @@ object Hits {
     auth.innerJoin(hub)((_, a, h) => (a, h))
       .map { case (id, (a, h)) => (id, a, h) }
       .toDF("id", "auth", "hub")
-      .select(col("id"), round(col("auth"), 6).as("auth"),
-        round(col("hub"), 6).as("hub"))
+      .select(col("id"), round(col("auth") / 1e6, 6).as("auth"),
+        round(col("hub") / 1e6, 6).as("hub"))
   }
 }

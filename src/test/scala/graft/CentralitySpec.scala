@@ -48,12 +48,15 @@ class CentralitySpec extends AnyFunSuite {
 
   test("eigenvector matches the replica and is uniform on a clique") {
     val adj = undirectedAdj(randomEdges)
-    var x = adj.keys.map(_ -> 1.0).toMap
+    // micro-int replica: exactly the engine's integer-grid update
+    var q = adj.keys.map(_ -> 1000000L).toMap
     for (_ <- 1 to 8) {
-      val m = adj.keys.map(v => v -> adj(v).map(x).sum).toMap
-      val norm = math.sqrt(m.values.map(v => v * v).sum)
-      x = m.map { case (k, v) => k -> Gx.round8(v / norm) }
+      val m = adj.keys.map(v => v -> adj(v).map(q).sum).toMap
+      val norm = math.sqrt(
+        m.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+      q = m.map { case (k, v) => k -> math.round(1e6 * v.toDouble / norm) }
     }
+    val x = q.map { case (k, v) => k -> v / 1e6 }
     val got = Gx.eigenvector(graphOf(randomEdges))
       .as[(Long, Double)].collect().toMap
     for ((v, e) <- x) assert(math.abs(got(v) - e) < 2e-6, s"vertex $v")
@@ -72,16 +75,20 @@ class CentralitySpec extends AnyFunSuite {
     val verts = dedges.flatMap(e => Seq(e._1, e._2)).distinct
     val out = dedges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val in = dedges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
-    var hub = verts.map(_ -> 1.0).toMap
-    var auth = hub
+    var hubQ = verts.map(_ -> 1000000L).toMap
+    var authQ = hubQ
+    def norm(m: Map[Long, Long]): Double =
+      math.sqrt(m.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
     for (_ <- 1 to 8) {
-      val ar = verts.map(v => v -> in.getOrElse(v, Nil).map(hub).sum).toMap
-      val an = math.sqrt(ar.values.map(v => v * v).sum)
-      auth = ar.map { case (k, v) => k -> Gx.round8(v / an) }
-      val hr = verts.map(v => v -> out.getOrElse(v, Nil).map(auth).sum).toMap
-      val hn = math.sqrt(hr.values.map(v => v * v).sum)
-      hub = hr.map { case (k, v) => k -> Gx.round8(v / hn) }
+      val ar = verts.map(v => v -> in.getOrElse(v, Nil).map(hubQ).sum).toMap
+      val an = norm(ar)
+      authQ = ar.map { case (k, v) => k -> math.round(1e6 * v.toDouble / an) }
+      val hr = verts.map(v => v -> out.getOrElse(v, Nil).map(authQ).sum).toMap
+      val hn = norm(hr)
+      hubQ = hr.map { case (k, v) => k -> math.round(1e6 * v.toDouble / hn) }
     }
+    val auth = authQ.map { case (k, v) => k -> v / 1e6 }
+    val hub = hubQ.map { case (k, v) => k -> v / 1e6 }
     val got = Hits.hits(dedges.toDF("src", "dst"))
       .as[(Long, Double, Double)].collect()
       .map { case (id, a, h) => id -> (a, h) }.toMap
