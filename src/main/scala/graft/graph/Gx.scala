@@ -529,27 +529,52 @@ object Gx {
     // vertex-view lineage per superstep, which re-ships the whole chain
     // when an upstream view is released (measured bimodal 20 s / 190 s;
     // this form is stable)
+    // label votes travel as FLAT sorted (label, count) pair arrays —
+    // primitive longs merged like a merge-sort step. The Map[Long, Int]
+    // form this replaces boxed every label and count per merge;
+    // the packed merge allocates one primitive array and never boxes.
+    def mergeVotes(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](a.length + b.length)
+      var i = 0; var j = 0; var k = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) {
+          out(k) = a(i); out(k + 1) = a(i + 1) + b(j + 1); i += 2; j += 2
+        } else if (a(i) < b(j)) {
+          out(k) = a(i); out(k + 1) = a(i + 1); i += 2
+        } else {
+          out(k) = b(j); out(k + 1) = b(j + 1); j += 2
+        }
+        k += 2
+      }
+      while (i < a.length) { out(k) = a(i); out(k + 1) = a(i + 1); i += 2; k += 2 }
+      while (j < b.length) { out(k) = b(j); out(k + 1) = b(j + 1); j += 2; k += 2 }
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+    }
+    // max count, ties -> smallest label (deterministic; the ascending
+    // label order of the merged array makes < the right tie test)
+    def bestLabel(arr: Array[Long]): Long = {
+      var bl = arr(0); var bc = arr(1)
+      var i = 2
+      while (i < arr.length) {
+        if (arr(i + 1) > bc) { bl = arr(i); bc = arr(i + 1) }
+        i += 2
+      }
+      bl
+    }
     var labels: VertexRDD[Long] = xg.vertices.mapValues((id, _) => id).cache()
     labels.count()
     for (_ <- 1 to iters) {
       val mg = xg.outerJoinVertices(labels)((id, _, l) => l.getOrElse(id)).cache()
-      val msgs: VertexRDD[Map[Long, Int]] = mg.aggregateMessages[Map[Long, Int]](
+      val msgs: VertexRDD[Array[Long]] = mg.aggregateMessages[Array[Long]](
         ctx => {
-          ctx.sendToDst(Map(ctx.srcAttr -> 1))
-          ctx.sendToSrc(Map(ctx.dstAttr -> 1))
+          ctx.sendToDst(Array(ctx.srcAttr, 1L))
+          ctx.sendToSrc(Array(ctx.dstAttr, 1L))
         },
-        (a, b) => {
-          // merge the smaller map into the larger
-          val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
-          small.foldLeft(big) { case (m, (l, c)) =>
-            m.updated(l, m.getOrElse(l, 0) + c)
-          }
-        })
+        mergeVotes)
       val prev = labels
       labels = prev.leftJoin(msgs) { (_, old, m) =>
         m match {
-          // max count, ties -> smallest label (deterministic)
-          case Some(mm) => mm.maxBy { case (l, c) => (c, -l) }._1
+          case Some(arr) => bestLabel(arr)
           case None => old
         }
       }.cache()
