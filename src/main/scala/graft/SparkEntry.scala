@@ -74,6 +74,7 @@ object SparkEntry {
     "q_events_sessions" -> (Relational.qEventsSessions _),
     "q_asof_attribution" -> (Relational.qAsofAttribution _),
     "q_range_join" -> (Relational.qRangeJoin _),
+    "q_pivot_revenue" -> (Relational.qPivotRevenue _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "q_rollup_revenue" -> (Relational.qRollupRevenue _),
     "q_value_percentiles" -> (Relational.qValuePercentiles _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "d_bpe_token_count" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
     "g_scc" -> (GraphQueries.scc _),
     "g_scc_sizes" -> (GraphQueries.sccSizes _),
+    "g_reciprocity" -> (GraphQueries.reciprocity _),
     "g_bfs_paths" -> (GraphQueries.bfsPaths _),
     // end-to-end curation decision + deterministic data mixing
     "d_curation_pipeline" -> ((s, d) => Curation.curationDecisions(s, d)),
@@ -1526,6 +1528,17 @@ object SparkEntry {
       """SELECT d.id, CAST(coalesce(h.c, 0) AS BIGINT) AS core
         |FROM deg d LEFT JOIN h22 h USING (id)
         |ORDER BY d.id""".stripMargin),
+    "g_reciprocity" -> (DirectedCte +
+      """SELECT
+        |  (SELECT count(*) FROM de) AS n_edges,
+        |  (SELECT count(*) FROM de a
+        |   WHERE EXISTS (SELECT 1 FROM de b
+        |     WHERE b.src = a.dst AND b.dst = a.src)) AS n_reciprocal,
+        |  round((SELECT count(*) FROM de a
+        |   WHERE EXISTS (SELECT 1 FROM de b
+        |     WHERE b.src = a.dst AND b.dst = a.src))
+        |   / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity
+        |""".stripMargin),
     "g_ktruss" -> (GraphCte + ktrussUnrolled(8, 12) +
       """SELECT s.src, s.dst, s.support
         |FROM ts8 s JOIN te8 t ON t.src = s.src AND t.dst = s.dst
@@ -2109,6 +2122,27 @@ object SparkEntry {
         |  AND abs(cl.click_ms - er.error_ms) <= 300000
         |GROUP BY er.user_id, er.event_id, er.error_ms
         |ORDER BY er.event_id""".stripMargin,
+    // pivot = five conditional sums with a fixed column list
+    "q_pivot_revenue" ->
+      """SELECT n_name,
+        |  coalesce(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN rev END), 2), 0.0) AS p_urgent,
+        |  coalesce(round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN rev END), 2), 0.0) AS p_high,
+        |  coalesce(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN rev END), 2), 0.0) AS p_medium,
+        |  coalesce(round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN rev END), 2), 0.0) AS p_not_specified,
+        |  coalesce(round(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN rev END), 2), 0.0) AS p_low
+        |FROM (
+        |  SELECT n_name, o_orderpriority,
+        |    l_extendedprice * (1.0 - l_discount) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,

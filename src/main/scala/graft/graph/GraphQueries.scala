@@ -409,6 +409,21 @@ object GraphQueries {
 
   /** SCC size histogram — the giant-SCC / periphery structure of the
     * directed graph (the bow-tie picture at a glance). */
+  /** Edge reciprocity of the directed purchase-sequence graph
+    * (nx.reciprocity): the fraction of directed edges whose reverse
+    * edge also exists — one self-semi-join on the (small, cached)
+    * directed edge set plus two counts. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Scc.lineSequenceEdges(spark, dir)
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("m")).crossJoin(
+        recip.agg(count(lit(1)).as("r")))
+      .select(col("m").as("n_edges"), col("r").as("n_reciprocal"),
+        round(col("r") / col("m"), 6).as("reciprocity"))
+  }
+
   def sccSizes(spark: SparkSession, dir: String): DataFrame =
     Scc.labels(spark, dir)
       .groupBy("scc_id").agg(count(lit(1)).as("size"))

@@ -181,6 +181,32 @@ object Relational {
       .orderBy("user_id", "sid")
   }
 
+  /** PIVOT / crosstab shape: revenue by nation (rows) × order priority
+    * (columns) through Spark's native `pivot` with an EXPLICIT value
+    * list — pivoting on discovered values would need an extra pass AND
+    * make the output schema data-dependent (a 100 TB anti-pattern;
+    * with fixed values the pivot is one pass, map-side combined, and
+    * the plan is identical to five conditional sums). */
+  def qPivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val alias = Map("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
+      "3-MEDIUM" -> "p_medium", "4-NOT SPECIFIED" -> "p_not_specified",
+      "5-LOW" -> "p_low")
+    val joined = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderpriority"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val pivoted = joined.groupBy("n_name")
+      .pivot("o_orderpriority", pr)
+      .agg(round(sum("rev"), 2))
+    pr.foldLeft(pivoted)((df, p) => df.withColumnRenamed(p, alias(p)))
+      .na.fill(0.0, alias.values.toSeq)
+      .orderBy("n_name")
+  }
+
   /** As-of join (event attribution): every purchase matched to the
     * user's most recent view at-or-before it — the canonical time-series
     * join (market data, attribution, slowly-changing dims). DuckDB runs

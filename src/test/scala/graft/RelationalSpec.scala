@@ -78,6 +78,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.sum > 0, "some error must have a nearby click")
   }
 
+  test("pivot crosstab row totals equal the unpivoted per-nation revenue") {
+    import org.apache.spark.sql.functions._
+    val piv = Relational.qPivotRevenue(spark, sf)
+    val cols = Seq("p_urgent", "p_high", "p_medium", "p_not_specified", "p_low")
+    assert(piv.columns.toSeq == ("n_name" +: cols))
+    val rowTotals = piv.select(col("n_name"),
+      cols.map(col).reduce(_ + _).as("t"))
+      .as[(String, Double)](org.apache.spark.sql.Encoders.product)
+      .collect().toMap
+    val t = Tables(spark, sf)
+    val want = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("t"))
+      .as[(String, Double)](org.apache.spark.sql.Encoders.product)
+      .collect().toMap
+    assert(rowTotals.keySet == want.keySet)
+    // row sums differ from the direct total only by the 5 per-cell 2-dp
+    // roundings
+    rowTotals.foreach { case (n, v) =>
+      assert(math.abs(v - want(n)) < 0.05, s"$n: $v vs ${want(n)}")
+    }
+  }
+
   test("q1 aggregates match a hand check") {
     val row = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .filter("l_returnflag = 'A'").collect()

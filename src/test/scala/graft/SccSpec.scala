@@ -92,6 +92,16 @@ class SccSpec extends AnyFunSuite {
       3L -> 1L, 12L -> 12L, 13L -> 13L))
   }
 
+  test("reciprocity equals brute force on the real directed graph") {
+    val e = Scc.lineSequenceEdges(spark, sf).as[(Long, Long)].collect().toSet
+    val want = e.count { case (s, d) => e.contains((d, s)) }
+    val row = graft.graph.GraphQueries.reciprocity(spark, sf).head()
+    assert(row.getAs[Long]("n_edges") == e.size)
+    assert(row.getAs[Long]("n_reciprocal") == want)
+    assert(math.abs(row.getAs[Double]("reciprocity") -
+      math.rint(want.toDouble / e.size * 1e6) / 1e6) < 1e-9)
+  }
+
   test("FW-BW coloring == Tarjan on the real sf graph") {
     val edgeDf = Scc.lineSequenceEdges(spark, sf)
     val edges = edgeDf.as[(Long, Long)].collect().toSeq
