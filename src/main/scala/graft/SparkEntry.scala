@@ -142,6 +142,9 @@ object SparkEntry {
     "e_label_centroids" -> (Ann.labelCentroids _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q_running_total" -> (Relational.qRunningTotal _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1244,6 +1247,47 @@ object SparkEntry {
         |    AS running_total
         |FROM orders WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |    AS promo_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |    AS total_revenue,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 4)
+        |    AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e_label_centroids" ->
       """SELECT e.label, x.i - 1 AS dim,
         |  round(sum(CAST(round(CAST(e.embedding[x.i] AS DOUBLE) * 1000000)

@@ -321,6 +321,87 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    * two nations by ship year. The nation filter is applied to the DIM
+    * tables BEFORE the fact joins — supplier and customer each shrink to
+    * the two nations of interest, so the lineitem⋈orders backbone probes
+    * two broadcast dims instead of filtering post-join; the disjunctive
+    * (n1,n2)/(n2,n1) pair predicate runs on the two tiny joined columns. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val (n1, n2) = ("NATION_1", "NATION_2")
+    val nations = t.nation.filter(col("n_name").isin(n1, n2))
+    val supp = t.supplier
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t.customer
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): the share of one nation's
+    * suppliers in one region's customer market per order year — the
+    * conditional-fraction aggregate (sum(case)/sum). Region restriction
+    * prunes customers via two broadcast hops; both sums come out of ONE
+    * map-side-combined pass. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val target = "NATION_3"
+    val regionCust = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supp = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        col("supp_nation"))
+      .groupBy("o_year")
+      .agg(round(
+        sum(when(col("supp_nation") === target, col("rev")).otherwise(0.0))
+          / sum(col("rev")), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): promo revenue share per ship
+    * month — conditional aggregate over a broadcast part join; one
+    * map-side-combined pass, monthly grain for a non-trivial row count. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part.select(col("p_partkey"), col("p_type"))
+    t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(date_trunc("month", col("l_shipdate")).as("ship_month"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        col("p_type"))
+      .groupBy("ship_month")
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        round(sum(col("rev")), 2).as("total_revenue"),
+        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0))
+          * 100.0 / sum(col("rev")), 4).as("promo_pct"))
+      .orderBy("ship_month")
+  }
+
   /** Semi-join shape (correlated EXISTS): order-priority counts for
     * orders with at least one lineitem shipped after the order date —
     * equi-key plus a non-equi residual condition. The semi-join keeps
