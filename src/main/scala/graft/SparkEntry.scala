@@ -145,6 +145,7 @@ object SparkEntry {
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "g_sssp_weighted" -> (GraphQueries.weightedSssp _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -284,6 +285,32 @@ object SparkEntry {
          |    GROUP BY y.dst) acc ON acc.id = v.id)
          |""".stripMargin
     }.mkString(", w0 AS (SELECT id, 1.0 AS rank FROM ws)\n", "", "")
+
+  /** Bellman-Ford relaxation unrolled: s₀ = 0 at the source / INF
+    * sentinel elsewhere; each round takes the min over incoming
+    * (dist + weight). Mirrors Gx.weightedSssp's synchronous Pregel
+    * rounds exactly — rounds past the fixpoint are no-ops, and integer
+    * costs keep every distance exact. Expects `wsym` (src, dst, weight)
+    * and `lm` (the single source) CTEs. */
+  private def ssspUnrolled(rounds: Int): String = {
+    val Inf = "1000000000000000"
+    (1 to rounds).map { i =>
+      s""", s$i AS MATERIALIZED (
+         |  SELECT v.id,
+         |    CAST(least(v.dist, coalesce(acc.m, v.dist)) AS BIGINT) AS dist
+         |  FROM s${i - 1} v LEFT JOIN (
+         |    SELECT y.dst AS id, min(r.dist + y.weight) AS m
+         |    FROM wsym y JOIN s${i - 1} r ON r.id = y.src
+         |    WHERE r.dist < $Inf
+         |    GROUP BY y.dst) acc ON acc.id = v.id)
+         |""".stripMargin
+    }.mkString(
+      s""", s0 AS MATERIALIZED (
+         |  SELECT d.id, CAST(CASE WHEN d.id = (SELECT id FROM lm)
+         |    THEN 0 ELSE $Inf END AS BIGINT) AS dist
+         |  FROM deg d)
+         |""".stripMargin, "", "")
+  }
 
   /** Fixed-iteration Katz centrality unrolled (x₀=1; xᵢ₊₁ = 1 +
     * 0.005·Σ_nbr xᵢ — [[prUnrolled]] without the degree division). */
@@ -2088,6 +2115,20 @@ object SparkEntry {
         |  FROM wsym GROUP BY src)
         |""".stripMargin + wprUnrolled(10) +
       "SELECT id, round(rank, 6) AS wpagerank FROM w10 ORDER BY id"),
+    // weighted SSSP: 30 synchronous Bellman-Ford relaxation rounds from
+    // the top-degree vertex (fixpoint is earlier; extra rounds no-op)
+    "g_sssp_weighted" -> ("""WITH we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |wsym AS MATERIALIZED (
+        |  SELECT src, dst, weight FROM we
+        |  UNION ALL SELECT dst, src, weight FROM we),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM wsym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1)
+        |""".stripMargin + ssspUnrolled(30) +
+      "SELECT id, dist FROM s30 WHERE dist < 1000000000000000 ORDER BY id"),
     "q_rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name,
         |  coalesce(n_name, 'ALL') AS n_name,

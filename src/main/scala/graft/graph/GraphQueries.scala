@@ -194,6 +194,15 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** Weighted SSSP from the top-degree vertex: exact min-cost distances
+    * over the integer co-purchase weights (nx.dijkstra parity). */
+  def weightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val src = Iterative.topDegreeLandmarks(g, 1).collect().head.getLong(0)
+    Gx.weightedSssp(GraphBuilder.weightedEdges(spark, dir), src)
+      .orderBy("id")
+  }
+
   def betweenness(spark: SparkSession, dir: String): DataFrame =
     GxBetweenness.run(GraphBuilder.coPurchase(spark, dir), numSources = 8)
       .orderBy("id")

@@ -285,6 +285,54 @@ object Gx {
     df
   }
 
+  /** Weighted single-source shortest paths (nx.dijkstra_path_length
+    * parity over the co-purchase weights): exact min-cost distance from
+    * `source`, where an edge's cost is its integer weight. Dijkstra's
+    * priority queue is inherently sequential, so the distributed form is
+    * synchronous Bellman-Ford relaxation as a Pregel min-plus loop: each
+    * superstep relaxes every edge whose endpoint improved and halts at
+    * quiescence (≤ shortest-path-tree hop depth rounds; `maxRounds`
+    * caps the loop AND pins the oracle unroll — extra oracle rounds
+    * past the fixpoint are no-ops). Integer costs make every distance
+    * an exact long, so no summation/merge order can drift the result
+    * across engines or partitionings.
+    *
+    * Scale shape: same volume-partitioned cached edge RDD as
+    * [[weightedPageRank]]; only vertices whose distance improved send
+    * messages, so late supersteps touch a vanishing frontier. */
+  def weightedSssp(weightedEdges: DataFrame, source: Long,
+                   maxRounds: Int = 30): DataFrame = {
+    val spark = weightedEdges.sparkSession
+    import spark.implicits._
+    val nEdges = weightedEdges.count()
+    val parts = math.max(2L, nEdges / 250000L + 1L).toInt
+    val ed = weightedEdges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("long"))
+      .as[(Long, Long, Long)].rdd
+      .map { case (s, d, w) => Edge(s, d, w) }
+    val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
+    val base = XGraph.fromEdges(sized, 0L,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val Inf = Long.MaxValue
+    val init = base.mapVertices((id, _) => if (id == source) 0L else Inf)
+    val res = Pregel(init, Inf, maxRounds, EdgeDirection.Either)(
+      (_, d, m) => math.min(d, m),
+      t => {
+        val toDst =
+          if (t.srcAttr != Inf && t.srcAttr + t.attr < t.dstAttr)
+            Iterator((t.dstId, t.srcAttr + t.attr))
+          else Iterator.empty
+        val toSrc =
+          if (t.dstAttr != Inf && t.dstAttr + t.attr < t.srcAttr)
+            Iterator((t.srcId, t.dstAttr + t.attr))
+          else Iterator.empty
+        toDst ++ toSrc
+      },
+      math.min)
+    res.vertices.filter(_._2 != Inf).toDF("id", "dist")
+  }
+
   /** Parallel personalized PageRank (GraphFrames
     * `parallelPersonalizedPageRank` parity): PPR from k source vertices
     * in ONE message loop. Vertex state is an Array[Double] of k ranks

@@ -33,6 +33,24 @@ class GxSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sssp: two-hop route beats the heavy direct edge") {
+    // triangle 1-2 (10), 1-3 (2), 3-2 (3): dist(2) = 5 via 3, not 10;
+    // vertex 4 rides a pendant edge; 5-6 is a separate component
+    val we = Seq((1L, 2L, 10L), (1L, 3L, 2L), (2L, 3L, 3L), (2L, 4L, 1L),
+      (5L, 6L, 7L)).toDF("src", "dst", "weight")
+    val got = Gx.weightedSssp(we, source = 1L).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L))
+  }
+
+  test("weighted sssp with unit weights == hop distances from the landmark") {
+    val unit = g.edges.select($"src", $"dst").withColumn("weight", lit(1L))
+    val src = Iterative.topDegreeLandmarks(g, 1).collect().head.getLong(0)
+    val got = Gx.weightedSssp(unit, src).as[(Long, Long)].collect().toMap
+    val bfs = Gx.multiSourceBfs(g, Seq(src))
+      .select($"v", $"dist".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got == bfs)
+  }
+
   test("weighted pagerank shifts rank toward heavy edges (hand-checked)") {
     // path 1 —(10)— 2 —(1)— 3: from 2, mass flows 10/11 to 1, 1/11 to 3
     val we = Seq((1L, 2L, 10L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
