@@ -146,6 +146,7 @@ object SparkEntry {
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "g_sssp_weighted" -> (GraphQueries.weightedSssp _),
+    "d_dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1942,6 +1943,38 @@ object SparkEntry {
         |FROM tk t LEFT JOIN pd p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // unigram-LM mean log-likelihood (the model-free perplexity proxy)
+    // DSIR importance weights: unigram+bigram features md5-hashed into
+    // 4096 buckets; target = lang='en', raw = all; add-1 smoothing
+    "d_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, '\s+')) AS feat,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, lang, feat AS w1,
+        |    lead(feat) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM t),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('dsir:' || feat), 1, 7))::BIGINT % 4096
+        |      AS INTEGER) AS bucket
+        |  FROM (SELECT doc_id, lang, feat FROM t
+        |        UNION ALL
+        |        SELECT doc_id, lang, w1 || ' ' || w2 AS feat
+        |        FROM bg WHERE w2 IS NOT NULL)),
+        |raw AS (SELECT bucket, count(*) AS cr FROM f GROUP BY bucket),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM f
+        |        WHERE lang = 'en' GROUP BY bucket),
+        |tot AS (SELECT
+        |  (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+        |  (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  round(avg(ln(((coalesce(ct, 0) + 1.0) * (nr + 4096))
+        |    / ((cr + 1.0) * (nt + 4096)))), 4) AS dsir_logw
+        |FROM f JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)
+        |CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

@@ -152,6 +152,55 @@ object Curation {
       .orderBy("source")
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", 2023):
+    * score every document by how much it resembles a TARGET domain
+    * (here the English subset) relative to the RAW corpus. Features are
+    * unigrams + adjacent bigrams, md5-hashed into 4096 buckets (the
+    * engine-portable hash idiom — identical buckets everywhere); both
+    * bucket distributions get add-1 smoothing, and a document's weight
+    * is the MEAN per-feature log ratio ln(p_target/p_raw). Resampling
+    * by these weights is the importance-resampling step that tilts a
+    * web-scale corpus toward the target domain.
+    *
+    * Scale shape: the two bucket tables are ≤4096 rows (map-side
+    * combined groupBys over the feature stream) and broadcast back onto
+    * the stream; the per-doc mean is ONE doc_id-keyed shuffle — the
+    * unigram-LM plan, nothing beyond the linear feature stream. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = 4096
+    val docs = Tables(spark, dir).documents
+    val toks = split(col("text"), "\\s+")
+    val uni = docs.select(col("doc_id"), col("lang"), explode(toks).as("feat"))
+    val bi = docs.select(col("doc_id"), col("lang"),
+        explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("bg.0"), lit(" "), col("bg.1")).as("feat"))
+    // the hashed feature stream feeds three consumers (raw counts,
+    // target counts, scoring join); materialize it once
+    val feats = uni.union(bi)
+      .withColumn("bucket",
+        (conv(substring(md5(concat(lit("dsir:"), col("feat"))), 1, 7), 16, 10)
+          .cast("long") % b).cast("int"))
+      .localCheckpoint(true)
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum("cr").as("nr"))
+      .crossJoin(tgt.agg(sum("ct").as("nt")))
+    feats.join(broadcast(raw), "bucket")
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(avg(log(
+          ((col("ct") + 1.0) * (col("nr") + b)) /
+            ((col("cr") + 1.0) * (col("nt") + b)))), 4).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination check: the fraction of each training
     * document's w-token windows that also appear in the held-out
     * evaluation set (here: every 50th doc by id — a deterministic

@@ -222,6 +222,22 @@ class TextSpec extends AnyFunSuite {
       "sqrt weighting must never downweight the rarest source")
   }
 
+  test("dsir weights: target-language docs score higher than the rest") {
+    val r = graft.operators.Curation.dsirWeights(spark, sf)
+      .join(graft.Tables(spark, sf).documents.select("doc_id", "lang"), "doc_id")
+      .cache()
+    assert(r.count() == graft.Tables(spark, sf).documents.count())
+    // n_feats = tokens + bigrams = 2n - 1 for every non-empty doc
+    assert(r.filter($"n_feats" % 2 === 0).count() == 0)
+    // the whole point of importance weighting: the target domain (en)
+    // must score strictly above every other language on average
+    val byLang = r.groupBy("lang").agg(avg("dsir_logw").as("m"))
+      .as[(String, Double)].collect().toMap
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"en ${byLang("en")} must beat $l $m")
+    }
+  }
+
   test("contamination: eval docs excluded, ratios bounded") {
     val r = graft.operators.Curation.contamination(spark, sf).cache()
     assert(r.filter($"doc_id" % 50 === 0).count() == 0, "eval docs must not be scored")
