@@ -147,6 +147,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "g_sssp_weighted" -> (GraphQueries.weightedSssp _),
     "d_dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
+    "g_louvain" -> (GraphQueries.louvain _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -286,6 +287,42 @@ object SparkEntry {
          |    GROUP BY y.dst) acc ON acc.id = v.id)
          |""".stripMargin
     }.mkString(", w0 AS (SELECT id, 1.0 AS rank FROM ws)\n", "", "")
+
+  /** Louvain phase-1 move rounds unrolled (see Iterative.louvainMoves):
+    * round i moves only vertices with id%2 == i%2; the gain argmax is
+    * the exact-integer numerator 2·m·k_{v,in}(C) − k_v·Σ_tot(C \ v),
+    * ties to the smaller community id. Expects wsym/st/mm CTEs. */
+  private def louvainUnrolled(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val p = i % 2
+      s""", stot$i AS MATERIALIZED (
+         |  SELECT l.comm, CAST(sum(s.k) AS BIGINT) AS stot
+         |  FROM l${i - 1} l JOIN st s USING (id) GROUP BY 1),
+         |cand$i AS MATERIALIZED (
+         |  SELECT id, comm, CAST(sum(kvin) AS BIGINT) AS kvin FROM (
+         |    SELECT y.src AS id, l.comm, y.weight AS kvin
+         |    FROM wsym y JOIN l${i - 1} l ON l.id = y.dst
+         |    UNION ALL
+         |    SELECT id, comm, 0 FROM l${i - 1})
+         |  WHERE id % 2 = $p
+         |  GROUP BY 1, 2),
+         |sc$i AS MATERIALIZED (
+         |  SELECT c.id, c.comm,
+         |    2 * (SELECT m FROM mm) * c.kvin
+         |      - s.k * (t.stot - CASE WHEN c.comm = cl.comm
+         |                        THEN s.k ELSE 0 END) AS gain
+         |  FROM cand$i c
+         |  JOIN l${i - 1} cl ON cl.id = c.id
+         |  JOIN stot$i t ON t.comm = c.comm
+         |  JOIN st s ON s.id = c.id),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, comm FROM (
+         |    SELECT id, comm, row_number() OVER (PARTITION BY id
+         |      ORDER BY gain DESC, comm ASC) AS rn FROM sc$i) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT id, comm FROM l${i - 1} WHERE id % 2 <> $p)
+         |""".stripMargin
+    }.mkString(", l0 AS MATERIALIZED (SELECT id, id AS comm FROM st)\n", "", "")
 
   /** Bellman-Ford relaxation unrolled: s₀ = 0 at the source / INF
     * sentinel elsewhere; each round takes the min over incoming
@@ -2148,6 +2185,21 @@ object SparkEntry {
         |  FROM wsym GROUP BY src)
         |""".stripMargin + wprUnrolled(10) +
       "SELECT id, round(rank, 6) AS wpagerank FROM w10 ORDER BY id"),
+    // Louvain phase-1: 4 parity-alternating exact-integer gain rounds
+    "g_louvain" -> ("""WITH we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |wsym AS MATERIALIZED (
+        |  SELECT src, dst, weight FROM we
+        |  UNION ALL SELECT dst, src, weight FROM we),
+        |st AS MATERIALIZED (
+        |  SELECT src AS id, CAST(sum(weight) AS BIGINT) AS k
+        |  FROM wsym GROUP BY 1),
+        |mm AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM we)
+        |""".stripMargin + louvainUnrolled(4) +
+      "SELECT id, CAST(comm AS BIGINT) AS community FROM l4 ORDER BY id"),
     // weighted SSSP: 30 synchronous Bellman-Ford relaxation rounds from
     // the top-degree vertex (fixpoint is earlier; extra rounds no-op)
     "g_sssp_weighted" -> ("""WITH we AS (

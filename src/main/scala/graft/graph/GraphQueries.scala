@@ -194,6 +194,12 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** Louvain phase-1 communities (4 parity-alternating exact-integer
+    * modularity-gain move rounds) over the weighted co-purchase graph. */
+  def louvain(spark: SparkSession, dir: String): DataFrame =
+    Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
+      .orderBy("id")
+
   /** Weighted SSSP from the top-degree vertex: exact min-cost distances
     * over the integer co-purchase weights (nx.dijkstra parity). */
   def weightedSssp(spark: SparkSession, dir: String): DataFrame = {

@@ -209,6 +209,69 @@ object Iterative {
 
   /** Average shortest-path length estimate over the landmark BFS pairs
     * (ref: the reference computes exact ASP via NetworkX driver-side). */
+  /** Distributed Louvain phase-1 move rounds over the weighted graph
+    * (Blondel et al. 2008; synchronous variant à la Sotera's
+    * spark-louvain). Init: every vertex its own community. Each round,
+    * a PARITY-ALTERNATING half of the vertices (id%2 == round%2)
+    * simultaneously moves to the neighboring community with the best
+    * modularity gain — the alternation is what prevents the symmetric
+    * two-vertex swap oscillation a fully-synchronous rule suffers.
+    *
+    * The argmax is EXACT-INTEGER: for candidate community C,
+    * ΔQ ∝ N(C) = 2·m·k_{v,in}(C) − k_v·Σ_tot(C \ v) — all longs, so
+    * the chosen community can never flip with summation order, engine,
+    * or partition count (the same fixed-point discipline as the
+    * betweenness and centroid pipelines). Ties break to the smaller
+    * community id; staying put is always a candidate.
+    *
+    * Scale shape per round: one symmetric-edge join against the label
+    * table grouped (vertex, community) — O(|E|) shuffled rows keyed by
+    * vertex; Σ_tot is one |V|-row aggregate joined back on community;
+    * the argmax is a max-struct aggregate (no window, no sort). Rounds
+    * are fixed (default 4) and each ends in localCheckpoint. */
+  def louvainMoves(weightedEdges: DataFrame, rounds: Int = 4): DataFrame = {
+    val sym = weightedEdges.select(col("src"), col("dst"), col("weight"))
+      .union(weightedEdges.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+      .localCheckpoint(true)
+    val strength = sym.groupBy(col("src").as("id"))
+      .agg(sum("weight").as("k")).localCheckpoint(true)
+    val m = weightedEdges.agg(sum("weight")).head.getLong(0)
+    var lab = strength.select(col("id"), col("id").as("comm"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val parity = r % 2
+      val stot = lab.join(strength, "id")
+        .groupBy("comm").agg(sum("k").as("stot"))
+      // candidate communities of the moving half: every neighbor's
+      // community, plus the current one (kvin 0 row; real neighbors in
+      // the current community already contribute their own rows)
+      val nbrComm = sym
+        .join(lab.select(col("id").as("dst"), col("comm")), "dst")
+        .select(col("src").as("id"), col("comm"), col("weight").as("kvin"))
+      val cand = nbrComm
+        .union(lab.select(col("id"), col("comm"), lit(0L).as("kvin")))
+        .filter(pmod(col("id"), lit(2)) === parity)
+        .groupBy("id", "comm").agg(sum("kvin").as("kvin"))
+      val moved = cand
+        .join(lab.select(col("id"), col("comm").as("cur")), "id")
+        .join(stot, "comm")
+        .join(strength, "id")
+        .withColumn("stot_adj", col("stot") -
+          when(col("comm") === col("cur"), col("k")).otherwise(lit(0L)))
+        .withColumn("gain",
+          lit(2L * m) * col("kvin") - col("k") * col("stot_adj"))
+        .groupBy("id")
+        .agg(max(struct(col("gain"), (-col("comm")).as("nc"),
+          col("comm").as("c"))).as("best"))
+        .select(col("id"), col("best.c").as("comm"))
+      lab = moved
+        .union(lab.filter(pmod(col("id"), lit(2)) =!= parity))
+        .localCheckpoint(true)
+    }
+    lab.select(col("id"), col("comm").as("community"))
+  }
+
   def avgPathLength(dists: DataFrame): DataFrame =
     dists.filter(col("dist") > 0)
       .agg(round(avg(col("dist")), 4).as("avg_path_length"))

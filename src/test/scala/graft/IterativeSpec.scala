@@ -17,6 +17,27 @@ class IterativeSpec extends AnyFunSuite {
     Graph(v, e)
   }
 
+  test("louvain moves: two bridged triangles collapse into two communities") {
+    // hand-traced through the exact-integer gain rule with parity
+    // alternation (see Iterative.louvainMoves): round 1 odd vertices
+    // pair up, round 2 pulls 4 into {5,6}, round 3 pulls 3 into {1,2}
+    val we = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val got = Iterative.louvainMoves(we).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("louvain on the co-purchase graph: deterministic, fewer communities than vertices") {
+    val we = GraphBuilder.weightedEdges(spark, sf)
+    val a = Iterative.louvainMoves(we).as[(Long, Long)].collect().toMap
+    val b = Iterative.louvainMoves(we).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val nComm = a.values.toSet.size
+    assert(nComm > 1 && nComm < a.size, s"got $nComm communities for ${a.size} vertices")
+  }
+
   test("connected components finds both components and isolated vertex") {
     val cc = Iterative.connectedComponents(twoComp)
       .as[(Long, Long)].collect().toMap
