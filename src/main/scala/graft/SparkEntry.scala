@@ -148,6 +148,7 @@ object SparkEntry {
     "g_sssp_weighted" -> (GraphQueries.weightedSssp _),
     "d_dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "g_louvain" -> (GraphQueries.louvain _),
+    "g_node2vec_corpus" -> ((s, d) => GraphQueries.node2vecCorpus(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -611,6 +612,43 @@ object SparkEntry {
          |  FROM sym GROUP BY src)
          |, wk0 AS (
          |  SELECT id AS walk_id, id AS pos, [id] AS seq
+         |  FROM deg WHERE id % $stride = 0)
+         |""".stripMargin, "", "")
+
+  /** Unrolled node2vec steps (exactly `GraphQueries.node2vecCorpus`):
+    * per step, neighbors of the current vertex get integer weights
+    * {4: = prev, 2: neighbor of prev, 1: otherwise} (p=1/2, q=2,
+    * scaled ×2); the draw r = md5("n2v:seed:walk:t") mod Σwt picks the
+    * sorted neighbor whose cumulative range covers r. */
+  private def n2vUnrolled(steps: Int, stride: Long, seed: Long): String =
+    (1 to steps).map { t =>
+      s""", nx$t AS MATERIALIZED (
+         |  SELECT w.walk_id, w.pos, w.prev, w.seq,
+         |    unnest(a.nbrs) AS nbr, generate_subscripts(a.nbrs, 1) AS i
+         |  FROM nw${t - 1} w JOIN wadj a ON a.pos = w.pos),
+         |nwt$t AS MATERIALIZED (
+         |  SELECT x.*, CASE WHEN x.nbr = x.prev THEN 4
+         |              WHEN list_contains(ap.nbrs, x.nbr) THEN 2
+         |              ELSE 1 END AS wt
+         |  FROM nx$t x JOIN wadj ap ON ap.pos = x.prev),
+         |nc$t AS MATERIALIZED (
+         |  SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY i) AS cum,
+         |    sum(wt) OVER (PARTITION BY walk_id) AS tot
+         |  FROM nwt$t),
+         |nw$t AS MATERIALIZED (
+         |  SELECT walk_id, nbr AS pos, pos AS prev,
+         |    list_append(seq, nbr) AS seq
+         |  FROM (SELECT *, ('0x' || substr(md5('n2v:$seed:' ||
+         |      CAST(walk_id AS VARCHAR) || ':$t'), 1, 8))::BIGINT % tot AS r
+         |    FROM nc$t)
+         |  WHERE cum > r AND cum - wt <= r)
+         |""".stripMargin
+    }.mkString(
+      s""", wadj AS MATERIALIZED (
+         |  SELECT src AS pos, list_sort(list(dst)) AS nbrs
+         |  FROM sym GROUP BY src)
+         |, nw0 AS (
+         |  SELECT id AS walk_id, id AS pos, id AS prev, [id] AS seq
          |  FROM deg WHERE id % $stride = 0)
          |""".stripMargin, "", "")
 
@@ -1633,6 +1671,12 @@ object SparkEntry {
       """SELECT walk_id, generate_subscripts(seq, 1) - 1 AS step,
         |  unnest(seq) AS vertex
         |FROM wk8 ORDER BY walk_id, step""".stripMargin),
+    // node2vec corpus: every biased step choice replayed via weighted
+    // cumulative ranges over the sorted adjacency (p=1/2, q=2)
+    "g_node2vec_corpus" -> (GraphCte + n2vUnrolled(8, 20, 42L) +
+      """SELECT walk_id, generate_subscripts(seq, 1) - 1 AS step,
+        |  unnest(seq) AS vertex
+        |FROM nw8 ORDER BY walk_id, step""".stripMargin),
     "g_core_number" -> (GraphCte + coreUnrolled(22) +
       """SELECT d.id, CAST(coalesce(h.c, 0) AS BIGINT) AS core
         |FROM deg d LEFT JOIN h22 h USING (id)

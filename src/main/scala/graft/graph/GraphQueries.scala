@@ -156,8 +156,12 @@ object GraphQueries {
     * UDF). 100 TB: frontier and adjacency co-partition on the join
     * key; walk count scales with the vertex stride. */
   def walkCorpus(spark: SparkSession, dir: String, steps: Int = 8,
-                 stride: Long = 20L, seed: Long = 42L): DataFrame = {
-    val g = GraphBuilder.coPurchase(spark, dir)
+                 stride: Long = 20L, seed: Long = 42L): DataFrame =
+    uniformWalks(GraphBuilder.coPurchase(spark, dir), steps, stride, seed)
+
+  /** Graph-parameterized core of [[walkCorpus]]. */
+  def uniformWalks(g: Graph, steps: Int, stride: Long,
+                   seed: Long): DataFrame = {
     val adj = g.collectNeighborIds
       .select(col("id").as("pos"), col("neighbor_ids").as("nbrs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -177,6 +181,68 @@ object GraphQueries {
       .select(col("walk_id"), posexplode(col("seq")).as(Seq("step", "vertex")))
       .orderBy("walk_id", "step")
     out
+  }
+
+  /** node2vec-biased walk corpus (Grover & Leskovec 2016): second-order
+    * walks with return parameter p=1/2 and in-out parameter q=2 —
+    * unnormalized neighbor weights ×2 give INTEGERS {4: back to the
+    * previous vertex, 2: common neighbor of prev (BFS-ish), 1: outward
+    * (DFS-ish)}. Each step draws r = md5("n2v:seed:walk:t") mod
+    * Σweights and picks the sorted neighbor whose cumulative-weight
+    * range covers r — exact integer arithmetic end to end, so the
+    * corpus replays bit-identically in the SQL oracle. prev starts as
+    * the start vertex itself: a vertex is never its own neighbor, so
+    * step 1's rule degenerates to the uniform all-weight-2 draw — one
+    * rule for every step.
+    *
+    * Scale shape: the join-based frontier of [[walkCorpus]], joined
+    * against the adjacency table TWICE per step (current + previous).
+    * The higher-order weight/pick lambdas run on FRONTIER-sized rows
+    * (|starts|), where their interpreted evaluation is irrelevant next
+    * to the joins — the corpus-sized hot loops elsewhere stay native. */
+  def node2vecCorpus(spark: SparkSession, dir: String, steps: Int = 8,
+                     stride: Long = 20L, seed: Long = 42L): DataFrame =
+    node2vecWalks(GraphBuilder.coPurchase(spark, dir), steps, stride, seed)
+
+  /** Graph-parameterized core of [[node2vecCorpus]] (spec-testable on
+    * toy graphs). */
+  def node2vecWalks(g: Graph, steps: Int, stride: Long,
+                    seed: Long): DataFrame = {
+    val adj = g.collectNeighborIds
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cadj = adj.select(col("id").as("pos"), col("neighbor_ids").as("nbrs"))
+    val padj = adj.select(col("id").as("prev"), col("neighbor_ids").as("pnbrs"))
+    var state = g.vertices.filter(col("id") % stride === 0)
+      .select(col("id").as("walk_id"), col("id").as("pos"),
+        col("id").as("prev"), array(col("id")).as("seq"))
+    for (t <- 1 to steps) {
+      val wts = transform(col("nbrs"), x =>
+        when(x === col("prev"), lit(4L))
+          .when(array_contains(col("pnbrs"), x), lit(2L))
+          .otherwise(lit(1L)))
+      // pick = 1 + #(inclusive prefix sums ≤ r): the fold carries
+      // (cum, cnt) and counts prefixes still at-or-below the draw
+      val pick = aggregate(col("wts"),
+        struct(lit(0L).as("cum"), lit(0).as("cnt")),
+        (acc, w) => struct(
+          (acc.getField("cum") + w).as("cum"),
+          (acc.getField("cnt") +
+            when(acc.getField("cum") + w <= col("r"), 1).otherwise(0))
+            .as("cnt")),
+        acc => acc.getField("cnt") + 1)
+      state = state.join(cadj, "pos").join(padj, "prev")
+        .withColumn("wts", wts)
+        .withColumn("tot", aggregate(col("wts"), lit(0L), (a, w) => a + w))
+        .withColumn("r", conv(substring(md5(concat_ws(":",
+          lit("n2v"), lit(seed), col("walk_id"), lit(t))), 1, 8), 16, 10)
+          .cast("long") % col("tot"))
+        .withColumn("nxt", element_at(col("nbrs"), pick))
+        .select(col("walk_id"), col("nxt").as("pos"), col("pos").as("prev"),
+          concat(col("seq"), array(col("nxt"))).as("seq"))
+    }
+    state
+      .select(col("walk_id"), posexplode(col("seq")).as(Seq("step", "vertex")))
+      .orderBy("walk_id", "step")
   }
 
   /** Weighted PageRank over the co-purchase edge weights. */

@@ -133,4 +133,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("node2vec corpus: valid biased walks, deterministic, bias favors returns") {
+    val w = GraphQueries.node2vecCorpus(spark, sf, steps = 4, stride = 10L)
+      .cache()
+    val rows = w.as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    val byWalk = rows.groupBy(_._1)
+    byWalk.foreach { case (wid, steps) =>
+      assert(steps.map(_._2).sorted.toSeq == (0 to 4))
+      assert(steps.minBy(_._2)._3 == wid, s"walk $wid must start at itself")
+    }
+    val edges = GraphBuilder.coPurchase(spark, sf).edges
+      .as[(Long, Long)].collect()
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toSet
+    byWalk.values.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(edges.contains((a._3, b._3)),
+          s"${a._3} -> ${b._3} is not an edge")
+        case _ =>
+      }
+    }
+    val again = GraphQueries.node2vecCorpus(spark, sf, steps = 4, stride = 10L)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("node2vec return bias: backtracks beat the uniform walk on a star") {
+    // star: hub 0, leaves 1..12. From the hub with prev = leaf L, L has
+    // weight 4 (p=1/2) and the other 11 leaves weight 1 (not neighbors
+    // of L) → backtrack prob 4/15 vs 1/12 for the uniform walk.
+    val e = (1L to 12L).map(l => (0L, l)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    def backtracks(rs: Array[(Long, Int, Long)]): Double = {
+      val trips = rs.groupBy(_._1).values.flatMap { s =>
+        s.sortBy(_._2).map(_._3).sliding(3).filter(_.size == 3)
+          .map(t => if (t(0) == t(2)) 1.0 else 0.0)
+      }.toSeq
+      trips.sum / trips.size
+    }
+    val biased = GraphQueries.node2vecWalks(g, steps = 16, stride = 1L, seed = 42L)
+      .as[(Long, Int, Long)].collect()
+    val uniform = GraphQueries.uniformWalks(g, steps = 16, stride = 1L, seed = 42L)
+      .as[(Long, Int, Long)].collect()
+    assert(backtracks(biased) > backtracks(uniform),
+      s"return bias must raise the backtrack rate: " +
+        s"${backtracks(biased)} vs ${backtracks(uniform)}")
+  }
 }
