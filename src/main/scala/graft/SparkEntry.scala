@@ -149,6 +149,7 @@ object SparkEntry {
     "d_dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "g_louvain" -> (GraphQueries.louvain _),
     "g_node2vec_corpus" -> ((s, d) => GraphQueries.node2vecCorpus(s, d)),
+    "d_gopher_rules" -> (TextAnalysis.gopherRules _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2024,6 +2025,31 @@ object SparkEntry {
         |FROM tk t LEFT JOIN pd p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // unigram-LM mean log-likelihood (the model-free perplexity proxy)
+    // Gopher filter rules: word count, mean word length, stopword hits
+    "d_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    string_split_regex(text, '\s+') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    (n_chars - len(w) + 1.0) / len(w) AS mean_len,
+        |    len(list_filter(w, x -> list_contains(
+        |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'], x)))
+        |      AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(mean_len, 4) AS mean_word_len, stop_hits,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER)
+        |    AS r_word_count,
+        |  CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INTEGER)
+        |    AS r_mean_len,
+        |  CAST(stop_hits >= 2 AS INTEGER) AS r_stopwords,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND mean_len >= 3.0 AND mean_len <= 10.0
+        |    AND stop_hits >= 2 AS INTEGER) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     // DSIR importance weights: unigram+bigram features md5-hashed into
     // 4096 buckets; target = lang='en', raw = all; add-1 smoothing
     "d_dsir_weights" ->

@@ -77,6 +77,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style document filter rules (Rae et al. 2021 §A1.1, the
+    * threshold table a web-scale curation stack applies before any
+    * model-based scoring — complements [[repetitionSignals]], which
+    * covers the repetition rules, and [[qualityScores]]' continuous
+    * signals): word-count bounds, mean-word-length bounds, minimum
+    * stopword hits; `keep` is their conjunction. Pure row-local
+    * projection — zero shuffles, runs at scan speed at any corpus
+    * size. Flags are 0/1 ints for cross-engine hash stability. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(toks)
+    val meanLen = (nChars - nWords + 1) / nWords
+    val stopHits = size(filter(toks, t => t.isin(LangStopwords("en"): _*)))
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      stopHits.as("stop_hits"),
+      (nWords >= 50 && nWords <= 100000).cast("int").as("r_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).cast("int").as("r_mean_len"),
+      (stopHits >= 2).cast("int").as("r_stopwords"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        stopHits >= 2).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID evaluation against the table's ground-truth `lang`
     * column: confusion counts (lang, lang_pred). One broadcast-free
     * self-aligned join on doc_id + a tiny aggregate. */

@@ -222,6 +222,16 @@ class TextSpec extends AnyFunSuite {
       "sqrt weighting must never downweight the rarest source")
   }
 
+  test("gopher rules: keep is exactly the conjunction of the rule flags") {
+    val r = TextAnalysis.gopherRules(spark, sf).cache()
+    assert(r.count() == graft.Tables(spark, sf).documents.count())
+    assert(r.filter($"keep" =!= $"r_word_count" * $"r_mean_len" * $"r_stopwords")
+      .count() == 0)
+    assert(r.filter($"keep" === 1 && $"n_words" < 50).count() == 0)
+    val kept = r.filter($"keep" === 1).count()
+    assert(kept > 0 && kept < r.count(), "rules must actually discriminate")
+  }
+
   test("dsir weights: target-language docs score higher than the rest") {
     val r = graft.operators.Curation.dsirWeights(spark, sf)
       .join(graft.Tables(spark, sf).documents.select("doc_id", "lang"), "doc_id")
