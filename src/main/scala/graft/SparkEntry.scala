@@ -150,6 +150,9 @@ object SparkEntry {
     "g_louvain" -> (GraphQueries.louvain _),
     "g_node2vec_corpus" -> ((s, d) => GraphQueries.node2vecCorpus(s, d)),
     "d_gopher_rules" -> (TextAnalysis.gopherRules _),
+    "g_harmonic" -> (GraphQueries.harmonic _),
+    "q2_min_price_supplier" -> (Relational.q2MinPriceSupplier _),
+    "q_events_funnel" -> (Relational.qEventsFunnel _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1351,6 +1354,39 @@ object SparkEntry {
         |    AS running_total
         |FROM orders WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q2_min_price_supplier" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(avg(l_extendedprice), 4) AS avg_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT l_partkey AS p_key, l_suppkey AS s_suppkey,
+        |    avg_price AS best_price,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY avg_price, l_suppkey) AS rn
+        |  FROM sp)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, best_price
+        |FROM b
+        |JOIN part ON p_partkey = p_key
+        |JOIN supplier USING (s_suppkey)
+        |WHERE rn = 1 AND p_size <= 3
+        |ORDER BY p_partkey""".stripMargin,
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS v_ms FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ms) AS c_ms
+        |      FROM ev e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ms > v.v_ms
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ms) AS p_ms
+        |      FROM ev e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ms > c.c_ms
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |  (SELECT count(*) FROM c) AS n_clicked_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
@@ -1505,6 +1541,27 @@ object SparkEntry {
         |  SELECT landmark, v, min(dist) AS dist FROM bfs GROUP BY 1, 2)
         |SELECT v AS id, round(count(*) / CAST(sum(dist) AS DOUBLE), 6)
         |  AS closeness
+        |FROM md WHERE dist > 0 GROUP BY v ORDER BY id""".stripMargin,
+    // harmonic centrality: Σ 1/d over the same 8-landmark BFS, summed
+    // as 1e-9 micro-longs (order-free, matches Iterative.harmonicFrom)
+    "g_harmonic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 8),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |md AS (
+        |  SELECT landmark, v, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+        |SELECT v AS id,
+        |  round(CAST(sum(CAST(round(1000000000.0 / dist) AS BIGINT))
+        |    AS BIGINT) / 1000000000.0, 6) AS harmonic
         |FROM md WHERE dist > 0 GROUP BY v ORDER BY id""".stripMargin,
     "g_avg_path_length" ->
       """WITH RECURSIVE e AS (

@@ -82,6 +82,13 @@ object GraphQueries {
     Iterative.closenessFrom(GraphBuilder.landmarkBfs(g, 8)).orderBy("id")
   }
 
+  /** Harmonic centrality over the same cached landmark BFS table —
+    * the fourth query served by the one multi-source traversal. */
+  def harmonic(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    Iterative.harmonicFrom(GraphBuilder.landmarkBfs(g, 8)).orderBy("id")
+  }
+
   def density(spark: SparkSession, dir: String): DataFrame =
     Metrics.density(GraphBuilder.coPurchase(spark, dir))
 

@@ -295,6 +295,18 @@ object Iterative {
         round(col("n_reached") / col("total_dist"), 6).as("closeness"))
   }
 
+  /** Landmark harmonic centrality (nx.harmonic_centrality restricted to
+    * the landmark set, the same approximation family as [[closeness]]):
+    * Σ 1/d(v, landmark). Each term is rounded to 1e-9 micro-units and
+    * summed as LONGS — integer sums are order-free, so the total cannot
+    * drift with partition merge order (1/3-style terms are inexact in
+    * doubles; a float sum's value depends on addition order). */
+  def harmonicFrom(dists: DataFrame): DataFrame =
+    dists.filter(col("dist") > 0)
+      .groupBy(col("v").as("id"))
+      .agg(sum(round(lit(1e9) / col("dist")).cast("long")).as("micro"))
+      .select(col("id"), round(col("micro") / 1e9, 6).as("harmonic"))
+
   /** Canonical shortest PATHS — GraphFrames `bfs(fromExpr, toExpr)`
     * parity (the path-returning API; our landmark BFS covers the
     * distance-only `shortestPaths`). From `source` to the k farthest

@@ -402,6 +402,50 @@ object Relational {
       .orderBy("ship_month")
   }
 
+  /** TPC-H Q2 shape (min-per-group + join back): for each small part,
+    * the supplier selling it at the lowest average price. The per-group
+    * argmin is a MIN-STRUCT aggregate (price, then suppkey as the
+    * deterministic tie-break) — one map-side-combined pass, no window,
+    * no sort; the 4-dp rounding pins the float average so the argmin
+    * cannot flip with summation order across engines. */
+  def q2MinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sp = t.lineitem.groupBy("l_partkey", "l_suppkey")
+      .agg(round(avg("l_extendedprice"), 4).as("avg_price"))
+    val best = sp.groupBy(col("l_partkey").as("p_key"))
+      .agg(min(struct(col("avg_price"), col("l_suppkey"))).as("b"))
+      .select(col("p_key"), col("b.l_suppkey").as("s_suppkey"),
+        col("b.avg_price").as("best_price"))
+    best
+      .join(broadcast(t.part.filter(col("p_size") <= 3)),
+        col("p_key") === col("p_partkey"))
+      .join(broadcast(t.supplier), "s_suppkey")
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("best_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** Funnel analysis (view → click → purchase, strictly ordered in
+    * event time per user): each stage joins the previous stage's
+    * first-completion time back onto the event stream and takes the
+    * min qualifying timestamp — three user-keyed aggregates/joins, no
+    * window over the whole stream, no per-user event collection. */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("v_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ms") > col("v_ms"))
+      .groupBy("user_id").agg(min("ms").as("c_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ms") > col("c_ms"))
+      .groupBy("user_id").agg(min("ms").as("p_ms"))
+    views.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
   /** Semi-join shape (correlated EXISTS): order-priority counts for
     * orders with at least one lineitem shipped after the order date —
     * equi-key plus a non-equi residual condition. The semi-join keeps
