@@ -153,6 +153,7 @@ object SparkEntry {
     "g_harmonic" -> (GraphQueries.harmonic _),
     "q2_min_price_supplier" -> (Relational.q2MinPriceSupplier _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
+    "d_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2139,6 +2140,47 @@ object SparkEntry {
         |FROM f JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)
         |CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet buckets: per-language terciles of the bigram-LM score
+    // (same LM CTEs as d_bigram_logprob), head = highest likelihood
+    "d_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, token AS w1,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM t),
+        |bgx AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bgx GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(avg(ln(0.75 * c2.cnt2 / v1.cnt
+        |      + 0.25 * v2.cnt / (SELECT total FROM tot))), 4) AS avg_logprob
+        |  FROM bgx
+        |  JOIN c2 USING (w1, w2)
+        |  JOIN v v1 ON v1.token = bgx.w1
+        |  JOIN v v2 ON v2.token = bgx.w2
+        |  GROUP BY doc_id),
+        |scored AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang,
+        |    round(percentile_cont(2.0/3.0)
+        |      WITHIN GROUP (ORDER BY avg_logprob), 4) AS t_head,
+        |    round(percentile_cont(1.0/3.0)
+        |      WITHIN GROUP (ORDER BY avg_logprob), 4) AS t_mid
+        |  FROM scored GROUP BY lang)
+        |SELECT doc_id, lang, avg_logprob,
+        |  CASE WHEN avg_logprob >= t_head THEN 'head'
+        |       WHEN avg_logprob >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     "d_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

@@ -152,6 +152,31 @@ object Curation {
       .orderBy("source")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    * language's documents split into head/middle/tail by LM-score
+    * terciles — CCNet keeps "head" (lowest perplexity ⇒ here HIGHEST
+    * bigram-LM log-likelihood) for training and drops or deboosts the
+    * tail. Scores come from the oracle-proven [[TextAnalysis.bigramLogProb]];
+    * tercile cuts are exact percentiles per language, 4-dp-pinned so
+    * the ≥ bucket comparisons are engine-stable.
+    *
+    * Scale shape: the LM scoring is the one corpus pass bigramLogProb
+    * already makes; the cut table is |langs| rows (sort-based exact
+    * percentile per small group) broadcast back onto the doc stream. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.bigramLogProb(spark, dir)
+      .join(Tables(spark, dir).documents.select("doc_id", "lang"), "doc_id")
+    val cuts = scored.groupBy("lang").agg(
+      round(expr("percentile(avg_logprob, 2.0/3.0)"), 4).as("t_head"),
+      round(expr("percentile(avg_logprob, 1.0/3.0)"), 4).as("t_mid"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("t_head"), "head")
+          .when(col("avg_logprob") >= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al., "Data
     * Selection for Language Models via Importance Resampling", 2023):
     * score every document by how much it resembles a TARGET domain

@@ -44,6 +44,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("segment"),
         col("n_events"), col("sum_value"))
 
+  /** Native session windows: Spark's declarative `session_window`
+    * (dynamic-gap event-time windows that merge while events keep
+    * arriving within the gap) — the DECLARATIVE twin of the
+    * flatMapGroupsWithState [[sessionize]] path. Catalyst owns the
+    * session-merge state here (watermark-evicted, no user state
+    * function), which is the preferred form whenever plain gap
+    * sessionization is enough. */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop events with a duplicate `event_id`
     * arriving within the watermark window — the streaming twin of
     * `Dedup.exactDedup`. State is bounded: ids older than the watermark

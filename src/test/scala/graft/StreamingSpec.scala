@@ -59,6 +59,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "view"))
   }
 
+  test("native session_window merges events within the gap and splits on silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 100: events at 10:01 and 10:10 (one session, gap < 15 min),
+    // then 10:40 (a second session after 30 min of silence)
+    in.addData(
+      Event(1, ts(1), 100, "click", 1.0),
+      Event(2, ts(10), 100, "click", 2.0),
+      Event(3, ts(40), 100, "view", 4.0))
+    val q = EventStreams.sessionWindowAgg(in.toDF(), gap = "15 minutes",
+      watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sw_out").start()
+    q.processAllAvailable()
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 12:30:00"), 102, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sw_out")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // session 1: [10:01, 10:10+15min), both events merged
+    assert(out.contains((100L, ts(1), ts(25), 2L, 3.0)))
+    // session 2: the lone 10:40 event, closed at 10:55
+    assert(out.contains((100L, ts(40), ts(55), 1L, 4.0)))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
