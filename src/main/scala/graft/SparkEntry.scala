@@ -154,6 +154,7 @@ object SparkEntry {
     "q2_min_price_supplier" -> (Relational.q2MinPriceSupplier _),
     "q_events_funnel" -> (Relational.qEventsFunnel _),
     "d_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
+    "e_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -850,6 +851,31 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Within-cell kNN graph on top of the trained index (exactly
+    * `Ann.knnGraph`): every vector's top-k cosine neighbors among its
+    * own cell's members, ranked (sim desc, id asc). */
+  private def knnGraphUnrolled(iters: Int, k: Int): String =
+    ivfTrainedCtes(iters) +
+    s""", pr AS (
+       |  SELECT la.vec_id AS a, lb.vec_id AS b
+       |  FROM idx la JOIN idx lb
+       |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id)
+       |, cosab AS (
+       |  SELECT pr.a, pr.b, sum(ea.x * eb.x) AS dot
+       |  FROM pr
+       |  JOIN ev ea ON ea.vec_id = pr.a
+       |  JOIN ev eb ON eb.vec_id = pr.b AND eb.i = ea.i
+       |  GROUP BY pr.a, pr.b)
+       |, rr AS (
+       |  SELECT c.a AS vec_id, c.b AS neighbor_id, row_number() OVER (
+       |    PARTITION BY c.a
+       |    ORDER BY c.dot / (na.nrm * nb.nrm) DESC, c.b ASC) AS rank
+       |  FROM cosab c
+       |  JOIN evn na ON na.vec_id = c.a
+       |  JOIN evn nb ON nb.vec_id = c.b)
+       |SELECT vec_id, rank, neighbor_id FROM rr
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
   /** SemDeDup on top of the trained index (exactly
     * `Ann.semanticDedup`): within-cell pairs, exact cosine, drop to
     * the smallest qualifying lower id. */
@@ -1216,6 +1242,7 @@ object SparkEntry {
         |GROUP BY t.label, a.clabel
         |ORDER BY t.label, a.clabel""".stripMargin,
     "d_semantic_dedup" -> semDedupUnrolled(3, 0.35),
+    "e_knn_graph" -> knnGraphUnrolled(3, 5),
     "g_betweenness" -> btwUnrolled(12, 8, 42L),
     // payload = utf-8 bytes of text, so md5(payload ++ k) ==
     // md5(text || k); the float cast + double norm mirror decodeStub

@@ -185,6 +185,33 @@ object Ann {
         round(col("nn.score"), 6).as("sim"))
   }
 
+  /** Approximate kNN GRAPH over the whole corpus via the shared trained
+    * IVF index: every vector's top-k cosine neighbors searched WITHIN
+    * its own cell — the all-pairs analog of [[knnIvf]] and the
+    * initialization step of graph-ANN methods (NN-Descent / HNSW
+    * bootstrap); downstream it feeds embedding-cluster analysis the
+    * same way the LSH pair graph feeds near-dup clustering.
+    *
+    * Scale shape: the candidate join is CELL-keyed — Σ C(|cell|,2)
+    * pairs, bounded by scaling the cell count with the corpus (never
+    * |D|²); top-k is a map-side bounded TypedImperativeAggregate. One
+    * training run serves knnIvf, semanticDedup and this graph. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (emb, _, assigned) = ivfIndex(spark, dir)
+    val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    val l = members.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val r = members.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    l.join(r, "cell").filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosineSim(col("ea"), col("eb")).as("sim"))
+      .groupBy("a").agg(topK(col("b"), col("sim"), k).as("nn"))
+      .select(col("a").as("vec_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("vec_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus embeddings (k-means, the
     * SAME portable trained index as [[knnIvf]]), then compare pairs

@@ -60,6 +60,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("knnGraph covers every vector with in-cell neighbors and decent recall") {
+    val g = Ann.knnGraph(spark, sf, k = 5).cache()
+    val n = Tables(spark, sf).embeddings.count()
+    // every vector gets rows, ranks are 1..k, no self edges
+    assert(g.select("vec_id").distinct().count() == n)
+    assert(g.filter($"rank" < 1 || $"rank" > 5).count() == 0)
+    assert(g.filter($"vec_id" === $"neighbor_id").count() == 0)
+    // within-cell search still recovers a fair share of the true top-5
+    // for the first 10 vectors
+    val brute = Ann.knnBrute(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = g.filter($"vec_id" < 10)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"knn-graph recall $recall too low")
+  }
+
   test("embeddingNearDups pairs all meet the cosine threshold") {
     val pairs = Ann.embeddingNearDups(spark, sf, threshold = 0.2)
     assert(pairs.filter($"cos" < 0.2).count() == 0)
