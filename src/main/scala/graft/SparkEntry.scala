@@ -155,6 +155,7 @@ object SparkEntry {
     "q_events_funnel" -> (Relational.qEventsFunnel _),
     "d_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
     "e_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
+    "g_mst" -> (GraphQueries.mst _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -294,6 +295,57 @@ object SparkEntry {
          |    GROUP BY y.dst) acc ON acc.id = v.id)
          |""".stripMargin
     }.mkString(", w0 AS (SELECT id, 1.0 AS rank FROM ws)\n", "", "")
+
+  /** Borůvka rounds unrolled (exactly Iterative.minimumSpanningForest):
+    * per round each component picks its min outgoing edge under the
+    * strict (weight, src, dst) order, then merges by `doubling`
+    * pointer-doubling steps over the selection graph (2-cycles rooted
+    * at the smaller id). Expects `we` (src, dst, weight) and emits
+    * l0..l{rounds} labels + sel1..sel{rounds} picked edges. */
+  private def msfUnrolled(rounds: Int, doubling: Int): String = {
+    val body = (1 to rounds).map { r =>
+      val dbl = (1 to doubling).map { i =>
+        s""", p${r}_$i AS MATERIALIZED (
+           |  SELECT a.c, coalesce(b.p, a.p) AS p
+           |  FROM p${r}_${i - 1} a LEFT JOIN p${r}_${i - 1} b ON b.c = a.p)
+           |""".stripMargin
+      }.mkString
+      s""", ec$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.weight, la.comp AS ca, lb.comp AS cb
+         |  FROM we e
+         |  JOIN l${r - 1} la ON la.id = e.src
+         |  JOIN l${r - 1} lb ON lb.id = e.dst
+         |  WHERE la.comp <> lb.comp),
+         |sel$r AS MATERIALIZED (
+         |  SELECT comp, src, dst, weight, other FROM (
+         |    SELECT comp, src, dst, weight, other, row_number() OVER (
+         |      PARTITION BY comp ORDER BY weight, src, dst) AS rn
+         |    FROM (SELECT ca AS comp, src, dst, weight, cb AS other FROM ec$r
+         |          UNION ALL
+         |          SELECT cb AS comp, src, dst, weight, ca AS other FROM ec$r))
+         |  WHERE rn = 1),
+         |p${r}_0 AS MATERIALIZED (
+         |  SELECT x.comp AS c,
+         |    CASE WHEN y.other = x.comp AND x.comp < x.other THEN x.comp
+         |         ELSE x.other END AS p
+         |  FROM sel$r x LEFT JOIN sel$r y ON y.comp = x.other)
+         |""".stripMargin + dbl +
+      s""", l$r AS MATERIALIZED (
+         |  SELECT l.id, coalesce(pp.p, l.comp) AS comp
+         |  FROM l${r - 1} l LEFT JOIN p${r}_$doubling pp ON pp.c = l.comp)
+         |""".stripMargin
+    }.mkString
+    val forest = (1 to rounds)
+      .map(r => s"SELECT src, dst, weight FROM sel$r")
+      .mkString(" UNION ALL ")
+    s""", l0 AS MATERIALIZED (
+       |  SELECT src AS id, src AS comp FROM we
+       |  UNION SELECT dst, dst FROM we)
+       |""".stripMargin + body +
+    s"""SELECT DISTINCT src, dst, CAST(weight AS BIGINT) AS weight
+       |FROM ($forest)
+       |ORDER BY src, dst""".stripMargin
+  }
 
   /** Louvain phase-1 move rounds unrolled (see Iterative.louvainMoves):
     * round i moves only vertices with id%2 == i%2; the gain argmax is
@@ -2381,6 +2433,14 @@ object SparkEntry {
         |  FROM wsym GROUP BY src)
         |""".stripMargin + wprUnrolled(10) +
       "SELECT id, round(rank, 6) AS wpagerank FROM w10 ORDER BY id"),
+    // Borůvka MSF: 10 rounds × 5 pointer-doubling merges, strict
+    // (weight, src, dst) edge order makes the forest unique
+    "g_mst" -> ("""WITH we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |""".stripMargin + msfUnrolled(10, 5)),
     // Louvain phase-1: 4 parity-alternating exact-integer gain rounds
     "g_louvain" -> ("""WITH we AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight

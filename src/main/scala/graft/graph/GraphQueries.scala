@@ -273,6 +273,11 @@ object GraphQueries {
     Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
       .orderBy("id")
 
+  /** Minimum spanning forest of the weighted co-purchase graph
+    * (distributed Borůvka; unique under the strict edge order). */
+  def mst(spark: SparkSession, dir: String): DataFrame =
+    Iterative.minimumSpanningForest(GraphBuilder.weightedEdges(spark, dir))
+
   /** Weighted SSSP from the top-degree vertex: exact min-cost distances
     * over the integer co-purchase weights (nx.dijkstra parity). */
   def weightedSssp(spark: SparkSession, dir: String): DataFrame = {

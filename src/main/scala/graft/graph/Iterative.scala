@@ -295,6 +295,89 @@ object Iterative {
         round(col("n_reached") / col("total_dist"), 6).as("closeness"))
   }
 
+  /** Minimum spanning forest via distributed Borůvka (the textbook
+    * MapReduce MST; nx.minimum_spanning_tree parity). The edge order is
+    * the STRICT total order (weight, src, dst) — no two edges compare
+    * equal, so the forest is unique and engine-independent. Each round:
+    * (1) every component picks its minimum outgoing edge (a min-struct
+    * aggregate — no window, no sort), (2) picked edges join the forest,
+    * (3) components merge by pointer doubling over the selection
+    * pointer graph (out-degree 1; its only cycles are 2-cycles, broken
+    * to the smaller id — the standard Borůvka contraction). Components
+    * at least halve per round ⇒ `rounds`=10 covers 2¹⁰ components'
+    * worth of merging; `doubling`=5 flattens merge chains up to depth
+    * 2⁵ per round (chains deeper than 32 in one round would need
+    * 32 components to cascade min-edges in sequence — pathological;
+    * residual un-flattened labels are NOT an error: the next round
+    * simply re-selects the already-forested edge, the dedup absorbs
+    * it, and merging continues). Spec-gated equal to a local Kruskal
+    * union-find on the real graph.
+    *
+    * Scale shape per round: one edges⋈labels join (both sides keyed by
+    * vertex id), one map-side-combined min-struct per component, then
+    * `doubling` self-joins of the ≤|components|-row pointer table —
+    * the edge set is touched once per round, state is one long per
+    * vertex. */
+  def minimumSpanningForest(weightedEdges: DataFrame, rounds: Int = 10,
+                            doubling: Int = 5): DataFrame = {
+    val edges = weightedEdges
+      .select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
+      .localCheckpoint(true)
+    var labels = GraphBuilder.vertices(edges)
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var forest = edges.limit(0)
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      round += 1
+      val ec = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("ca")), "src")
+        .join(labels.select(col("id").as("dst"), col("comp").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb"))
+      val cand = ec.select(col("ca").as("comp"), col("src"), col("dst"),
+          col("weight"), col("cb").as("other"))
+        .union(ec.select(col("cb").as("comp"), col("src"), col("dst"),
+          col("weight"), col("ca").as("other")))
+      val sel = cand.groupBy("comp")
+        .agg(min(struct(col("weight"), col("src"), col("dst"),
+          col("other"))).as("m"))
+        .select(col("comp"), col("m.weight").as("weight"),
+          col("m.src").as("src"), col("m.dst").as("dst"),
+          col("m.other").as("other"))
+        .localCheckpoint(true)
+      // fixpoint: no cross-component edge left ⇒ later rounds are
+      // no-ops in BOTH engines (the oracle's extra unrolled rounds
+      // select from an empty ec) — skip their job chains
+      done = sel.isEmpty
+      if (!done) {
+        forest = forest
+          .union(sel.select("src", "dst", "weight")).distinct()
+          .localCheckpoint(true)
+        // selection pointer graph: comp → other; 2-cycles root at the
+        // smaller id (p = self marks a root)
+        val f = sel.select(col("comp"), col("other"))
+        var p = f.as("x")
+          .join(f.as("y"), col("x.other") === col("y.comp"), "left")
+          .select(col("x.comp").as("c"),
+            when(col("y.other") === col("x.comp") &&
+              col("x.comp") < col("x.other"), col("x.comp"))
+              .otherwise(col("x.other")).as("p"))
+          .localCheckpoint(true)
+        for (_ <- 1 to doubling) {
+          p = p.as("a").join(p.as("b"), col("a.p") === col("b.c"), "left")
+            .select(col("a.c").as("c"), coalesce(col("b.p"), col("a.p")).as("p"))
+            .localCheckpoint(true)
+        }
+        labels = labels.as("l")
+          .join(p.as("pp"), col("l.comp") === col("pp.c"), "left")
+          .select(col("l.id"), coalesce(col("pp.p"), col("l.comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+    }
+    forest.orderBy("src", "dst")
+  }
+
   /** Landmark harmonic centrality (nx.harmonic_centrality restricted to
     * the landmark set, the same approximation family as [[closeness]]):
     * Σ 1/d(v, landmark). Each term is rounded to 1e-9 micro-units and

@@ -17,6 +17,37 @@ class IterativeSpec extends AnyFunSuite {
     Graph(v, e)
   }
 
+  test("boruvka msf: toy graph yields the hand-computed spanning tree") {
+    // square 1-2-3-4 with diagonal: MST keeps the three lightest edges
+    val we = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 4L),
+      (1L, 3L, 5L)).toDF("src", "dst", "weight")
+    val got = Iterative.minimumSpanningForest(we)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+  }
+
+  test("boruvka msf == local kruskal on the real co-purchase graph") {
+    val we = GraphBuilder.weightedEdges(spark, sf)
+      .select($"src", $"dst", $"weight".cast("long"))
+    val got = Iterative.minimumSpanningForest(we)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent local Kruskal with union-find under the same strict
+    // (weight, src, dst) order
+    val edges = we.as[(Long, Long, Long)].collect()
+      .sortBy { case (s, d, w) => (w, s, d) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = edges.filter { case (s, d, _) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { parent(rs) = rd; true } else false
+    }.toSet
+    assert(got == want,
+      s"forest differs: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("louvain moves: two bridged triangles collapse into two communities") {
     // hand-traced through the exact-integer gain rule with parity
     // alternation (see Iterative.louvainMoves): round 1 odd vertices
