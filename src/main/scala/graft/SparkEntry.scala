@@ -1477,8 +1477,8 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->

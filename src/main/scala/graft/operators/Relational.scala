@@ -329,7 +329,7 @@ object Relational {
     * (n1,n2)/(n2,n1) pair predicate runs on the two tiny joined columns. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val (n1, n2) = ("NATION_1", "NATION_2")
+    val (n1, n2) = ("NATION_18", "NATION_19")
     val nations = t.nation.filter(col("n_name").isin(n1, n2))
     val supp = t.supplier
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
