@@ -156,6 +156,10 @@ object SparkEntry {
     "d_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
     "e_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "g_mst" -> (GraphQueries.mst _),
+    "g_local_bridges" -> (GraphQueries.localBridges _),
+    "d_dup_cluster_sizes" -> ((s, d) =>
+      Dedup.dupClusterSizes(s, Tables(s, d).documents, cacheKey = d)),
+    "q_cohort_retention" -> (Relational.qCohortRetention _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2068,6 +2072,24 @@ object SparkEntry {
       }.mkString +
       """SELECT lbl AS cluster, min(id) AS survivor, count(*) AS n_members
         |FROM pc16 GROUP BY lbl HAVING count(*) > 1 ORDER BY cluster""".stripMargin),
+    "d_dup_cluster_sizes" -> (MinhashCte +
+      """, pe AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+        |psymp AS MATERIALIZED (
+        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+        |  UNION ALL SELECT id, id FROM pv),
+        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+      (1 to 16).map { i =>
+        s""", pc$i AS (
+           |  SELECT s.src AS id, min(n.lbl) AS lbl
+           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+           |""".stripMargin
+      }.mkString +
+      """, sz AS (SELECT lbl, count(*) AS m FROM pc16
+        |         GROUP BY lbl HAVING count(*) > 1)
+        |SELECT m AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY m ORDER BY m""".stripMargin),
     // the per-doc curation decision composes the already-oracled
     // building blocks: minhash CC labels + exact window-min + quality +
     // langid — same CTEs, one decision row per document
@@ -2433,6 +2455,27 @@ object SparkEntry {
         |  FROM wsym GROUP BY src)
         |""".stripMargin + wprUnrolled(10) +
       "SELECT id, round(rank, 6) AS wpagerank FROM w10 ORDER BY id"),
+    // local bridges: edges whose endpoints share no common neighbor
+    "g_local_bridges" -> (GraphCte +
+      """SELECT e.src, e.dst,
+        |  d1.degree AS du, d2.degree AS dv
+        |FROM e
+        |JOIN deg d1 ON d1.id = e.src
+        |JOIN deg d2 ON d2.id = e.dst
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst
+        |  WHERE s1.src = e.src AND s2.src = e.dst)
+        |ORDER BY e.src, e.dst""".stripMargin),
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS ad
+        |  FROM events),
+        |f AS (SELECT user_id, min(ad) AS cohort FROM ev GROUP BY user_id)
+        |SELECT f.cohort,
+        |  CAST(datediff('day', f.cohort, ev.ad) AS BIGINT) AS days_since,
+        |  count(*) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Borůvka MSF: 10 rounds × 5 pointer-doubling merges, strict
     // (weight, src, dst) edge order makes the forest unique
     "g_mst" -> ("""WITH we AS (

@@ -555,6 +555,12 @@ object GraphQueries {
   def adamicAdar(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).adamicAdar.orderBy("src", "dst")
 
+  /** Local bridges (edges with no common neighbor) — see
+    * [[Metrics.localBridges]]. */
+  def localBridges(spark: SparkSession, dir: String): DataFrame =
+    Metrics.localBridges(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("src", "dst")
+
   /** Rich-club coefficient curve — see [[Metrics.richClub]]. */
   def richClub(spark: SparkSession, dir: String): DataFrame =
     Metrics.richClub(GraphBuilder.coPurchase(spark, dir))

@@ -94,6 +94,23 @@ object Metrics {
           (col("du") + col("dv") - col("common")), 6).as("jaccard"))
   }
 
+  /** Local bridges (nx.local_bridges): edges whose endpoints share NO
+    * common neighbor — deleting one raises its endpoints' distance
+    * above 2 (the "weak ties" of Granovetter's bridge analysis). An
+    * edge's common-neighbor count IS its triangle count, so this is a
+    * null-anti filter over the session-shared triangle-edge table —
+    * zero new shuffles beyond the cached stream. */
+  def localBridges(g: Graph): DataFrame = {
+    val deg = g.degrees
+    g.edges.select("src", "dst")
+      .join(g.triangleEdgeCounts, Seq("src", "dst"), "left_anti")
+      .join(deg.withColumnRenamed("id", "src")
+        .withColumnRenamed("degree", "du"), "src")
+      .join(deg.withColumnRenamed("id", "dst")
+        .withColumnRenamed("degree", "dv"), "dst")
+      .select("src", "dst", "du", "dv")
+  }
+
   /** Vertices of the k-core: iterative peeling of vertices with degree
     * < k in the remaining subgraph. O(peel-rounds) join+agg iterations,
     * each linear in the surviving edge set. */

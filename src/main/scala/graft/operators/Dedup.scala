@@ -181,6 +181,18 @@ object Dedup {
       .filter(col("n_members") > 1)
       .orderBy("cluster")
 
+  /** Near-dup cluster SIZE distribution — the corpus-health summary a
+    * dedup run reports (how much boilerplate, how big the worst groups
+    * are). One tiny aggregate over the session-cached CC labels. */
+  def dupClusterSizes(spark: SparkSession, docs: DataFrame,
+                      cacheKey: String, threshold: Double = 0.8): DataFrame =
+    nearDupComponents(spark, docs, cacheKey, threshold)
+      .groupBy("component").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1)
+      .groupBy(col("m").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   // CC labels over the pair graph feed both the cluster query and the
   // curation pipeline; memoize per (key, threshold)
   private val ccCache =

@@ -446,6 +446,25 @@ object Relational {
       .crossJoin(purchases.agg(count(lit(1)).as("n_purchased_after_click")))
   }
 
+  /** Cohort retention (the classic product-analytics query): users
+    * grouped by first-active DAY, counted on each later day they remain
+    * active (the event table spans one month, so daily grain gives the
+    * full retention triangle). Two user-keyed aggregates (first-seen,
+    * distinct active days) and one tiny groupBy — no self-join of the
+    * event stream against itself. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("ad"))
+    val first = ev.groupBy("user_id").agg(min("ad").as("cohort"))
+    ev.distinct()
+      .join(first, "user_id")
+      .select(col("cohort"),
+        datediff(col("ad"), col("cohort")).cast("long").as("days_since"))
+      .groupBy("cohort", "days_since")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "days_since")
+  }
+
   /** Semi-join shape (correlated EXISTS): order-priority counts for
     * orders with at least one lineitem shipped after the order date —
     * equi-key plus a non-equi residual condition. The semi-join keeps
