@@ -160,6 +160,7 @@ object SparkEntry {
     "d_dup_cluster_sizes" -> ((s, d) =>
       Dedup.dupClusterSizes(s, Tables(s, d).documents, cacheKey = d)),
     "q_cohort_retention" -> (Relational.qCohortRetention _),
+    "g_coloring" -> (GraphQueries.coloring _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -299,6 +300,60 @@ object SparkEntry {
          |    GROUP BY y.dst) acc ON acc.id = v.id)
          |""".stripMargin
     }.mkString(", w0 AS (SELECT id, 1.0 AS rank FROM ws)\n", "", "")
+
+  /** Rank-offset speculative coloring rounds unrolled (exactly
+    * Iterative.greedyColoring): per round every uncolored vertex takes
+    * the (rk+1)-th color unused by colored neighbors, rk = #uncolored
+    * neighbors with higher priority; adjacent same-color picks keep the
+    * higher-priority endpoint. Priority = md5("jp:"||id) first 8 hex
+    * digits, ties by id. */
+  private def coloringUnrolled(rounds: Int): String = {
+    val body = (1 to rounds).map { r =>
+      s""", unc$r AS MATERIALIZED (
+         |  SELECT p.id, p.h FROM pri p
+         |  LEFT JOIN col${r - 1} c ON c.id = p.id WHERE c.id IS NULL),
+         |rnk$r AS MATERIALIZED (
+         |  SELECT u.id, u.h, d.degree, count(n.id) AS rk
+         |  FROM unc$r u JOIN deg d ON d.id = u.id
+         |  LEFT JOIN sym s ON s.src = u.id
+         |  LEFT JOIN unc$r n ON n.id = s.dst
+         |    AND (n.h > u.h OR (n.h = u.h AND n.id > u.id))
+         |  GROUP BY u.id, u.h, d.degree),
+         |nc$r AS (
+         |  SELECT s.src AS id, c.color
+         |  FROM sym s JOIN col${r - 1} c ON c.id = s.dst),
+         |cand$r AS (
+         |  SELECT id, rk, h, unnest(range(0, degree + 1)) AS c
+         |  FROM rnk$r),
+         |avl$r AS (
+         |  SELECT cd.id, cd.rk, cd.h, cd.c,
+         |         row_number() OVER (PARTITION BY cd.id ORDER BY cd.c) - 1
+         |           AS rn
+         |  FROM cand$r cd
+         |  LEFT JOIN nc$r n ON n.id = cd.id AND n.color = cd.c
+         |  WHERE n.id IS NULL),
+         |pk$r AS MATERIALIZED (
+         |  SELECT id, h, c AS color FROM avl$r WHERE rn = rk),
+         |ls$r AS (
+         |  SELECT DISTINCT p.id FROM pk$r p
+         |  JOIN sym s ON s.src = p.id
+         |  JOIN pk$r n ON n.id = s.dst AND n.color = p.color
+         |    AND (n.h > p.h OR (n.h = p.h AND n.id > p.id))),
+         |col$r AS MATERIALIZED (
+         |  SELECT id, color FROM col${r - 1}
+         |  UNION ALL
+         |  SELECT p.id, p.color FROM pk$r p
+         |  LEFT JOIN ls$r l ON l.id = p.id WHERE l.id IS NULL)
+         |""".stripMargin
+    }.mkString
+    s""", pri AS MATERIALIZED (
+       |  SELECT id, ('0x' || substr(md5('jp:' || CAST(id AS VARCHAR)),
+       |    1, 8))::BIGINT AS h
+       |  FROM deg),
+       |col0 AS (SELECT id, CAST(0 AS BIGINT) AS color FROM deg LIMIT 0)
+       |""".stripMargin + body +
+    s"""SELECT id, color FROM col$rounds ORDER BY id""".stripMargin
+  }
 
   /** Borůvka rounds unrolled (exactly Iterative.minimumSpanningForest):
     * per round each component picks its min outgoing edge under the
@@ -2455,6 +2510,10 @@ object SparkEntry {
         |  FROM wsym GROUP BY src)
         |""".stripMargin + wprUnrolled(10) +
       "SELECT id, round(rank, 6) AS wpagerank FROM w10 ORDER BY id"),
+    // rank-offset speculative coloring: converges in <=6 rounds at
+    // every test SF (measured); 12 unrolled rounds leave margin, the
+    // post-fixpoint rounds are empty-set no-ops on both engines
+    "g_coloring" -> (GraphCte + coloringUnrolled(12)),
     // local bridges: edges whose endpoints share no common neighbor
     "g_local_bridges" -> (GraphCte +
       """SELECT e.src, e.dst,

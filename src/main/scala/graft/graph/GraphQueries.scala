@@ -273,6 +273,11 @@ object GraphQueries {
     Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
       .orderBy("id")
 
+  /** Rank-offset speculative greedy coloring of the co-purchase graph. */
+  def coloring(spark: SparkSession, dir: String): DataFrame =
+    Iterative.greedyColoring(GraphBuilder.coPurchase(spark, dir))
+      .orderBy("id")
+
   /** Minimum spanning forest of the weighted co-purchase graph
     * (distributed Borůvka; unique under the strict edge order). */
   def mst(spark: SparkSession, dir: String): DataFrame =

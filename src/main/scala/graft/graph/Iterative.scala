@@ -378,6 +378,89 @@ object Iterative {
     forest.orderBy("src", "dst")
   }
 
+  /** Distributed greedy graph coloring via rank-offset speculative
+    * coloring (Gebremedhin–Manne-style; the parallel counterpart of
+    * nx.greedy_color). Vertex priorities are portable md5 hashes (ties
+    * by id). Each synchronous round EVERY uncolored vertex v picks a
+    * tentative color: the (r+1)-th smallest color unused by its colored
+    * neighbors, where r = #uncolored neighbors with higher priority.
+    * Adjacent same-tentative conflicts keep the higher-priority
+    * endpoint; losers retry next round.
+    *
+    * Why not plain Jones–Plassmann (color only priority local maxima)?
+    * A k-clique colors one vertex per round under JP — measured ~9
+    * vertices/round on the avg-degree-115 co-purchase graph, a linear
+    * trickle. The rank offset colors a whole clique in ONE round (ranks
+    * are distinct within a clique), and conflicts elsewhere are rare;
+    * measured convergence is a handful of rounds. Deterministic given
+    * the hash priorities; early-exits at full coloring, `rounds` caps
+    * the loop and pins the oracle unroll.
+    *
+    * Scale shape per round: rank is one sym⋈unc⋈unc join-aggregate;
+    * color pick is candidate-explode (Σ deg+1 rows ≤ 2|E|+|V|) with an
+    * anti-join and a per-vertex window (partitioned by id — no global
+    * sort); conflict check is one join on the picks. Color values stay
+    * ≤ max degree (greedy bound). */
+  def greedyColoring(g: Graph, rounds: Int = 30): DataFrame = {
+    val sym = g.symmetrized.localCheckpoint(true)
+    val deg = g.degrees.localCheckpoint(true)
+    val pri = deg.select(col("id"),
+      conv(substring(md5(concat(lit("jp:"), col("id").cast("string"))), 1, 8),
+        16, 10).cast("long").as("h"))
+      .localCheckpoint(true)
+    var colors = pri.select(col("id"), lit(0L).as("color")).limit(0)
+      .localCheckpoint(true)
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      r += 1
+      val unc = pri.join(colors, Seq("id"), "left_anti").localCheckpoint(true)
+      if (unc.isEmpty) { done = true }
+      else {
+        // r(v) = #uncolored neighbors with strictly higher (h, id)
+        val higher = sym
+          .join(unc.select(col("id").as("src"), col("h")), "src")
+          .join(unc.select(col("id").as("dst"), col("h").as("nh")), "dst")
+          .filter(col("nh") > col("h") ||
+            (col("nh") === col("h") && col("dst") > col("src")))
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("rk"))
+        val ranked = unc.join(higher, Seq("id"), "left")
+          .na.fill(0L, Seq("rk")).join(deg, "id")
+        val nbrColors = sym
+          .join(colors.select(col("id").as("dst"), col("color")), "dst")
+          .select(col("src").as("nid"), col("color").as("ncolor"))
+        // (rk+1)-th available color; deg+1 candidates always suffice:
+        // |used ∩ [0,deg]| + rk ≤ deg, so ≥ rk+1 candidates survive
+        val avail = ranked
+          .select(col("id"), col("rk"), explode(sequence(lit(0L),
+            col("degree").cast("long"))).as("c"))
+          .join(nbrColors,
+            col("id") === col("nid") && col("c") === col("ncolor"), "left_anti")
+        val w = Window.partitionBy("id").orderBy("c")
+        val picks = avail
+          .withColumn("rn", row_number().over(w) - 1)
+          .filter(col("rn") === col("rk"))
+          .select(col("id"), col("c").as("color"))
+          .join(pri, "id")
+          .localCheckpoint(true)
+        // adjacent same-tentative: the lower (h, id) endpoint retries
+        val losers = sym
+          .join(picks.select(col("id").as("src"), col("color"), col("h")),
+            "src")
+          .join(picks.select(col("id").as("dst"), col("color").as("nc"),
+            col("h").as("nh")), "dst")
+          .filter(col("color") === col("nc") &&
+            (col("nh") > col("h") || (col("nh") === col("h") &&
+              col("dst") > col("src"))))
+          .select(col("src").as("id")).distinct()
+        val newColors = picks.join(losers, Seq("id"), "left_anti")
+          .select(col("id"), col("color"))
+        colors = colors.union(newColors).localCheckpoint(true)
+      }
+    }
+    colors
+  }
+
   /** Landmark harmonic centrality (nx.harmonic_centrality restricted to
     * the landmark set, the same approximation family as [[closeness]]):
     * Σ 1/d(v, landmark). Each term is rounded to 1e-9 micro-units and

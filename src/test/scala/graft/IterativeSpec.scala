@@ -17,6 +17,23 @@ class IterativeSpec extends AnyFunSuite {
     Graph(v, e)
   }
 
+  test("greedy coloring: proper coloring, deterministic, bounded palette") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val c = Iterative.greedyColoring(g).as[(Long, Long)].collect().toMap
+    // every vertex colored
+    assert(c.size == g.vertices.count())
+    // proper: no edge joins two equal colors
+    val edges = g.edges.as[(Long, Long)].collect()
+    edges.foreach { case (s, d) =>
+      assert(c(s) != c(d), s"edge $s-$d monochromatic")
+    }
+    // greedy bound: colors used <= max degree + 1
+    val maxDeg = g.degrees.agg(max("degree")).head.getLong(0)
+    assert(c.values.max <= maxDeg)
+    val again = Iterative.greedyColoring(g).as[(Long, Long)].collect().toMap
+    assert(c == again)
+  }
+
   test("boruvka msf: toy graph yields the hand-computed spanning tree") {
     // square 1-2-3-4 with diagonal: MST keeps the three lightest edges
     val we = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 4L),
