@@ -179,7 +179,7 @@ object GraphQueries {
       val choice = (conv(substring(md5(concat_ws(":",
         lit(seed), col("walk_id"), lit(t))), 1, 8), 16, 10)
         .cast("long") % size(col("nbrs"))).cast("int")
-      state = state.join(adj, "pos")
+      state = broadcast(state).join(adj, "pos")
         .withColumn("nxt", element_at(col("nbrs"), choice + 1))
         .select(col("walk_id"), col("nxt").as("pos"),
           concat(col("seq"), array(col("nxt"))).as("seq"))
@@ -204,9 +204,12 @@ object GraphQueries {
     *
     * Scale shape: the join-based frontier of [[walkCorpus]], joined
     * against the adjacency table TWICE per step (current + previous).
-    * The higher-order weight/pick lambdas run on FRONTIER-sized rows
-    * (|starts|), where their interpreted evaluation is irrelevant next
-    * to the joins — the corpus-sized hot loops elsewhere stay native. */
+    * The frontier is broadcast into both joins (it is |starts| rows
+    * against a graph-sized adjacency — a shuffle of the adjacency per
+    * step would dominate), and the weight/pick math is ONE compiled
+    * merge-walk over the two sorted arrays ([[Node2vecPick]]) — the
+    * lambda formulation's interpreted array_contains-per-neighbor was
+    * O(deg²) per row and dominated the step cost. */
   def node2vecCorpus(spark: SparkSession, dir: String, steps: Int = 8,
                      stride: Long = 20L, seed: Long = 42L): DataFrame =
     node2vecWalks(GraphBuilder.coPurchase(spark, dir), steps, stride, seed)
@@ -223,27 +226,13 @@ object GraphQueries {
       .select(col("id").as("walk_id"), col("id").as("pos"),
         col("id").as("prev"), array(col("id")).as("seq"))
     for (t <- 1 to steps) {
-      val wts = transform(col("nbrs"), x =>
-        when(x === col("prev"), lit(4L))
-          .when(array_contains(col("pnbrs"), x), lit(2L))
-          .otherwise(lit(1L)))
-      // pick = 1 + #(inclusive prefix sums ≤ r): the fold carries
-      // (cum, cnt) and counts prefixes still at-or-below the draw
-      val pick = aggregate(col("wts"),
-        struct(lit(0L).as("cum"), lit(0).as("cnt")),
-        (acc, w) => struct(
-          (acc.getField("cum") + w).as("cum"),
-          (acc.getField("cnt") +
-            when(acc.getField("cum") + w <= col("r"), 1).otherwise(0))
-            .as("cnt")),
-        acc => acc.getField("cnt") + 1)
-      state = state.join(cadj, "pos").join(padj, "prev")
-        .withColumn("wts", wts)
-        .withColumn("tot", aggregate(col("wts"), lit(0L), (a, w) => a + w))
-        .withColumn("r", conv(substring(md5(concat_ws(":",
-          lit("n2v"), lit(seed), col("walk_id"), lit(t))), 1, 8), 16, 10)
-          .cast("long") % col("tot"))
-        .withColumn("nxt", element_at(col("nbrs"), pick))
+      val draw = conv(substring(md5(concat_ws(":",
+        lit("n2v"), lit(seed), col("walk_id"), lit(t))), 1, 8), 16, 10)
+        .cast("long")
+      state = broadcast(state).join(cadj, "pos")
+      state = broadcast(state).join(padj, "prev")
+        .withColumn("nxt", graft.functions.WalkColumns.node2vecPick(
+          col("nbrs"), col("pnbrs"), col("prev"), draw))
         .select(col("walk_id"), col("nxt").as("pos"), col("pos").as("prev"),
           concat(col("seq"), array(col("nxt"))).as("seq"))
     }
