@@ -396,69 +396,74 @@ object Iterative {
     * the hash priorities; early-exits at full coloring, `rounds` caps
     * the loop and pins the oracle unroll.
     *
-    * Scale shape per round: rank is one sym⋈unc⋈unc join-aggregate;
-    * color pick is candidate-explode (Σ deg+1 rows ≤ 2|E|+|V|) with an
-    * anti-join and a per-vertex window (partitioned by id — no global
-    * sort); conflict check is one join on the picks. Color values stay
+    * Scale shape: all state is vertex-local — (sorted adjacency, rank
+    * of still-uncolored higher-priority neighbors, sorted used-color
+    * array). The priority is a pure md5 of the id, so NEIGHBOR
+    * priorities are computed in place from the adjacency array
+    * ([[graft.functions.CountHigherPri]]) — no priority table, no
+    * sym⋈unc rank join. Per round: the pick is a row-local k-th-absent
+    * walk ([[graft.functions.KthAbsent]]); conflict + used-color
+    * messages are explodes of the FRONTIER's adjacency (Σ deg(unc),
+    * shrinking to ~0 after round 2) grouped/joined on vertex id. No
+    * window, no graph-sized shuffle after round 1. Color values stay
     * ≤ max degree (greedy bound). */
   def greedyColoring(g: Graph, rounds: Int = 30): DataFrame = {
-    val sym = g.symmetrized.localCheckpoint(true)
-    val deg = g.degrees.localCheckpoint(true)
-    val pri = deg.select(col("id"),
-      conv(substring(md5(concat(lit("jp:"), col("id").cast("string"))), 1, 8),
-        16, 10).cast("long").as("h"))
-      .localCheckpoint(true)
-    var colors = pri.select(col("id"), lit(0L).as("color")).limit(0)
+    import graft.functions.ColoringColumns.{countHigherPri, jpPriority, kthAbsent}
+    // state: color NULL until fixed; rk = #uncolored higher-pri nbrs;
+    // used = sorted colors taken by colored neighbors (dups possible)
+    var st = g.collectNeighborIds
+      .select(col("id"), col("neighbor_ids").as("nbrs"),
+        countHigherPri(col("neighbor_ids"), col("id")).as("rk"),
+        array().cast("array<long>").as("used"),
+        lit(null).cast("long").as("color"))
       .localCheckpoint(true)
     var done = false
     var r = 0
     while (r < rounds && !done) {
       r += 1
-      val unc = pri.join(colors, Seq("id"), "left_anti").localCheckpoint(true)
-      if (unc.isEmpty) { done = true }
+      val picks = st.filter(col("color").isNull)
+        .select(col("id"), col("nbrs"), jpPriority(col("id")).as("h"),
+          kthAbsent(col("used"), col("rk")).as("pick"))
+        .localCheckpoint(true)
+      if (picks.isEmpty) { done = true }
       else {
-        // r(v) = #uncolored neighbors with strictly higher (h, id)
-        val higher = sym
-          .join(unc.select(col("id").as("src"), col("h")), "src")
-          .join(unc.select(col("id").as("dst"), col("h").as("nh")), "dst")
-          .filter(col("nh") > col("h") ||
-            (col("nh") === col("h") && col("dst") > col("src")))
-          .groupBy(col("src").as("id")).agg(count(lit(1)).as("rk"))
-        val ranked = unc.join(higher, Seq("id"), "left")
-          .na.fill(0L, Seq("rk")).join(deg, "id")
-        val nbrColors = sym
-          .join(colors.select(col("id").as("dst"), col("color")), "dst")
-          .select(col("src").as("nid"), col("color").as("ncolor"))
-        // (rk+1)-th available color; deg+1 candidates always suffice:
-        // |used ∩ [0,deg]| + rk ≤ deg, so ≥ rk+1 candidates survive
-        val avail = ranked
-          .select(col("id"), col("rk"), explode(sequence(lit(0L),
-            col("degree").cast("long"))).as("c"))
-          .join(nbrColors,
-            col("id") === col("nid") && col("c") === col("ncolor"), "left_anti")
-        val w = Window.partitionBy("id").orderBy("c")
-        val picks = avail
-          .withColumn("rn", row_number().over(w) - 1)
-          .filter(col("rn") === col("rk"))
-          .select(col("id"), col("c").as("color"))
-          .join(pri, "id")
+        // conflict messages: each pick announces (sender, pick) to its
+        // neighbors; a vertex loses to any same-pick higher-pri sender
+        val cmsg = picks
+          .select(col("id").as("sender"), col("h").as("sh"),
+            col("pick").as("spick"), explode(col("nbrs")).as("id"))
+        val losers = cmsg
+          .join(picks.select(col("id"), col("h"), col("pick")), "id")
+          .filter(col("spick") === col("pick") &&
+            (col("sh") > col("h") ||
+              (col("sh") === col("h") && col("sender") > col("id"))))
+          .select("id").distinct()
+        val winners = picks.join(losers, Seq("id"), "left_anti")
           .localCheckpoint(true)
-        // adjacent same-tentative: the lower (h, id) endpoint retries
-        val losers = sym
-          .join(picks.select(col("id").as("src"), col("color"), col("h")),
-            "src")
-          .join(picks.select(col("id").as("dst"), col("color").as("nc"),
-            col("h").as("nh")), "dst")
-          .filter(col("color") === col("nc") &&
-            (col("nh") > col("h") || (col("nh") === col("h") &&
-              col("dst") > col("src"))))
-          .select(col("src").as("id")).distinct()
-        val newColors = picks.join(losers, Seq("id"), "left_anti")
-          .select(col("id"), col("color"))
-        colors = colors.union(newColors).localCheckpoint(true)
+        // winners tell neighbors their color; receivers extend `used`
+        // and drop the now-colored higher-pri senders from their rank
+        val upd = winners
+          .select(col("id").as("sender"), col("h").as("sh"), col("pick"),
+            explode(col("nbrs")).as("id"))
+          .withColumn("rh", jpPriority(col("id")))
+          .groupBy("id")
+          .agg(sort_array(collect_list(col("pick"))).as("newUsed"),
+            sum(when(col("sh") > col("rh") ||
+              (col("sh") === col("rh") && col("sender") > col("id")),
+              1L).otherwise(0L)).as("dec"))
+        st = st
+          .join(winners.select(col("id"), col("pick")), Seq("id"), "left")
+          .join(upd, Seq("id"), "left")
+          .select(col("id"), col("nbrs"),
+            (col("rk") - coalesce(col("dec"), lit(0L))).as("rk"),
+            array_sort(concat(col("used"),
+              coalesce(col("newUsed"), array().cast("array<long>"))))
+              .as("used"),
+            coalesce(col("color"), col("pick")).as("color"))
+          .localCheckpoint(true)
       }
     }
-    colors
+    st.filter(col("color").isNotNull).select(col("id"), col("color"))
   }
 
   /** Landmark harmonic centrality (nx.harmonic_centrality restricted to
