@@ -161,6 +161,12 @@ object SparkEntry {
       Dedup.dupClusterSizes(s, Tables(s, d).documents, cacheKey = d)),
     "q_cohort_retention" -> (Relational.qCohortRetention _),
     "g_coloring" -> (GraphQueries.coloring _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
+    "q_late_shipments" -> (Relational.qLateShipments _),
+    "q22_idle_customers" -> (Relational.q22IdleCustomers _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1484,6 +1490,69 @@ object SparkEntry {
         |JOIN bo b ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH oc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM oc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |  AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_late_shipments" ->
+      """SELECT o.o_orderpriority, count(*) AS late_count,
+        |  round(sum(l.l_extendedprice), 2) AS late_value
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH t AS (
+        |  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot,
+        |    count(*) AS cnt
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n.n_name, count(*) AS numcust,
+        |  round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, t
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * t.cnt > t.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  round(sum(o_totalprice) OVER (

@@ -479,4 +479,122 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
   }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer over a date
+    * window, deterministic top-20. Both filters sit on the scans
+    * (pushdown); customer and nation broadcast into the orders⋈lineitem
+    * backbone. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // customer scales with SF — shuffle join on custkey; only the
+    // fixed-size nation dim broadcasts
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders.filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-07-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape: order-count distribution over customers — a LEFT
+    * join with a residual predicate ON THE JOIN (not a post-filter, so
+    * customers with only urgent orders still count as zero), then a
+    * two-level aggregate. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape: quarterly revenue per supplier, then the
+    * argmax via a broadcast 1-row max join (the spec's view + scalar
+    * subquery). Revenue is rounded BEFORE the max compare on both
+    * engines so fp summation order can't flip the winner. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1996-04-01")
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("total_revenue"))
+    rev.join(broadcast(rev.agg(max("total_revenue").as("mx"))),
+        col("total_revenue") === col("mx"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates — one
+    * scan each side, the OR-of-ANDs evaluated as the join residual on a
+    * broadcast part. */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // part-only half of the disjunction pushes to the part scan, so
+    // only the 3-brand slice broadcasts — full part scales with SF
+    val partCond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35))
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    t.lineitem
+      .join(broadcast(t.part.filter(partCond)),
+        col("p_partkey") === col("l_partkey"))
+      .filter(cond)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+  }
+
+  /** TPC-H Q12 shape (adapted — this schema carries no ship mode or
+    * commit/receipt dates): lineitems shipped >60 days after the order
+    * date, counted and valued per order priority. The non-equi lateness
+    * predicate is the join residual. */
+  def qLateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("late_count"),
+        round(sum("l_extendedprice"), 2).as("late_value"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q22 shape (adapted — no phone country codes in this schema):
+    * above-average-balance customers with no recent orders, per nation.
+    * The average compare is exact integer cross-multiplication over
+    * cent-quantized balances (c_cents·count > Σcents) — a float
+    * threshold would let summation order flip boundary customers
+    * between engines. Anti-join replaces NOT EXISTS. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val thr = t.customer.filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("tot"), count(lit(1)).as("cnt"))
+    t.customer.crossJoin(broadcast(thr))
+      .filter(cents * col("cnt") > col("tot"))
+      .join(t.orders.filter(col("o_orderdate") >= "2000-01-01")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
 }
