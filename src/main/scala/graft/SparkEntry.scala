@@ -162,6 +162,9 @@ object SparkEntry {
     "q_cohort_retention" -> (Relational.qCohortRetention _),
     "g_coloring" -> (GraphQueries.coloring _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "d_word_entropy" -> (TextAnalysis.wordEntropy _),
+    "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
+    "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
@@ -1490,6 +1493,64 @@ object SparkEntry {
         |JOIN bo b ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
+    "d_word_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, sum(tf) AS tot, count(*) AS types
+        |  FROM tf GROUP BY 1),
+        |units AS (
+        |  SELECT t.doc_id,
+        |    CAST(round((t.tf / CAST(o.tot AS DOUBLE)) *
+        |      log2(t.tf / CAST(o.tot AS DOUBLE)) * 1000000) AS BIGINT) AS u
+        |  FROM tf t JOIN tot o ON o.doc_id = t.doc_id),
+        |ent AS (
+        |  SELECT doc_id, round(-sum(u) / 1e6, 6) AS entropy
+        |  FROM units GROUP BY 1)
+        |SELECT e.doc_id, e.entropy,
+        |  round(o.types / CAST(o.tot AS DOUBLE), 6) AS ttr
+        |FROM ent e JOIN tot o ON o.doc_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
+    "e_random_projection" ->
+      """WITH ve AS (
+        |  SELECT vec_id, j,
+        |    CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS vi
+        |  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(j)),
+        |sgn AS (
+        |  SELECT j, k,
+        |    CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+        |      || ':' || CAST(k AS VARCHAR)), 1, 1))::INT % 2 = 0
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT DISTINCT j FROM ve),
+        |       (SELECT unnest(range(0, 8)) AS k))
+        |SELECT ve.vec_id, sgn.k,
+        |  round(sum(ve.vi * sgn.s) / 1e6, 6) AS proj
+        |FROM ve JOIN sgn ON sgn.j = ve.j
+        |GROUP BY ve.vec_id, sgn.k
+        |ORDER BY ve.vec_id, sgn.k""".stripMargin,
+    "g_link_prediction" -> (GraphCte +
+      """, sv AS (SELECT p_partkey AS id FROM part WHERE p_size <= 10),
+        |se AS (
+        |  SELECT s.src, s.dst FROM sym s
+        |  JOIN sv a ON a.id = s.src JOIN sv b ON b.id = s.dst),
+        |wedge AS (
+        |  SELECT s1.src AS w, s1.dst AS u, s2.dst AS v
+        |  FROM se s1 JOIN se s2 ON s2.src = s1.src AND s1.dst < s2.dst),
+        |sc AS (
+        |  SELECT wd.u AS src, wd.v AS dst, count(*) AS common_cnt,
+        |    round(sum(1.0 / ln(d.degree)), 6) AS aa_score
+        |  FROM wedge wd JOIN deg d ON d.id = wd.w
+        |  LEFT JOIN e ON e.src = wd.u AND e.dst = wd.v
+        |  WHERE e.src IS NULL
+        |  GROUP BY wd.u, wd.v)
+        |SELECT src, dst, common_cnt, aa_score FROM sc
+        |ORDER BY aa_score DESC, src, dst LIMIT 50""".stripMargin),
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
         |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

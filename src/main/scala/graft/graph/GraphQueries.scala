@@ -527,6 +527,40 @@ object GraphQueries {
     g.inducedSubgraphEdges(keep).orderBy("src", "dst")
   }
 
+  /** Link prediction: top-k NON-adjacent vertex pairs by Adamic–Adar
+    * score (Σ 1/ln deg(w) over common neighbors w), scoped to the same
+    * attribute-sampled subgraph as [[inducedSubgraph]] — wedge
+    * enumeration over the full co-purchase graph is Σ deg² (the dense
+    * band makes degree-capping useless here: min degree ≈ 40), while
+    * the sampled subgraph thins wedge fan-out quadratically. Degrees in
+    * the score are FULL-graph degrees (the feature stays honest; the
+    * sample only bounds the candidate set). Pairs tie-break (score
+    * desc, src, dst) so the top-k is engine-deterministic. */
+  def linkPrediction(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val keep = Tables(spark, dir).part
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey").as("id"))
+    val se = g.symmetrized
+      .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val wedge = se.select(col("src").as("w"), col("dst").as("u"))
+      .join(se.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("u") < col("v"))
+    val scored = wedge
+      .join(g.degrees.withColumnRenamed("id", "w"), "w")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_cnt"),
+        round(sum(lit(1.0) / log(col("degree"))), 6).as("aa_score"))
+    scored
+      .join(g.edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u").as("src"), col("v").as("dst"),
+        col("common_cnt"), col("aa_score"))
+      .orderBy(col("aa_score").desc, col("src").asc, col("dst").asc)
+      .limit(k)
+  }
+
   /** Fixed-iteration Katz centrality — see [[Gx.katz]]. */
   def katz(spark: SparkSession, dir: String): DataFrame =
     Gx.katz(GraphBuilder.coPurchase(spark, dir)).orderBy("id")

@@ -383,4 +383,34 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Johnson–Lindenstrauss random projection to `k` dims with a
+    * Rademacher ±1 matrix derived from md5("rp:j:k") parity — the
+    * deterministic, engine-portable dimensionality-reduction sketch
+    * (Achlioptas 2003: ±1 entries preserve pairwise distances like
+    * Gaussians do).
+    *
+    * Components are quantized to 1e-6 units and accumulated as exact
+    * integers — partition order cannot move the 6-dp output. Scale
+    * shape: the sign matrix is dim×k (broadcast); the explode is
+    * |vecs|·dim rows with map-side partial aggregation down to
+    * |vecs|·k — one shuffle, no |vecs|² anything. */
+  def randomProjection(spark: SparkSession, dir: String,
+                       k: Int = 8): DataFrame = {
+    val ve = Tables(spark, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j"),
+        round(col("v").cast("double") * 1e6).cast("long").as("vi"))
+    val ks = spark.range(k).select(col("id").cast("int").as("k"))
+    val sgn = ve.select("j").distinct().crossJoin(ks)
+      .select(col("j"), col("k"),
+        when(conv(substring(md5(concat(lit("rp:"),
+          col("j").cast("string"), lit(":"), col("k").cast("string"))),
+          1, 1), 16, 10).cast("int") % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+    ve.join(broadcast(sgn), "j")
+      .groupBy("vec_id", "k")
+      .agg(round(sum(col("vi") * col("s")) / 1e6, 6).as("proj"))
+      .orderBy("vec_id", "k")
+  }
 }

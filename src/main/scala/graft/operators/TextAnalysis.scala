@@ -300,4 +300,33 @@ object TextAnalysis {
       .select("doc_id", "fp").distinct()
       .orderBy("doc_id", "fp")
   }
+
+  /** Word-level Shannon entropy + type-token ratio per document — the
+    * classic repetitiveness/quality pair (low entropy ≈ boilerplate or
+    * degenerate repetition; the compression-ratio proxy without a
+    * compressor).
+    *
+    * Each -p·log₂p term is quantized to 1e-6 units and summed as exact
+    * integers, so partition/summation order cannot flip the 6-dp result
+    * between engines (the [[graft.graph.Iterative]] micro-unit idiom).
+    * Scale shape: one token explode, two doc-keyed aggregates — partial
+    * aggregation everywhere, no windows. */
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("doc_id")
+      .agg(sum("tf").as("tot"), count(lit(1)).as("types"))
+    val p = col("tf") / col("tot").cast("double")
+    tf.join(tot, "doc_id")
+      .select(col("doc_id"),
+        round(p * log2(p) * 1e6).cast("long").as("u"))
+      .groupBy("doc_id")
+      .agg(round(-sum(col("u")) / 1e6, 6).as("entropy"))
+      .join(tot.select(col("doc_id"),
+        round(col("types") / col("tot").cast("double"), 6).as("ttr")),
+        "doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{Graph, GraphBuilder, Metrics}
+import graft.graph.{Graph, GraphBuilder, GraphQueries, Metrics}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -152,5 +152,30 @@ class MetricsSpec extends AnyFunSuite {
     val a = Metrics.degreeAssortativity(GraphBuilder.coPurchase(spark, sf))
       .as[Double].head()
     assert(a >= -1.0 && a <= 1.0)
+  }
+
+  test("link prediction: non-adjacent pairs only, AA verified, deterministic") {
+    val r = GraphQueries.linkPrediction(spark, sf, k = 20).cache()
+    val rows = r.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // no suggested pair is an existing edge
+    val g = GraphBuilder.coPurchase(spark, sf)
+    assert(r.join(g.edges, Seq("src", "dst"), "left_semi").count() == 0)
+    // spot-verify the top pair's AA score from first principles:
+    // common neighbors WITHIN the sampled subgraph, full-graph degrees
+    val deg = g.degrees.as[(Long, Long)].collect().toMap
+    val adj: Map[Long, Set[Long]] = g.symmetrized.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => (k2, v.map(_._2).toSet) }.toMap
+    val keep = Tables(spark, sf).part.filter($"p_size" <= 10)
+      .select($"p_partkey").as[Long].collect().toSet
+    val top = rows.head
+    val (s, d) = (top.getLong(0), top.getLong(1))
+    val common = adj(s).intersect(adj(d)).intersect(keep)
+    assert(top.getLong(2) == common.size)
+    val aa = common.toSeq.map(w => 1.0 / math.log(deg(w))).sum
+    assert(math.abs(top.getDouble(3) - aa) < 1e-5)
+    // deterministic top-k
+    assert(GraphQueries.linkPrediction(spark, sf, k = 20).collect()
+      .sameElements(rows))
   }
 }

@@ -311,4 +311,31 @@ class TextSpec extends AnyFunSuite {
     val formats = a.map(_.getString(1)).toSet
     assert(formats == Set("image", "audio", "video"))
   }
+
+  test("word entropy: bounds + exact value on all-distinct docs") {
+    val r = TextAnalysis.wordEntropy(spark, sf).cache()
+    assert(r.count() > 0)
+    // 0 <= H <= log2(n_tokens); ttr in (0, 1]
+    assert(r.filter($"entropy" < 0 || $"ttr" <= 0 || $"ttr" > 1).count() == 0)
+    // ttr == 1 (all tokens distinct, uniform dist) => H == log2(types)
+    val uni = r.filter($"ttr" === 1.0).collect()
+    uni.foreach { row =>
+      val h = row.getAs[Double]("entropy")
+      // recover types from H: entropy of uniform over k = log2 k
+      assert(h >= 0 && math.abs(math.pow(2, h) - math.round(math.pow(2, h)))
+        < 1e-3, s"uniform doc entropy $h is not log2 of an integer")
+    }
+  }
+
+  test("random projection: deterministic, k dims per vector, JL-shaped") {
+    import graft.operators.Ann
+    val r = Ann.randomProjection(spark, sf, k = 8).cache()
+    val n = Tables(spark, sf).embeddings.count()
+    assert(r.count() == n * 8)
+    val a = r.collect().toSeq
+    val b = Ann.randomProjection(spark, sf, k = 8).collect().toSeq
+    assert(a == b)
+    // projections are nondegenerate: not all dims collapse to zero
+    assert(r.filter($"proj" =!= 0.0).count() > 0)
+  }
 }
