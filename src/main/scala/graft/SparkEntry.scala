@@ -2646,15 +2646,19 @@ object SparkEntry {
     "g_coloring" -> (GraphCte + coloringUnrolled(12)),
     // local bridges: edges whose endpoints share no common neighbor
     "g_local_bridges" -> (GraphCte +
-      """SELECT e.src, e.dst,
+      """, ec AS (
+        |  SELECT e.src, e.dst,
+        |    (SELECT count(*) FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst
+        |     WHERE s1.src = e.src AND s2.src = e.dst) AS common_cnt
+        |  FROM e)
+        |SELECT ec.src, ec.dst, ec.common_cnt,
+        |  CASE WHEN ec.common_cnt = 0 THEN 1 ELSE 0 END AS is_bridge,
         |  d1.degree AS du, d2.degree AS dv
-        |FROM e
-        |JOIN deg d1 ON d1.id = e.src
-        |JOIN deg d2 ON d2.id = e.dst
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst
-        |  WHERE s1.src = e.src AND s2.src = e.dst)
-        |ORDER BY e.src, e.dst""".stripMargin),
+        |FROM ec
+        |JOIN deg d1 ON d1.id = ec.src
+        |JOIN deg d2 ON d2.id = ec.dst
+        |ORDER BY ec.common_cnt ASC, ec.src ASC, ec.dst ASC
+        |LIMIT 20""".stripMargin),
     "q_cohort_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS ad

@@ -94,21 +94,31 @@ object Metrics {
           (col("du") + col("dv") - col("common")), 6).as("jaccard"))
   }
 
-  /** Local bridges (nx.local_bridges): edges whose endpoints share NO
-    * common neighbor — deleting one raises its endpoints' distance
-    * above 2 (the "weak ties" of Granovetter's bridge analysis). An
-    * edge's common-neighbor count IS its triangle count, so this is a
-    * null-anti filter over the session-shared triangle-edge table —
-    * zero new shuffles beyond the cached stream. */
-  def localBridges(g: Graph): DataFrame = {
+  /** Weakest ties (nx.local_bridges generalized): the k edges with the
+    * FEWEST common neighbors, flagged `is_bridge` when that count is 0
+    * (a true local bridge — deleting it raises its endpoints' distance
+    * above 2, Granovetter's "weak ties"). The top-k generalization
+    * keeps the query meaningful on dense graphs where no strict local
+    * bridge exists (sf0.001's co-purchase graph has none, which made
+    * the strict form return an empty result there). An edge's
+    * common-neighbor count IS its per-edge triangle count, so this is
+    * a left join over the session-shared triangle-edge table — zero
+    * new shuffles beyond the cached stream; the top-k is fully
+    * tie-broken (common, src, dst). */
+  def localBridges(g: Graph, k: Int = 20): DataFrame = {
     val deg = g.degrees
     g.edges.select("src", "dst")
-      .join(g.triangleEdgeCounts, Seq("src", "dst"), "left_anti")
+      .join(g.triangleEdgeCounts, Seq("src", "dst"), "left")
+      .na.fill(0L, Seq("common"))
       .join(deg.withColumnRenamed("id", "src")
         .withColumnRenamed("degree", "du"), "src")
       .join(deg.withColumnRenamed("id", "dst")
         .withColumnRenamed("degree", "dv"), "dst")
-      .select("src", "dst", "du", "dv")
+      .select(col("src"), col("dst"), col("common").as("common_cnt"),
+        (col("common") === 0L).cast("int").as("is_bridge"),
+        col("du"), col("dv"))
+      .orderBy(col("common_cnt").asc, col("src").asc, col("dst").asc)
+      .limit(k)
   }
 
   /** Vertices of the k-core: iterative peeling of vertices with degree

@@ -154,6 +154,21 @@ class MetricsSpec extends AnyFunSuite {
     assert(a >= -1.0 && a <= 1.0)
   }
 
+  test("weakest ties: bridges flagged, ordered by common count, top-k") {
+    // path 1-2-3 into triangle 4-5-6: the three path/attach edges are
+    // true local bridges (no common neighbor); triangle edges share one
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val r = Metrics.localBridges(g, k = 10).collect()
+    assert(r.length == 6)
+    val bridges = r.filter(_.getAs[Int]("is_bridge") == 1)
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bridges == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // ordering: all bridges (common 0) precede triangle edges (common 1)
+    assert(r.map(_.getAs[Long]("common_cnt")).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 1L))
+  }
+
   test("link prediction: non-adjacent pairs only, AA verified, deterministic") {
     val r = GraphQueries.linkPrediction(spark, sf, k = 20).cache()
     val rows = r.collect()

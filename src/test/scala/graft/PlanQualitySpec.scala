@@ -219,4 +219,41 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(cols.subsetOf(Set("l_orderkey", "l_partkey")), cols.mkString(","))
     }
   }
+
+  test("q10: customer stays a shuffle join (it scales with SF); nation broadcasts") {
+    val plan = Relational.q10ReturnedItems(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the returnflag filter must reach the lineitem scan
+    val s = scans(Relational.q10ReturnedItems(spark, sf))
+    val liScan = s.find(_.requiredSchema.fieldNames.contains("l_returnflag"))
+    assert(liScan.isDefined)
+    assert(liScan.get.metadata.getOrElse("PushedFilters", "").contains("R"),
+      liScan.get.metadata.toString)
+  }
+
+  test("q19: only the filtered part slice broadcasts, brand filter pushed") {
+    val df = Relational.q19DiscountedRevenue(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val partScan = scans(df).find(_.requiredSchema.fieldNames.contains("p_brand"))
+    assert(partScan.isDefined)
+    assert(partScan.get.metadata.getOrElse("PushedFilters", "")
+      .contains("Brand#"), partScan.get.metadata.toString)
+  }
+
+  test("random projection: sign matrix broadcasts, no vecs-sized cross join") {
+    val plan = graft.operators.Ann.randomProjection(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("word entropy: documents scan pruned to doc_id + text") {
+    scans(graft.operators.TextAnalysis.wordEntropy(spark, sf)).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet
+        .subsetOf(Set("doc_id", "text")), s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
 }
