@@ -163,6 +163,7 @@ object SparkEntry {
     "g_coloring" -> (GraphQueries.coloring _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "d_word_entropy" -> (TextAnalysis.wordEntropy _),
+    "g_knn_by_degree" -> (GraphQueries.knnByDegree _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1464,6 +1465,16 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_knn_by_degree" -> (GraphCte +
+      """, andv AS (
+        |  SELECT s.src AS id,
+        |    CAST(round(round(avg(d.degree), 4) * 1e4) AS BIGINT) AS andu
+        |  FROM sym s JOIN deg d ON d.id = s.dst
+        |  GROUP BY s.src)
+        |SELECT g.degree, count(*) AS n_vertices,
+        |  round(sum(a.andu) / count(*) / 1e4, 4) AS knn
+        |FROM deg g JOIN andv a ON a.id = g.id
+        |GROUP BY g.degree ORDER BY g.degree""".stripMargin),
     "g_rich_club" -> (GraphCte +
       """, dc AS (SELECT degree, count(*) AS nv FROM deg GROUP BY 1),
         |mdh AS (

@@ -457,6 +457,29 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** Degree-correlation function knn(k) (Pastor-Satorras et al. 2001):
+    * mean average-neighbor-degree over the vertices OF each degree k —
+    * the one-row-per-degree summary whose slope is the assortativity
+    * read directly (rising = assortative, falling = disassortative).
+    * Reuses the same per-vertex neighbor-degree aggregate as
+    * [[avgNeighborDegree]]; the outer mean accumulates the 4-dp inner
+    * values as exact 1e-4-unit integers (micro-int idiom) so the outer
+    * rounding cannot flip with summation order. */
+  def knnByDegree(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val perVertex = g.aggregateMessages(g.degrees,
+        msgToSrc = Some(col("dst_degree")),
+        msgToDst = Some(col("src_degree")),
+        agg = m => round(avg(m), 4))
+      .select(col("id"),
+        round(col("agg_msg") * 1e4).cast("long").as("andu"))
+    g.degrees.join(perVertex, "id")
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_vertices"),
+        round(sum(col("andu")) / count(lit(1)) / 1e4, 4).as("knn"))
+      .orderBy("degree")
+  }
+
   /** In/out degrees of the directed purchase-sequence graph
     * (GraphFrames `inDegrees` / `outDegrees` parity — the undirected
     * co-purchase graph can't distinguish them). */

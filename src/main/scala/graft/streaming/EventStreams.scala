@@ -116,6 +116,18 @@ object EventStreams {
         col("view_id"), col("view_ts"), col("value"))
   }
 
+  /** Continuous graph ingestion: running per-vertex degree counts over
+    * an edge stream (update output mode — each micro-batch emits only
+    * the vertices whose degree changed). State is |V|-bounded — one
+    * counter per vertex, independent of stream length, which is what
+    * makes indefinitely-running graph ingestion viable; each
+    * micro-batch partially aggregates map-side before touching state.
+    * The batch twin is [[graft.graph.Graph.degrees]]. */
+  def degreeStream(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

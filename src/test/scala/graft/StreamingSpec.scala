@@ -201,4 +201,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((100L, ts(1), 2L, 3.0)), s"got $out")
     assert(out.contains((100L, ts(40), 1L, 4.0)), s"got $out")
   }
+
+  test("streaming degree maintenance updates counts incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    in.addData((1L, 2L), (2L, 3L))
+    val q = EventStreams.degreeStream(in.toDF().toDF("src", "dst"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("deg_out").start()
+    q.processAllAvailable()
+    // batch 2: a new edge touching 1 and 3 — only changed vertices emit
+    in.addData((1L, 3L))
+    q.processAllAvailable(); q.stop()
+    // latest emitted degree per vertex == batch degrees of the union
+    val latest = spark.table("deg_out")
+      .groupBy($"id").agg(org.apache.spark.sql.functions.max($"degree")
+        .as("degree"))
+      .as[(Long, Long)].collect().toMap
+    assert(latest == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $latest")
+  }
 }
