@@ -164,6 +164,7 @@ object SparkEntry {
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "d_word_entropy" -> (TextAnalysis.wordEntropy _),
     "g_knn_by_degree" -> (GraphQueries.knnByDegree _),
+    "g_edge_arrival" -> (GraphQueries.edgeArrival _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1465,6 +1466,20 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_edge_arrival" ->
+      """WITH pe AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    date_trunc('month', o.o_orderdate) AS m
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  JOIN orders o ON o.o_orderkey = a.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |fs AS (SELECT src, dst, min(m) AS month FROM pe GROUP BY 1, 2),
+        |mo AS (SELECT month, count(*) AS new_edges FROM fs GROUP BY 1)
+        |SELECT month, new_edges,
+        |  sum(new_edges) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_edges
+        |FROM mo ORDER BY month""".stripMargin,
     "g_knn_by_degree" -> (GraphCte +
       """, andv AS (
         |  SELECT s.src AS id,

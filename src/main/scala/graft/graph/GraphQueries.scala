@@ -2,6 +2,7 @@ package graft.graph
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SparkEntry-facing wrappers for the static graph metrics (SURVEY §2).
@@ -478,6 +479,36 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_vertices"),
         round(sum(col("andu")) / count(lit(1)) / 1e4, 4).as("knn"))
       .orderBy("degree")
+  }
+
+  /** Temporal graph evolution: per month, the number of co-purchase
+    * edges appearing for the FIRST time, plus the running cumulative —
+    * the growth curve of a streaming/temporal graph (densification
+    * analysis, Leskovec et al. 2005). Each edge's arrival month is a
+    * min-aggregate over its order months; the monthly rollup is tiny
+    * (≈80 rows), so the cumulative window's single-partition sort is
+    * over the AGGREGATE, never the data. */
+  def edgeArrival(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val pe = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.orders.select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("m")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "m")
+      .agg(sort_array(collect_list("l_partkey")).as("ps"))
+      .select(col("m"), col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      .select(col("m"), col("src"),
+        explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("dst"))
+      .filter(col("src") < col("dst"))
+    val firstSeen = pe.groupBy("src", "dst").agg(min("m").as("month"))
+    val monthly = firstSeen.groupBy("month")
+      .agg(count(lit(1)).as("new_edges"))
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(col("month"), col("new_edges"),
+        sum("new_edges").over(w).as("cum_edges"))
+      .orderBy("month")
   }
 
   /** In/out degrees of the directed purchase-sequence graph
