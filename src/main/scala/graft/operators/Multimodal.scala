@@ -111,11 +111,8 @@ object Multimodal {
     mediaTable(spark, dir).toDF()
       .select(col("doc_id"), col("format"),
         octet_length(col("payload")).as("n_bytes"),
-        expr(
-          s"""array_join(transform(
-             |  sequence(0, octet_length(payload) - 1, $stride),
-             |  s -> decode(substring(payload, s + 1, 1), 'UTF-8')), '')"""
-            .stripMargin).as("resized_text"))
+        graft.functions.ByteColumns.byteStride(col("payload"),
+          lit(stride)).as("resized_text"))
       .select(col("doc_id"), col("format"), col("n_bytes"),
         length(col("resized_text")).as("n_resized"),
         md5(col("resized_text")).as("resized_md5"))
