@@ -26,5 +26,16 @@ object GraftFunctions {
       "equal_fraction", exprs => EqualFraction(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kth_absent", exprs => KthAbsent(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_stride", exprs => ByteStride(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "n2v_pick",
+      exprs => Node2vecPick(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 }

@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => EqualFraction(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("jaccard_sorted"), info("jaccard_sorted"),
       (es: Seq[Expression]) => JaccardSorted(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("kth_absent"), info("kth_absent"),
+      (es: Seq[Expression]) => KthAbsent(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("byte_stride"), info("byte_stride"),
+      (es: Seq[Expression]) => ByteStride(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("n2v_pick"), info("n2v_pick"),
+      (es: Seq[Expression]) => Node2vecPick(es(0), es(1), es(2), es(3))))
   }
 }

@@ -19,6 +19,17 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = withExt.sql(
         "SELECT jaccard_sorted(array('a','b'), array('b','c')) AS j").head()
       assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-9)
+      // the round-4 natives ride the same registry
+      val k = withExt.sql(
+        "SELECT kth_absent(array(0L, 1L, 3L), 1L) AS v").head()
+      assert(k.getLong(0) == 4L) // absents: 2, 4, ... -> second is 4
+      val bs = withExt.sql(
+        "SELECT byte_stride(encode('abcdef', 'UTF-8'), 2) AS s").head()
+      assert(bs.getString(0) == "ace")
+      val ic = withExt.sql(
+        "SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) AS c")
+        .head()
+      assert(ic.getLong(0) == 2L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
