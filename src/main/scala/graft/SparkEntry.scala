@@ -165,6 +165,7 @@ object SparkEntry {
     "d_word_entropy" -> (TextAnalysis.wordEntropy _),
     "g_knn_by_degree" -> (GraphQueries.knnByDegree _),
     "g_edge_arrival" -> (GraphQueries.edgeArrival _),
+    "d_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1466,6 +1467,23 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "d_tokenizer_fertility" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    CAST(round(round(
+        |      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6)
+        |      * 1e6) AS BIGINT) AS fert_u,
+        |    CAST(round(round(
+        |      length(text) /
+        |      CAST(len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE), 6)
+        |      * 1e6) AS BIGINT) AS cpt_u
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(sum(fert_u) / count(*) / 1e6, 6) AS fertility,
+        |  round(sum(cpt_u) / count(*) / 1e6, 6) AS chars_per_token
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "g_edge_arrival" ->
       """WITH pe AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst,

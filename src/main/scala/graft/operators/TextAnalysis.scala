@@ -301,6 +301,29 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  /** Tokenizer fertility per language: mean BPE-ish tokens per
+    * whitespace word and mean chars per token — the standard
+    * multilingual tokenizer-efficiency report (fertility >> 1 for a
+    * language means the tokenizer fragments it, inflating training
+    * cost per content word). Row-local ratios rounded to 6 dp, then
+    * accumulated per language as exact 1e-6-unit integers (micro-int
+    * idiom) — one tiny groupBy, scan-speed at any corpus size. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val nWs = size(toks).cast("double")
+    val nBpe = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        round(round(nBpe / nWs, 6) * 1e6).cast("long").as("fert_u"),
+        round(round(nChars / nBpe, 6) * 1e6).cast("long").as("cpt_u"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("fert_u") / count(lit(1)) / 1e6, 6).as("fertility"),
+        round(sum("cpt_u") / count(lit(1)) / 1e6, 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** Word-level Shannon entropy + type-token ratio per document — the
     * classic repetitiveness/quality pair (low entropy ≈ boilerplate or
     * degenerate repetition; the compression-ratio proxy without a
