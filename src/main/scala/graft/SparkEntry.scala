@@ -166,6 +166,7 @@ object SparkEntry {
     "g_knn_by_degree" -> (GraphQueries.knnByDegree _),
     "g_edge_arrival" -> (GraphQueries.edgeArrival _),
     "d_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+    "q_qoq_growth" -> (Relational.qQoqGrowth _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1467,6 +1468,15 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "q_qoq_growth" ->
+      """WITH q AS (
+        |  SELECT date_trunc('quarter', o_orderdate) AS quarter,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT quarter, revenue,
+        |  round(100.0 * (revenue - lag(revenue) OVER (ORDER BY quarter))
+        |    / lag(revenue) OVER (ORDER BY quarter), 4) AS qoq_pct
+        |FROM q ORDER BY quarter""".stripMargin,
     "d_tokenizer_fertility" ->
       """WITH r AS (
         |  SELECT lang,

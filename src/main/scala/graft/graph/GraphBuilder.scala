@@ -133,4 +133,15 @@ object GraphBuilder {
       d.count()
       d
     })
+
+  // the double-sweep diameter estimate runs a far-vertex Pregel; both
+  // g_diameter and g_summary consume it — one run per (session, graph)
+  private val diamCache = TrieMap.empty[String, DataFrame]
+
+  def diameter(g: Graph): DataFrame =
+    diamCache.getOrElseUpdate(System.identityHashCode(g).toString, {
+      val d = Gx.diameterEstimate(g).persist(StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    })
 }

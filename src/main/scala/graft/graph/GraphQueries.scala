@@ -142,7 +142,7 @@ object GraphQueries {
     val trans = g.transitivity(tri)
     val comps = Gx.connectedComponents(g)
       .agg(countDistinct("component").as("n_components"))
-    val diam = Gx.diameterEstimate(g)
+    val diam = GraphBuilder.diameter(g)
     counts.crossJoin(degAvg).crossJoin(clus).crossJoin(trans)
       .crossJoin(comps).crossJoin(diam)
   }
@@ -391,7 +391,7 @@ object GraphQueries {
   }
 
   def diameter(spark: SparkSession, dir: String): DataFrame =
-    Gx.diameterEstimate(GraphBuilder.coPurchase(spark, dir))
+    GraphBuilder.diameter(GraphBuilder.coPurchase(spark, dir))
 
   /** Open-wedge counts per center vertex via the motif pattern API
     * (GraphFrames `g.find`, the reference library's signature query

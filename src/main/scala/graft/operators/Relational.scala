@@ -480,6 +480,22 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** LAG window shape: quarterly revenue with quarter-over-quarter
+    * growth. The lag runs over the ~27-row quarterly AGGREGATE — its
+    * single-partition sort never sees row-scale data; both engines
+    * compute the ratio over the same rounded inputs so the 4-dp output
+    * is stable. */
+  def qQoqGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir).orders
+      .groupBy(date_trunc("quarter", col("o_orderdate")).as("quarter"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy("quarter")
+    q.select(col("quarter"), col("revenue"),
+        round(lit(100.0) * (col("revenue") - lag("revenue", 1).over(w)) /
+          lag("revenue", 1).over(w), 4).as("qoq_pct"))
+      .orderBy("quarter")
+  }
+
   /** TPC-H Q10 shape: returned-item revenue per customer over a date
     * window, deterministic top-20. Both filters sit on the scans
     * (pushdown); customer and nation broadcast into the orders⋈lineitem
