@@ -167,6 +167,7 @@ object SparkEntry {
     "g_edge_arrival" -> (GraphQueries.edgeArrival _),
     "d_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
     "q_qoq_growth" -> (Relational.qQoqGrowth _),
+    "g_global_efficiency" -> (GraphQueries.globalEfficiency _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1847,6 +1848,25 @@ object SparkEntry {
         |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25)
         |SELECT landmark, v, min(dist) AS dist FROM bfs
         |GROUP BY landmark, v ORDER BY landmark, v""".stripMargin,
+    "g_global_efficiency" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 8),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |md AS (
+        |  SELECT landmark, v, min(dist) AS dist FROM bfs
+        |  GROUP BY landmark, v)
+        |SELECT round(sum(CAST(round(1e9 / dist) AS BIGINT))
+        |  / count(*) / 1e9, 6) AS global_efficiency
+        |FROM md WHERE dist > 0""".stripMargin,
     "g_closeness" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

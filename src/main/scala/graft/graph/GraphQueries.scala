@@ -90,6 +90,20 @@ object GraphQueries {
     Iterative.harmonicFrom(GraphBuilder.landmarkBfs(g, 8)).orderBy("id")
   }
 
+  /** Landmark global efficiency (nx.global_efficiency restricted to
+    * the landmark rows — the same approximation family as closeness/
+    * harmonic): mean of 1/d(landmark, v) over reachable v ≠ landmark.
+    * The FIFTH query served by the one cached multi-source BFS; each
+    * 1/d term is quantized to 1e-9 micro-units and summed exactly, so
+    * the 6-dp mean is engine-identical. */
+  def globalEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    GraphBuilder.landmarkBfs(g, 8)
+      .filter(col("dist") > 0)
+      .select((round(lit(1e9) / col("dist"))).cast("long").as("u"))
+      .agg(round(sum("u") / count(lit(1)) / 1e9, 6).as("global_efficiency"))
+  }
+
   def density(spark: SparkSession, dir: String): DataFrame =
     Metrics.density(GraphBuilder.coPurchase(spark, dir))
 

@@ -123,6 +123,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("greedy coloring is proper and bounded on random graphs") {
+    forAllN(edgeGen, n = 6) { edges =>
+      val clean = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (clean.nonEmpty) {
+        val e = clean.toDF("src", "dst")
+        val g = Graph(GraphBuilder.vertices(e), e)
+        val colors = Iterative.greedyColoring(g)
+          .as[(Long, Long)].collect().toMap
+        val vs = clean.flatMap(p => Seq(p._1, p._2)).toSet
+        assert(colors.keySet == vs, s"uncolored vertices, edges=$clean")
+        clean.foreach { case (a, b) =>
+          assert(colors(a) != colors(b), s"monochromatic $a-$b, edges=$clean")
+        }
+        val maxDeg = vs.map(v =>
+          clean.count(p => p._1 == v || p._2 == v)).max
+        assert(colors.values.max <= maxDeg, s"palette blew greedy bound")
+      }
+    }
+  }
+
   test("kTruss matches brute-force peel on random graphs") {
     forAllN(edgeGen, n = 6) { edges =>
       if (edges.nonEmpty) {
