@@ -168,6 +168,8 @@ object SparkEntry {
     "d_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
     "q_qoq_growth" -> (Relational.qQoqGrowth _),
     "g_global_efficiency" -> (GraphQueries.globalEfficiency _),
+    "q_cube_revenue" -> (Relational.qCubeRevenue _),
+    "d_holdout_split" -> (Curation.holdoutSplit _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1469,6 +1471,28 @@ object SparkEntry {
       """SELECT s.src AS id, round(avg(d.degree), 4) AS avg_nbr_degree
         |FROM sym s JOIN deg d ON d.id = s.dst
         |GROUP BY s.src ORDER BY id""".stripMargin),
+    "q_cube_revenue" ->
+      """SELECT
+        |  CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+        |    ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+        |    ELSE l_linestatus END AS linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "d_holdout_split" ->
+      """SELECT
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM (
+        |  SELECT lang,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 7))::BIGINT % 100 AS b
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_qoq_growth" ->
       """WITH q AS (
         |  SELECT date_trunc('quarter', o_orderdate) AS quarter,

@@ -96,6 +96,26 @@ object Curation {
         round(avg("quality"), 4).as("avg_quality"))
       .orderBy("lang_pred")
 
+  /** Deterministic train/val/test holdout split: each doc hashes to a
+    * stable md5 bucket in [0, 100) → train <90, val <95, test rest —
+    * the reproducible dataset split every training run needs (the same
+    * doc lands in the same split on any engine, any partitioning, any
+    * rerun; changing corpus membership never reshuffles other docs'
+    * assignments, unlike row_number-based splits). Pure map-side
+    * projection; the report is one tiny groupBy. */
+  def holdoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") % 100
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
   /** Deterministic stratified sampler (language rebalancing): each doc
     * hashes to a stable md5 bucket in [0, 100); a doc survives when its
     * bucket falls under its language's rate (en downsampled hardest —

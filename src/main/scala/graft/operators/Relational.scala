@@ -480,6 +480,27 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** CUBE grouping-sets shape: revenue over every subset of
+    * {returnflag, linestatus} in ONE map-side-combined pass (4 grouping
+    * sets; the ROLLUP twin is [[qRollupRevenue]]). Null-free subtotal
+    * labels via grouping(), same as the rollup query. */
+  def qCubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .createOrReplaceTempView("cube_src")
+    // SQL path for the same reason as qRollupRevenue: grouping() lives
+    // inside the GROUP BY CUBE query, not a post-aggregate projection
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(rf) = 1 THEN 'ALL' ELSE rf END AS returnflag,
+        |  CASE WHEN grouping(ls) = 1 THEN 'ALL' ELSE ls END AS linestatus,
+        |  round(sum(rev), 2) AS revenue, count(*) AS n_rows
+        |FROM cube_src
+        |GROUP BY CUBE (rf, ls)
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** LAG window shape: quarterly revenue with quarter-over-quarter
     * growth. The lag runs over the ~27-row quarterly AGGREGATE — its
     * single-partition sort never sees row-scale data; both engines
