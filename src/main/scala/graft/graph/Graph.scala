@@ -20,7 +20,8 @@ import org.apache.spark.storage.StorageLevel
   * it at driver memory; every metric below is DataFrame algebra that
   * scales with the cluster.
   */
-final case class Graph(vertices: DataFrame, edges: DataFrame) {
+final case class Graph(vertices: DataFrame, edges: DataFrame,
+                       precomputedDegrees: Option[DataFrame] = None) {
 
   /** Both directions of the canonical undirected edge set (map-side). */
   def symmetrized: DataFrame =
@@ -35,14 +36,20 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     * clustering/transitivity denominators and several metrics — and an
     * aggregate's size estimate defeats Catalyst's auto-broadcast, so
     * every consumer re-deriving it costs both the recompute AND a
-    * shuffle join it should not need. */
-  @transient lazy val degrees: DataFrame = {
-    val d = symmetrized.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("degree"))
-    vertices.select("id").join(d, Seq("id"), "left")
-      .na.fill(0L, Seq("degree"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
+    * shuffle join it should not need.
+    *
+    * Builders whose vertex set IS the edge-endpoint set (no isolates
+    * by construction — e.g. the co-purchase derivation) pass the
+    * degree table they already computed via `precomputedDegrees`,
+    * skipping the isolate-preserving vertex join entirely. */
+  @transient lazy val degrees: DataFrame =
+    precomputedDegrees.getOrElse {
+      val d = symmetrized.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+      vertices.select("id").join(d, Seq("id"), "left")
+        .na.fill(0L, Seq("degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Cached vertex count (drives broadcast decisions). */
   @transient lazy val vertexCount: Long = vertices.count()

@@ -84,8 +84,16 @@ object GraphBuilder {
   def coPurchase(spark: SparkSession, dir: String): Graph =
     cache.getOrElseUpdate(dir, {
       val e = weightedEdges(spark, dir).select("src", "dst")
-      val v = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
-      Graph(v, e)
+      // vertices ARE the edge endpoints here (no isolates by
+      // construction), so ONE degree aggregate serves both the degree
+      // table and the vertex set — the generic path's union+distinct
+      // vertex derivation and isolate-preserving join would be two
+      // extra shuffles re-materializing the same ids
+      val deg = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Graph(deg.select("id"), e, precomputedDegrees = Some(deg))
     })
 
   // LPA communities are consumed by three queries (labels, count,
