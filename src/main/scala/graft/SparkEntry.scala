@@ -170,6 +170,7 @@ object SparkEntry {
     "g_global_efficiency" -> (GraphQueries.globalEfficiency _),
     "q_cube_revenue" -> (Relational.qCubeRevenue _),
     "d_holdout_split" -> (Curation.holdoutSplit _),
+    "d_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1482,6 +1483,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "d_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ts
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2] AS g
+        |  FROM tok, UNNEST(range(1, len(ts) - 1)) AS t(j)),
+        |firsts AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS novel,
+        |  round(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM tri t JOIN firsts f ON f.g = t.g
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "d_holdout_split" ->
       """SELECT
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'

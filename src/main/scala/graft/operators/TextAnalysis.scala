@@ -324,6 +324,30 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** N-gram novelty per document: the fraction of a doc's word
+    * trigrams that appear in NO lower-doc_id document — the corpus
+    * staleness/redundancy curve (a near-1 score means fresh content; a
+    * collapsing score means the corpus is re-crawling itself). "First
+    * occurrence" is a min-aggregate over doc ids, so the metric is
+    * order-free and engine-portable — no sequential scan, just two
+    * gram-keyed shuffles, both linear in corpus token count. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), " +
+          "j -> concat_ws(' ', ts[j], ts[j+1], ts[j+2]))")).as("g"))
+    val firsts = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
+    tri.join(firsts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"))
+      .select(col("doc_id"), col("n_grams"), col("novel"),
+        round(col("novel") / col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Word-level Shannon entropy + type-token ratio per document — the
     * classic repetitiveness/quality pair (low entropy ≈ boilerplate or
     * degenerate repetition; the compression-ratio proxy without a
