@@ -277,9 +277,14 @@ object GraphQueries {
     Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
       .orderBy("id")
 
-  /** Rank-offset speculative greedy coloring of the co-purchase graph. */
+  /** Rank-offset speculative greedy coloring of the co-purchase graph.
+    * Rounds pinned to the oracle's 12-round unroll (measured fixpoint
+    * ≤6 at every SF) so Spark and the oracle agree BY CONSTRUCTION
+    * even on a hypothetical graph that hasn't converged by then — the
+    * spec's full-coloring assert is the loud failure if that margin
+    * ever erodes. */
   def coloring(spark: SparkSession, dir: String): DataFrame =
-    Iterative.greedyColoring(GraphBuilder.coPurchase(spark, dir))
+    Iterative.greedyColoring(GraphBuilder.coPurchase(spark, dir), rounds = 12)
       .orderBy("id")
 
   /** Minimum spanning forest of the weighted co-purchase graph
