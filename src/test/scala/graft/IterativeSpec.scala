@@ -34,6 +34,17 @@ class IterativeSpec extends AnyFunSuite {
     assert(c == again)
   }
 
+  test("greedy coloring is invariant to shuffle partition count") {
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = Iterative.greedyColoring(g).as[(Long, Long)].collect().toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Iterative.greedyColoring(g).as[(Long, Long)].collect().toMap
+      assert(a == b, "coloring changed with partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("boruvka msf: toy graph yields the hand-computed spanning tree") {
     // square 1-2-3-4 with diagonal: MST keeps the three lightest edges
     val we = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 4L),
