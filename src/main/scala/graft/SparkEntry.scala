@@ -1492,7 +1492,7 @@ object SparkEntry {
         |  FROM tok, UNNEST(range(1, len(ts) - 1)) AS t(j)),
         |firsts AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY 1)
         |SELECT t.doc_id, count(*) AS n_grams,
-        |  sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS novel,
+        |  CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
         |  round(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM tri t JOIN firsts f ON f.g = t.g
@@ -1545,8 +1545,8 @@ object SparkEntry {
         |fs AS (SELECT src, dst, min(m) AS month FROM pe GROUP BY 1, 2),
         |mo AS (SELECT month, count(*) AS new_edges FROM fs GROUP BY 1)
         |SELECT month, new_edges,
-        |  sum(new_edges) OVER (ORDER BY month
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_edges
+        |  CAST(sum(new_edges) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_edges
         |FROM mo ORDER BY month""".stripMargin,
     "g_knn_by_degree" -> (GraphCte +
       """, andv AS (

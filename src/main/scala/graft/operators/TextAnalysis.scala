@@ -331,12 +331,22 @@ object TextAnalysis {
     * occurrence" is a min-aggregate over doc ids, so the metric is
     * order-free and engine-portable — no sequential scan, just two
     * gram-keyed shuffles, both linear in corpus token count. */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val tri = Tables(spark, dir).documents
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables(spark, dir).documents)
+
+  /** Same metric over an arbitrary (doc_id, text) frame. */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val tri = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      // sequence(0, size-3) DESCENDS when size < 3 (Spark semantics), so
+      // a 1-2 token doc would emit bogus sub-trigram grams via concat_ws
+      // null-dropping — guard to an empty array (explode then drops the
+      // doc, matching the oracle's range(1, len-1) which yields nothing).
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ts) - 3), " +
-          "j -> concat_ws(' ', ts[j], ts[j+1], ts[j+2]))")).as("g"))
+        "CASE WHEN size(ts) >= 3 THEN " +
+          "transform(sequence(0, size(ts) - 3), " +
+          "j -> concat_ws(' ', ts[j], ts[j+1], ts[j+2])) " +
+          "ELSE CAST(array() AS array<string>) END")).as("g"))
     val firsts = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
     tri.join(firsts, "g")
       .groupBy("doc_id")

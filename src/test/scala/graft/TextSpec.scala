@@ -312,6 +312,25 @@ class TextSpec extends AnyFunSuite {
     assert(formats == Set("image", "audio", "video"))
   }
 
+  test("ngram novelty: short docs yield no grams, firsts are novel, repeats are not") {
+    // doc 3 repeats doc 1's trigrams verbatim; docs 10/11 are too short
+    // to have ANY trigram (the sequence(0, size-3) descending-range trap)
+    val docs = Seq(
+      (1L, "a b c d"),          // grams: "a b c", "b c d" — both novel
+      (3L, "a b c d"),          // same grams, first seen in doc 1 → novel 0
+      (5L, "x y z"),            // one fresh gram → novel 1
+      (10L, "solo"),            // 1 token → absent from output
+      (11L, "two tokens"))      // 2 tokens → absent from output
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNoveltyOf(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r.keySet == Set(1L, 3L, 5L), s"short docs must vanish: ${r.keySet}")
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(3L) == ((2L, 0L, 0.0)))
+    assert(r(5L) == ((1L, 1L, 1.0)))
+  }
+
   test("word entropy: bounds + exact value on all-distinct docs") {
     val r = TextAnalysis.wordEntropy(spark, sf).cache()
     assert(r.count() > 0)

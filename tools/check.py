@@ -17,6 +17,42 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Spark has no 128-bit integer: a HUGEINT column in the oracle output
+# hashes differently driver-side even when values are equal. SURVEY §6
+# requires integer sums be CAST back to BIGINT in the oracle SQL.
+BANNED_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def dtype_family(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime"):
+        return "datetime"
+    if s in ("bool", "boolean"):
+        return "bool"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    return "object"
+
+
+def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame):
+    """Columns whose canonical dtype family differs. A float-vs-int pair
+    is excused only when the float side carries NaNs (pandas widens
+    nullable ints to float on read — not a real type difference)."""
+    bad = []
+    for c in got.columns:
+        fg, fw = dtype_family(got[c].dtype), dtype_family(want[c].dtype)
+        if fg == fw:
+            continue
+        if {fg, fw} == {"int", "float"}:
+            floaty = got[c] if fg == "float" else want[c]
+            if floaty.isna().any():
+                continue
+        bad.append(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+    return bad
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -54,12 +90,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             if len(got) == 0:
                 failures += 1
             continue
+        duck_types = con.execute(
+            f"DESCRIBE {oracle[name]}").fetchdf()
+        banned = [f"{r['column_name']}:{r['column_type']}"
+                  for _, r in duck_types.iterrows()
+                  if str(r["column_type"]).upper() in BANNED_DUCK_TYPES]
         want = norm(con.execute(oracle[name]).fetchdf())
         status = "OK"
-        if list(got.columns) != list(want.columns):
+        if banned:
+            status = (f"ORACLE TYPE {banned} — Spark has no 128-bit int; "
+                      "CAST the sum to BIGINT in the oracle SQL")
+        elif list(got.columns) != list(want.columns):
             status = f"COLS MISMATCH got={list(got.columns)} want={list(want.columns)}"
         elif len(got) != len(want):
             status = f"ROWS MISMATCH got={len(got)} want={len(want)}"
+        elif dtype_mismatches(got, want):
+            status = f"DTYPE MISMATCH {dtype_mismatches(got, want)}"
         else:
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False,
