@@ -30,6 +30,8 @@ case class Node2vecPick(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
     extends QuaternaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // null on an empty neighbor array even when all inputs are non-null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
     val nbrs = a.asInstanceOf[ArrayData]
@@ -37,6 +39,11 @@ case class Node2vecPick(first: Expression, second: Expression,
     val prev = c.asInstanceOf[Long]
     val draw = d.asInstanceOf[Long]
     val n = nbrs.numElements()
+    // total function: a vertex with no neighbors has no pick (draw % 0
+    // would throw). Unreachable from the symmetric-graph walk frontier
+    // (prev is always a neighbor) but callers on directed/filtered
+    // graphs must get null, not an ArithmeticException.
+    if (n == 0) return null
     val np = pn.numElements()
     // pass 1: total weight, membership by merge (both sorted ascending)
     var tot = 0L

@@ -424,7 +424,7 @@ object Iterative {
       val picks = st.filter(col("color").isNull)
         .select(col("id"), col("nbrs"), jpPriority(col("id")).as("h"),
           kthAbsent(col("used"), col("rk")).as("pick"))
-        .localCheckpoint(true)
+        .cache()
       if (picks.isEmpty) { done = true }
       else {
         // conflict messages: each pick announces (sender, pick) to its
@@ -439,7 +439,7 @@ object Iterative {
               (col("sh") === col("h") && col("sender") > col("id"))))
           .select("id").distinct()
         val winners = picks.join(losers, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .cache()
         // winners tell neighbors their color; receivers extend `used`
         // and drop the now-colored higher-pri senders from their rank
         val upd = winners
@@ -460,10 +460,25 @@ object Iterative {
               coalesce(col("newUsed"), array().cast("array<long>"))))
               .as("used"),
             coalesce(col("color"), col("pick")).as("color"))
-          .localCheckpoint(true)
+        // lineage cap every 3rd round only: the per-round eager
+        // checkpoint job was the dominant cost on a warm run (~4 jobs ×
+        // ~7 rounds); intermediate rounds reuse cached parents instead.
+        // Deterministic algorithm ⇒ evaluation strategy can't change
+        // the coloring.
+        st = if (r % 3 == 0) st.localCheckpoint(true) else st.cache()
       }
     }
-    st.filter(col("color").isNotNull).select(col("id"), col("color"))
+    // loud convergence contract: reaching the round cap with uncolored
+    // vertices means the oracle's pinned unroll would disagree — fail
+    // instead of silently dropping them. (Unreachable when the loop
+    // early-exited: picks-empty ⇒ every color is set.)
+    if (!done) {
+      val uncolored = st.filter(col("color").isNull).count()
+      require(uncolored == 0L,
+        s"greedyColoring: $uncolored vertices still uncolored after " +
+          s"$rounds rounds — raise `rounds` (and re-pin the oracle unroll)")
+    }
+    st.select(col("id"), col("color"))
   }
 
   /** Landmark harmonic centrality (nx.harmonic_centrality restricted to

@@ -28,6 +28,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("approx distinct users lands within the HLL error budget of exact") {
+    import org.apache.spark.sql.functions._
+    // the one rows-only query gets a real numeric gate: approx vs exact
+    // per event_type. rsd=0.01 is a STANDARD-ERROR bound, so allow 5σ
+    // (plus a small-cardinality floor) — deterministic for a fixed
+    // input, generous enough to never flake.
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = Relational.qApproxDistinctUsers(spark, sf01)
+      .select(col("event_type"), col("approx_users"))
+      .as[(String, Long)](org.apache.spark.sql.Encoders.product)
+      .collect().toMap
+    val exact = Tables(spark, sf01).events
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+      .as[(String, Long)](org.apache.spark.sql.Encoders.product)
+      .collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (et, ex) =>
+      val tol = math.max(5.0, 0.05 * ex)
+      assert(math.abs(approx(et) - ex) <= tol,
+        s"$et: approx ${approx(et)} vs exact $ex exceeds ±$tol")
+    }
+  }
+
   test("asof attribution equals brute-force latest-at-or-before view") {
     import org.apache.spark.sql.functions._
     val got = Relational.qAsofAttribution(spark, sf)
