@@ -289,6 +289,91 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     Graph(vertices.join(endpoints, Seq("id"), "left_semi"), edges)
   }
 
+  /** GraphFrames `bfs(fromExpr, toExpr)` parity: all shortest paths of
+    * minimal length from ANY vertex matching `fromExpr` to ANY vertex
+    * matching `toExpr`, as `from, e0, v1, e1, …, to` columns — vertex
+    * columns are full-attribute structs, edge columns are the traversed
+    * (src, dst) pairs. Returns an empty two-column frame when no match
+    * is reachable within `maxPathLength` hops; a vertex matching both
+    * predicates yields the zero-hop `(from, to)` row, as in GraphFrames.
+    *
+    * Scale shape, two phases:
+    *  1. id-only level-synchronous multi-source BFS (frontier dedup'd +
+    *     anti-joined against visited per level; one shuffle per level),
+    *     stopping at the FIRST level that reaches the to-set — never
+    *     deeper than the answer.
+    *  2. path enumeration constrained to the shortest-path DAG
+    *     (dist(next) = dist(cur)+1), so the join cascade materializes
+    *     exactly the shortest paths — never all simple paths, whose
+    *     count is exponential. Attribute structs attach once at the end.
+    */
+  def bfs(fromExpr: Column, toExpr: Column, maxPathLength: Int = 10): DataFrame = {
+    val vStruct = struct(vertices.columns.map(col): _*)
+    val fromIds = vertices.filter(fromExpr).select("id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toIds = vertices.filter(toExpr).select("id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // zero-hop: a vertex satisfying both predicates IS a result path
+    val both = vertices.filter(fromExpr).filter(toExpr)
+    if (both.head(1).nonEmpty)
+      return both.select(vStruct.as("from"), vStruct.as("to"))
+    val sym = symmetrized
+    // phase 1: distances from the from-SET (min over sources is implicit
+    // in the visited anti-join — a vertex joins the frontier at its
+    // first, i.e. minimal, level)
+    var visited = fromIds.withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = fromIds
+    var level = 0
+    var found = false
+    var exhausted = false
+    while (!found && !exhausted && level < maxPathLength) {
+      level += 1
+      frontier = sym.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (frontier.head(1).isEmpty) exhausted = true
+      else {
+        visited = visited.union(frontier.withColumn("dist", lit(level)))
+          .localCheckpoint(true)
+        found = frontier.join(toIds, Seq("id"), "left_semi").head(1).nonEmpty
+      }
+    }
+    if (!found)
+      return vertices.filter(lit(false))
+        .select(vStruct.as("from"), vStruct.as("to"))
+    // phase 2: expand only DAG edges u→w with dist(w) = dist(u)+1
+    var paths = fromIds.select(col("id").as("v0"))
+    for (i <- 1 to level) {
+      val step = sym
+        .join(visited.filter(col("dist") === i)
+          .select(col("id").as("dst")), "dst")
+        .select(col("src").as(s"v${i - 1}"), col("dst").as(s"v$i"))
+      paths = paths.join(step, s"v${i - 1}")
+    }
+    paths = paths.join(toIds.withColumnRenamed("id", s"v$level"),
+      Seq(s"v$level"), "left_semi")
+    // attach attribute structs: from, e0, v1, …, to (GraphFrames shape)
+    val withFrom = paths.join(vertices.select(vStruct.as("from"),
+      col("id").as("v0")), "v0")
+    val withMids = (1 until level).foldLeft(withFrom) { (d, i) =>
+      d.join(vertices.select(vStruct.as(s"v$i" + "s"),
+        col("id").as(s"v$i")), s"v$i")
+    }
+    val withTo = withMids.join(vertices.select(vStruct.as("to"),
+      col("id").as(s"v$level")), s"v$level")
+    val cols: Seq[Column] =
+      Seq(col("from")) ++
+        (0 until level).flatMap { i =>
+          val e = struct(col(s"v$i").as("src"), col(s"v${i + 1}").as("dst"))
+            .as(s"e$i")
+          if (i + 1 < level) Seq(e, col(s"v${i + 1}" + "s").as(s"v${i + 1}"))
+          else Seq(e)
+        } ++ Seq(col("to"))
+    withTo.select(cols: _*)
+  }
+
   def aggregateMessages(vertexAttrs: DataFrame,
                         msgToSrc: Option[Column],
                         msgToDst: Option[Column],

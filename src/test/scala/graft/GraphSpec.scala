@@ -119,6 +119,43 @@ class GraphSpec extends AnyFunSuite {
     assert(got(6L) == Map.empty && got(7L) == Map.empty)
   }
 
+  test("bfs finds all minimal-length paths between predicate endpoints") {
+    // diamond 1-2-4, 1-3-4 plus tail 4-5: two shortest 1→4 paths, one 1→5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val two = g.bfs($"id" === 1, $"id" === 4)
+    assert(two.columns.toSeq == Seq("from", "e0", "v1", "e1", "to"))
+    val mids = two.select($"v1.id").as[Long].collect().sorted.toSeq
+    assert(mids == Seq(2L, 3L), s"expected both diamond paths, got $mids")
+    assert(two.select($"from.id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(two.select($"to.id").distinct().as[Long].collect().toSeq == Seq(4L))
+    // edge structs chain: e0 = from→v1, e1 = v1→to
+    val chained = two.filter($"e0.src" =!= $"from.id" ||
+      $"e0.dst" =!= $"v1.id" || $"e1.src" =!= $"v1.id" ||
+      $"e1.dst" =!= $"to.id")
+    assert(chained.count() == 0)
+    // three hops to the tail vertex
+    val three = g.bfs($"id" === 1, $"id" === 5)
+    assert(three.columns.length == 7 && three.count() == 2)
+  }
+
+  test("bfs zero-hop, unreachable, and multi-source cases") {
+    val e = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    // a vertex matching both predicates → the zero-length (from, to) row
+    val zero = g.bfs($"id" < 3, $"id" === 2)
+    assert(zero.columns.toSeq == Seq("from", "to") &&
+      zero.select($"from.id").as[Long].collect().toSeq == Seq(2L))
+    // disconnected target → empty frame, not a hang or a throw
+    assert(g.bfs($"id" === 1, $"id" === 9, maxPathLength = 5).count() == 0)
+    // multi-source: nearest source wins the minimal length (2 is 1 hop
+    // from 3; 1 is 2 hops — only the 1-hop path is minimal)
+    val ms = g.bfs($"id" === 1 || $"id" === 2, $"id" === 3)
+    assert(ms.columns.toSeq == Seq("from", "e0", "to") && ms.count() == 1)
+    assert(ms.select($"from.id").as[Long].head() == 2L)
+  }
+
   test("Pregel builder runs single-source shortest paths") {
     import graft.graph.Pregel
     val Inf = Int.MaxValue
