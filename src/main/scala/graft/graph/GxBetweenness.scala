@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object GxBetweenness {
 
+  /** EXACT betweenness — every vertex a Brandes source, no sampling
+    * (the reference computes exact on the driver, main.py:151-155; the
+    * estimator stays the production default because exact is Θ(|V|·|E|)
+    * work and Θ(|V|) per-vertex state). With all sources the n/k
+    * extrapolation factor is 1, so this is textbook Brandes: the
+    * per-vertex (dist, sigma) slot arrays are |V| wide — opt in only at
+    * reference scale (≲ tens of thousands of vertices), where the
+    * quadratic state still fits executor memory. */
+  def exact(g: Graph, seed: Long = 42L): DataFrame = {
+    val n = g.vertexCount
+    require(n <= 100000,
+      s"exact betweenness is quadratic state: |V| = $n is past the " +
+        "opt-in envelope; use the seeded estimator (run) instead")
+    run(g, numSources = n.toInt, seed = seed)
+  }
+
   def run(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame = {
     val Inf = Int.MaxValue // local: closures must not capture the module
     val spark = g.edges.sparkSession

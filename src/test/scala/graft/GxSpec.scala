@@ -127,6 +127,61 @@ class GxSpec extends AnyFunSuite {
     }
   }
 
+  test("exact betweenness == brute-force Brandes on asymmetric graphs") {
+    // driver-side reference: textbook Brandes, one BFS per source,
+    // backward dependency accumulation, undirected pairs counted once
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keySet.toSeq.sorted
+      val bc = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (s <- nodes) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0)
+          .withDefaultValue(0.0)
+        val order = scala.collection.mutable.ArrayBuffer[Long]()
+        val queue = scala.collection.mutable.Queue(s)
+        while (queue.nonEmpty) {
+          val v = queue.dequeue(); order += v
+          for (w <- adj(v).toSeq.sorted) {
+            if (!dist.contains(w)) { dist(w) = dist(v) + 1; queue += w }
+            if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+          }
+        }
+        val delta = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for (w <- order.reverse; v <- adj(w) if dist.contains(v) &&
+            dist(v) == dist(w) - 1) {
+          delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        }
+        for (v <- nodes if v != s) bc(v) += delta(v)
+      }
+      nodes.map(v => v -> bc(v) / 2.0).toMap
+    }
+    // kite + tail: no symmetry, mixed degrees — the case sampling gets
+    // wrong and exact must not
+    val kite = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    // K4 plus pendant: hub vs clique distinction
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    for (edges <- Seq(kite, k4p)) {
+      val e = edges.toDF("src", "dst")
+      val gr = graph.Graph(graph.GraphBuilder.vertices(e), e)
+      val want = brute(edges)
+      val gx = graph.GxBetweenness.exact(gr).as[(Long, Double)]
+        .collect().toMap
+      val df = graph.Betweenness.run(gr, numSources = want.size)
+        .as[(Long, Double)].collect().toMap
+      assert(gx.keySet == want.keySet)
+      for ((id, w) <- want) {
+        assert(math.abs(gx(id) - w) <= 1e-6, s"gx exact $id: ${gx(id)} vs $w")
+        assert(math.abs(df(id) - w) <= 1e-6, s"df exact $id: ${df(id)} vs $w")
+      }
+    }
+  }
+
   test("svdPlusPlus learns a rating graph: RMSE bounded, factors finite") {
     // bipartite users 1-3 rating items 101-103 in [1,5]; enough signal
     // that 10 gradient sweeps beat the trivial predictor by a wide margin
