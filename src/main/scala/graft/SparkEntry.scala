@@ -148,6 +148,7 @@ object SparkEntry {
     "g_sssp_weighted" -> (GraphQueries.weightedSssp _),
     "d_dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "g_louvain" -> (GraphQueries.louvain _),
+    "g_louvain2" -> (GraphQueries.louvain2 _),
     "g_node2vec_corpus" -> ((s, d) => GraphQueries.node2vecCorpus(s, d)),
     "d_gopher_rules" -> (TextAnalysis.gopherRules _),
     "g_harmonic" -> (GraphQueries.harmonic _),
@@ -428,36 +429,46 @@ object SparkEntry {
     * the exact-integer numerator 2·m·k_{v,in}(C) − k_v·Σ_tot(C \ v),
     * ties to the smaller community id. Expects wsym/st/mm CTEs. */
   private def louvainUnrolled(rounds: Int): String =
+    louvainUnrolledOver(rounds, "l", "wsym", "st", "mm")
+
+  /** The Louvain move-round unroll over parameterized CTE names, so the
+    * same SQL rule replays phase 1 (`l`, `wsym`, `st`, `mm`) and the
+    * contracted phase 2 of g_louvain2 (`t`, `wsym2`, `st2`, `mm2` —
+    * where st2/mm2 already fold in the supernode self-loops, which
+    * never appear in wsym2/kvin, mirroring Iterative.moveRounds). */
+  private def louvainUnrolledOver(rounds: Int, lp: String, wsym: String,
+      st: String, mm: String): String =
     (1 to rounds).map { i =>
       val p = i % 2
-      s""", stot$i AS MATERIALIZED (
+      s""", ${lp}stot$i AS MATERIALIZED (
          |  SELECT l.comm, CAST(sum(s.k) AS BIGINT) AS stot
-         |  FROM l${i - 1} l JOIN st s USING (id) GROUP BY 1),
-         |cand$i AS MATERIALIZED (
+         |  FROM $lp${i - 1} l JOIN $st s USING (id) GROUP BY 1),
+         |${lp}cand$i AS MATERIALIZED (
          |  SELECT id, comm, CAST(sum(kvin) AS BIGINT) AS kvin FROM (
          |    SELECT y.src AS id, l.comm, y.weight AS kvin
-         |    FROM wsym y JOIN l${i - 1} l ON l.id = y.dst
+         |    FROM $wsym y JOIN $lp${i - 1} l ON l.id = y.dst
          |    UNION ALL
-         |    SELECT id, comm, 0 FROM l${i - 1})
+         |    SELECT id, comm, 0 FROM $lp${i - 1})
          |  WHERE id % 2 = $p
          |  GROUP BY 1, 2),
-         |sc$i AS MATERIALIZED (
+         |${lp}sc$i AS MATERIALIZED (
          |  SELECT c.id, c.comm,
-         |    2 * (SELECT m FROM mm) * c.kvin
+         |    2 * (SELECT m FROM $mm) * c.kvin
          |      - s.k * (t.stot - CASE WHEN c.comm = cl.comm
          |                        THEN s.k ELSE 0 END) AS gain
-         |  FROM cand$i c
-         |  JOIN l${i - 1} cl ON cl.id = c.id
-         |  JOIN stot$i t ON t.comm = c.comm
-         |  JOIN st s ON s.id = c.id),
-         |l$i AS MATERIALIZED (
+         |  FROM ${lp}cand$i c
+         |  JOIN $lp${i - 1} cl ON cl.id = c.id
+         |  JOIN ${lp}stot$i t ON t.comm = c.comm
+         |  JOIN $st s ON s.id = c.id),
+         |$lp$i AS MATERIALIZED (
          |  SELECT id, comm FROM (
          |    SELECT id, comm, row_number() OVER (PARTITION BY id
-         |      ORDER BY gain DESC, comm ASC) AS rn FROM sc$i) WHERE rn = 1
+         |      ORDER BY gain DESC, comm ASC) AS rn FROM ${lp}sc$i) WHERE rn = 1
          |  UNION ALL
-         |  SELECT id, comm FROM l${i - 1} WHERE id % 2 <> $p)
+         |  SELECT id, comm FROM $lp${i - 1} WHERE id % 2 <> $p)
          |""".stripMargin
-    }.mkString(", l0 AS MATERIALIZED (SELECT id, id AS comm FROM st)\n", "", "")
+    }.mkString(s", ${lp}0 AS MATERIALIZED (SELECT id, id AS comm FROM $st)\n",
+      "", "")
 
   /** Bellman-Ford relaxation unrolled: s₀ = 0 at the source / INF
     * sentinel elsewhere; each round takes the min over incoming
@@ -2805,6 +2816,51 @@ object SparkEntry {
         |mm AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM we)
         |""".stripMargin + louvainUnrolled(4) +
       "SELECT id, CAST(comm AS BIGINT) AS community FROM l4 ORDER BY id"),
+    // Blondel's full loop: phase-1 unroll, contract communities to
+    // supernodes (inter weights summed; intra weight = self-loop,
+    // entering strength 2× and m but never kvin), phase-2 unroll over
+    // the supergraph, map coarse labels down
+    "g_louvain2" -> ("""WITH we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |wsym AS MATERIALIZED (
+        |  SELECT src, dst, weight FROM we
+        |  UNION ALL SELECT dst, src, weight FROM we),
+        |st AS MATERIALIZED (
+        |  SELECT src AS id, CAST(sum(weight) AS BIGINT) AS k
+        |  FROM wsym GROUP BY 1),
+        |mm AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM we)
+        |""".stripMargin + louvainUnrolled(4) +
+      """, sup AS MATERIALIZED (SELECT DISTINCT comm AS id FROM l4),
+        |e2 AS MATERIALIZED (
+        |  SELECT least(a.comm, b.comm) AS src,
+        |    greatest(a.comm, b.comm) AS dst,
+        |    CAST(sum(w.weight) AS BIGINT) AS weight
+        |  FROM we w JOIN l4 a ON a.id = w.src JOIN l4 b ON b.id = w.dst
+        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
+        |wsym2 AS MATERIALIZED (
+        |  SELECT src, dst, weight FROM e2
+        |  UNION ALL SELECT dst, src, weight FROM e2),
+        |sw AS MATERIALIZED (
+        |  SELECT s.id, CAST(coalesce(x.selfw, 0) AS BIGINT) AS selfw
+        |  FROM sup s LEFT JOIN (
+        |    SELECT a.comm AS id, sum(w.weight) AS selfw
+        |    FROM we w JOIN l4 a ON a.id = w.src JOIN l4 b ON b.id = w.dst
+        |    WHERE a.comm = b.comm GROUP BY 1) x USING (id)),
+        |st2 AS MATERIALIZED (
+        |  SELECT s.id, CAST(coalesce(k.ke, 0) + 2 * s.selfw AS BIGINT) AS k
+        |  FROM sw s LEFT JOIN (
+        |    SELECT src AS id, sum(weight) AS ke FROM wsym2 GROUP BY 1) k
+        |    USING (id)),
+        |mm2 AS (SELECT CAST(
+        |  (SELECT coalesce(sum(weight), 0) FROM e2) +
+        |  (SELECT coalesce(sum(selfw), 0) FROM sw) AS BIGINT) AS m)
+        |""".stripMargin +
+      louvainUnrolledOver(4, "t", "wsym2", "st2", "mm2") +
+      """SELECT v.id, CAST(t.comm AS BIGINT) AS community
+        |FROM l4 v JOIN t4 t ON t.id = v.comm ORDER BY v.id""".stripMargin),
     // weighted SSSP: 30 synchronous Bellman-Ford relaxation rounds from
     // the top-degree vertex (fixpoint is earlier; extra rounds no-op)
     "g_sssp_weighted" -> ("""WITH we AS (

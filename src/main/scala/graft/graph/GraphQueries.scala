@@ -277,6 +277,13 @@ object GraphQueries {
     Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
       .orderBy("id")
 
+  /** Full two-level Louvain (Blondel's loop: phase-1 moves, contract,
+    * phase-2 moves on the supergraph) over the weighted co-purchase
+    * graph — same exact-integer gain rule both levels. */
+  def louvain2(spark: SparkSession, dir: String): DataFrame =
+    Iterative.louvainTwoLevel(GraphBuilder.weightedEdges(spark, dir))
+      .orderBy("id")
+
   /** Rank-offset speculative greedy coloring of the co-purchase graph.
     * Rounds pinned to the oracle's 12-round unroll (measured fixpoint
     * ≤6 at every SF) so Spark and the oracle agree BY CONSTRUCTION

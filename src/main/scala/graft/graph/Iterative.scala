@@ -237,6 +237,17 @@ object Iterative {
     val strength = sym.groupBy(col("src").as("id"))
       .agg(sum("weight").as("k")).localCheckpoint(true)
     val m = weightedEdges.agg(sum("weight")).head.getLong(0)
+    moveRounds(sym, strength, m, rounds)
+  }
+
+  /** The shared Louvain move loop over a prepared symmetric edge view,
+    * node-strength table (the node universe — every id appears) and
+    * total weight m. Self-loops must NOT be in `sym` (a node is never
+    * its own neighbor in k_{v,in}) but must be reflected in `strength`
+    * (2× each self-weight) and `m` — the [[louvainTwoLevel]] supergraph
+    * convention; for a simple graph this is exactly [[louvainMoves]]. */
+  private def moveRounds(sym: DataFrame, strength: DataFrame, m: Long,
+      rounds: Int): DataFrame = {
     var lab = strength.select(col("id"), col("id").as("comm"))
       .localCheckpoint(true)
     for (r <- 1 to rounds) {
@@ -270,6 +281,55 @@ object Iterative {
         .localCheckpoint(true)
     }
     lab.select(col("id"), col("comm").as("community"))
+  }
+
+  /** Blondel's FULL Louvain loop, two levels: phase-1 move rounds, then
+    * contract each community to a supernode (inter-community weights
+    * summed; intra-community weight becomes the supernode's self-loop)
+    * and run the same move rounds on the supergraph, mapping the
+    * coarse labels back down. Self-loops enter a supernode's strength
+    * (2× each, the k_v convention) and m, but never k_{v,in} — they
+    * move WITH the node, so they are constant across candidate
+    * communities and must not bias the argmax toward staying.
+    *
+    * Scale shape: the contraction is two label joins + one (ca, cb)
+    * aggregate — O(|E|); the supergraph is |communities| nodes, so
+    * phase-2 rounds cost strictly less than phase-1. Deterministic:
+    * same exact-integer gain rule both levels, supernode ids are
+    * phase-1 community ids (themselves vertex ids). */
+  def louvainTwoLevel(weightedEdges: DataFrame, rounds1: Int = 4,
+      rounds2: Int = 4): DataFrame = {
+    val lab1 = louvainMoves(weightedEdges, rounds1).localCheckpoint(true)
+    val e1 = weightedEdges
+      .join(lab1.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(lab1.select(col("id").as("dst"), col("community").as("cb")), "dst")
+    val inter = e1.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("src"),
+        greatest(col("ca"), col("cb")).as("dst"), col("weight"))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .localCheckpoint(true)
+    val selfw = lab1.select(col("community").as("id")).distinct()
+      .join(e1.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("id")).agg(sum("weight").as("selfw")),
+        Seq("id"), "left")
+      .na.fill(0L, Seq("selfw"))
+    val sym2 = inter.select(col("src"), col("dst"), col("weight"))
+      .union(inter.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .localCheckpoint(true)
+    val strength2 = selfw
+      .join(sym2.groupBy(col("src").as("id")).agg(sum("weight").as("ke")),
+        Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("ke"), lit(0L)) + lit(2L) * col("selfw")).as("k"))
+      .localCheckpoint(true)
+    val m2 = inter.agg(coalesce(sum("weight"), lit(0L))).head.getLong(0) +
+      selfw.agg(coalesce(sum("selfw"), lit(0L))).head.getLong(0)
+    val lab2 = moveRounds(sym2, strength2, m2, rounds2)
+    lab1.select(col("id"), col("community").as("c1"))
+      .join(lab2.select(col("id").as("c1"),
+        col("community").as("community")), "c1")
+      .select("id", "community")
   }
 
   def avgPathLength(dists: DataFrame): DataFrame =

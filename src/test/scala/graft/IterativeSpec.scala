@@ -45,6 +45,63 @@ class IterativeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("two-level louvain: total partition, modularity never below phase-1") {
+    // weighted modularity Q = Σ_c [w_in(c)/m − (S_c/2m)²] over the
+    // weighted graph both levels optimize
+    def wQ(we: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): Double = {
+      val m = we.agg(sum("weight")).head.getLong(0).toDouble
+      val lS = labels.select($"id".as("src"), $"community".as("ca"))
+      val lD = labels.select($"id".as("dst"), $"community".as("cb"))
+      val lab = we.join(lS, "src").join(lD, "dst")
+      val win = lab.filter($"ca" === $"cb")
+        .groupBy($"ca".as("c")).agg(sum("weight").as("w_in"))
+      val sym = we.select($"src".as("id"), $"weight")
+        .union(we.select($"dst".as("id"), $"weight"))
+      val sc = sym.join(labels, "id")
+        .groupBy($"community".as("c")).agg(sum("weight").as("s_c"))
+      sc.join(win, Seq("c"), "left").na.fill(0L, Seq("w_in"))
+        .agg(sum($"w_in" / m - pow($"s_c" / (2.0 * m), 2)))
+        .head.getDouble(0)
+    }
+    val we = GraphBuilder.weightedEdges(spark, sf)
+      .select($"src", $"dst", $"weight".cast("long").as("weight"))
+    val lab1 = Iterative.louvainMoves(we)
+    val lab2 = Iterative.louvainTwoLevel(we)
+    // total partition: exactly the phase-1 vertex set, one label each
+    assert(lab2.count() == lab1.count())
+    assert(lab2.select("id").distinct().count() == lab2.count())
+    // the contraction can only coarsen: communities never increase
+    val n1 = lab1.select("community").distinct().count()
+    val n2 = lab2.select("community").distinct().count()
+    assert(n2 <= n1, s"phase-2 grew communities: $n1 -> $n2")
+    // Blondel's guarantee: each greedy level is non-decreasing in Q
+    val q1 = wQ(we, lab1)
+    val q2 = wQ(we, lab2)
+    assert(q2 >= q1 - 1e-12, s"modularity decreased: $q1 -> $q2")
+  }
+
+  test("two-level louvain merges an obvious supergraph community") {
+    // two triangles bridged by ONE light edge, plus a heavy pair: with
+    // singleton starts phase-1 finds the triangles; phase-2 must keep
+    // them apart (bridge too weak) while the heavy pair stays merged —
+    // and the labels must be a deterministic function of the input
+    val we = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (11L, 12L, 10L), (12L, 13L, 10L), (11L, 13L, 10L),
+      (3L, 11L, 1L),
+      (21L, 22L, 30L))
+      .toDF("src", "dst", "weight")
+    val lab = Iterative.louvainTwoLevel(we).as[(Long, Long)].collect().toMap
+    assert(lab.keySet == Set(1L, 2L, 3L, 11L, 12L, 13L, 21L, 22L))
+    assert(Set(lab(1L), lab(2L), lab(3L)).size == 1, "triangle A split")
+    assert(Set(lab(11L), lab(12L), lab(13L)).size == 1, "triangle B split")
+    assert(lab(21L) == lab(22L), "heavy pair split")
+    assert(lab(1L) != lab(21L), "disconnected groups merged")
+    val again = Iterative.louvainTwoLevel(we).as[(Long, Long)].collect().toMap
+    assert(lab == again)
+  }
+
   test("boruvka msf: toy graph yields the hand-computed spanning tree") {
     // square 1-2-3-4 with diagonal: MST keeps the three lightest edges
     val we = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 4L),
