@@ -172,6 +172,7 @@ object SparkEntry {
     "q_cube_revenue" -> (Relational.qCubeRevenue _),
     "d_holdout_split" -> (Curation.holdoutSplit _),
     "d_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
+    "d_hash_embedding" -> ((s, d) => TextAnalysis.hashEmbedding(s, d)),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -1508,6 +1509,18 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM tri t JOIN firsts f ON f.g = t.g
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "d_hash_embedding" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('fh:' || token), 1, 7))::BIGINT % 16 AS dim,
+        |    ('0x' || substr(md5('fhs:' || token), 1, 7))::BIGINT % 2 * 2 - 1
+        |      AS sign
+        |  FROM tok WHERE token <> '')
+        |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS value
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
     "d_holdout_split" ->
       """SELECT
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'

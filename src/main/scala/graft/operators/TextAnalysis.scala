@@ -358,6 +358,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Feature-hashing document embedding — the signed hashing trick
+    * (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    * Multitask Learning"): each token hashes to one of `dims` buckets
+    * with a ±1 sign from a second hash, and the doc's vector is the
+    * signed count per bucket. THE vectorizer that needs no vocabulary
+    * pass — memory is O(dims) regardless of corpus size, which is what
+    * makes it the 100 TB-safe baseline featurizer (a count-vectorizer's
+    * vocab broadcast grows with the corpus; this never does).
+    *
+    * Output is sparse (doc_id, dim, value) rows, value an exact integer
+    * sum — md5-derived buckets and signs reproduce bit-for-bit in any
+    * engine. One explode + one (doc, dim)-keyed aggregate, map-side
+    * combined; no vocabulary table, no broadcast, no window. */
+  def hashEmbedding(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("fh:"), col("token"))), 1, 7), 16, 10)
+          .cast("long") % dims).as("dim"),
+        (conv(substring(md5(concat(lit("fhs:"), col("token"))), 1, 7), 16, 10)
+          .cast("long") % 2 * 2 - 1).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sign").as("value"))
+      .orderBy("doc_id", "dim")
+
   /** Word-level Shannon entropy + type-token ratio per document — the
     * classic repetitiveness/quality pair (low entropy ≈ boilerplate or
     * degenerate repetition; the compression-ratio proxy without a

@@ -113,6 +113,44 @@ class CentralitySpec extends AnyFunSuite {
     assert(ppr == pprSolo)
   }
 
+  test("closeness and harmonic are exact when landmarks = all vertices") {
+    // asymmetric kite+tail: landmark approximations become exact with
+    // every vertex a landmark (the documented opt-in, nx semantics)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val g = graphOf(edges)
+    val adj = undirectedAdj(edges)
+    def bfsDist(s: Long): Map[Long, Int] = {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        for (w <- adj(v) if !dist.contains(w)) { dist(w) = dist(v) + 1; q += w }
+      }
+      dist.toMap
+    }
+    val n = adj.size
+    val wantClose = adj.keys.map { v =>
+      val d = bfsDist(v) - v
+      v -> (d.size.toDouble / d.values.sum)
+    }.toMap
+    val wantHarm = adj.keys.map { v =>
+      v -> (bfsDist(v) - v).values.map(1.0 / _).sum
+    }.toMap
+    val gotClose = graph.Iterative.closeness(g, numLandmarks = n)
+      .as[(Long, Double)].collect().toMap
+    val gotHarm = graph.Iterative.harmonicFrom(
+      graph.Iterative.multiSourceBfs(g,
+        graph.Iterative.topDegreeLandmarks(g, n)))
+      .as[(Long, Double)].collect().toMap
+    for (v <- adj.keys) {
+      assert(math.abs(gotClose(v) - wantClose(v)) <= 1e-6,
+        s"closeness $v: ${gotClose(v)} vs ${wantClose(v)}")
+      assert(math.abs(gotHarm(v) - wantHarm(v)) <= 1e-6,
+        s"harmonic $v: ${gotHarm(v)} vs ${wantHarm(v)}")
+    }
+  }
+
   test("degree centrality on triangle+pendant") {
     val g = graphOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
     val dc = Metrics.degreeCentrality(g).as[(Long, Double)].collect().toMap

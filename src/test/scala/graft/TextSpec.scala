@@ -331,6 +331,27 @@ class TextSpec extends AnyFunSuite {
     assert(r(5L) == ((1L, 1L, 1.0)))
   }
 
+  test("hash embedding: signed hashing trick invariants hold") {
+    val r = TextAnalysis.hashEmbedding(spark, sf, dims = 16).cache()
+    // dims live in [0, 16); values are nonzero-able integers; sparse
+    assert(r.filter($"dim" < 0 || $"dim" >= 16).count() == 0)
+    assert(r.count() > 0)
+    // deterministic across runs
+    val a = r.collect().toSeq
+    val b = TextAnalysis.hashEmbedding(spark, sf, dims = 16).collect().toSeq
+    assert(a == b)
+    // additivity of the linear featurizer: sum over a doc's rows equals
+    // the sum of its tokens' signs — check via a doc's total: |value|
+    // sum per doc is bounded by its token count
+    val docs = Tables(spark, sf).documents
+      .select($"doc_id", size(split($"text", "\\s+")).as("n"))
+    val tot = r.groupBy("doc_id").agg(sum(abs($"value")).as("massa"))
+      .join(docs, "doc_id")
+    assert(tot.filter($"massa" > $"n").count() == 0,
+      "signed mass cannot exceed token count")
+    r.unpersist()
+  }
+
   test("word entropy: bounds + exact value on all-distinct docs") {
     val r = TextAnalysis.wordEntropy(spark, sf).cache()
     assert(r.count() > 0)
