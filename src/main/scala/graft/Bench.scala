@@ -19,17 +19,36 @@ object Bench {
       // noop sink: forces FULL evaluation of every column. A bare
       // count() lets Catalyst prune entire join branches (measured 30×
       // fake-fast on the triangle queries), which would overstate perf.
-      try {
+      // A failure is RECORDED, never swallowed: a crash that shows up
+      // as a sub-0.1 s "success" hides regressions (it did in round 5).
+      val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+        None
+      } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\r\\n\\t]", " ").take(300) + "\""
+    // `queries` stays numbers-only (the driver's contract); failures go
+    // to a separate `errors` map and are EXCLUDED from queries/total
+    val qs = results.collect { case (k, v, None) =>
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => (k, e) }
+    val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, None) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failures":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH FAILURES: ${failed.size}")
+      failed.foreach { case (n, e) => System.err.println(s"  $n: $e") }
+    }
     // stdout-tail capture can truncate the per-query map (it did in
     // round 4) — persist the full line to a file as well
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -48,15 +48,16 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   def region: DataFrame = t("region")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (a pure projection — still one scan, pushdown intact). */
+  /** events.parquet has shipped with two physical `ts` encodings:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * nanos as long and project to a microsecond timestamp) and plain
+    * timestamp[us] (read natively). Dispatch on the READ schema so both
+    * generations of the data work; either way it stays one scan with
+    * pushdown intact. */
   def events: DataFrame = {
+    // lets old nanos-generation dirs load at all; no effect on µs files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: double division loses ns precision at
-    // ~1.7e18 and shifts a boundary timestamp by 1ms
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    Tables.normalizeEventsTs(t("events"))
   }
 
   def nation: DataFrame = t("nation")
@@ -67,4 +68,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types._
+
+  /** Normalize an events frame's `ts` to session-zoned TimestampType,
+    * whatever the parquet generation delivered:
+    *  - LongType         — nanos read under `legacy.parquet.nanosAsLong`;
+    *                       integer `DIV 1000` (double division loses ns
+    *                       precision at ~1.7e18 and can shift a boundary
+    *                       timestamp by 1 ms), then `timestamp_micros`.
+    *  - TimestampNTZType — timestamp[us] with isAdjustedToUTC=false; the
+    *                       session timezone is pinned to UTC, so the cast
+    *                       reinterprets the same wall-clock micros.
+    *  - TimestampType    — already what every consumer expects.
+    * Pure projections in all cases: one scan, pushdown intact. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other")
+    }
 }

@@ -101,29 +101,29 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("parquet file-source stream matches the batch windowed counts") {
-    // the real source plumbing: events.parquet consumed via readStream
-    // (schema pinned, nanos→micros projection identical to Tables) must
-    // produce exactly the batch q_events_hourly aggregates once the
-    // watermark closes the windows
+    // the real source plumbing: the events table (normalized by
+    // Tables.normalizeEventsTs, whatever the parquet generation) consumed
+    // via readStream must produce exactly the batch q_events_hourly
+    // aggregates once the watermark closes the windows
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s"$sf/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("evstream").toFile
     dir.deleteOnExit()
-    val raw = spark.read.parquet(src)
-    raw.write.mode("overwrite").parquet(dir.getAbsolutePath)
-    val stream = spark.readStream.schema(raw.schema)
+    val events = Tables(spark, sf).events
+    events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(events.schema)
       .parquet(dir.getAbsolutePath)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val q = EventStreams.windowedCounts(stream, window = "1 hour",
       watermark = "10 minutes")
       .writeStream.outputMode("append").format("memory")
       .queryName("file_win_out").start()
     q.processAllAvailable()
     // watermark pusher: one far-future event in a second file closes
-    // every real window
-    val maxTs = raw.agg(max($"ts")).head().getLong(0)
-    raw.limit(1).withColumn("ts", lit(maxTs + 86400L * 1000000000L))
+    // every real window (anchored to the true max ts — the table spans
+    // days, so an arbitrary row + offset could land short of it)
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    events.limit(1)
+      .withColumn("ts",
+        lit(new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L)))
       .write.mode("append").parquet(dir.getAbsolutePath)
     q.processAllAvailable(); q.stop()
     val got = spark.table("file_win_out")
