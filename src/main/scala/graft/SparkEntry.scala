@@ -1294,8 +1294,9 @@ object SparkEntry {
     "g_degree" -> (GraphCte +
       "SELECT id, degree FROM deg ORDER BY id"),
     "g_degree_histogram" -> (GraphCte +
-      """SELECT degree, count(*) AS n_vertices FROM deg
-        |GROUP BY degree ORDER BY degree""".stripMargin),
+      """SELECT degree, count(*) AS n_vertices,
+        |  round(count(*) / (SELECT count(*) FROM deg), 6) AS pk
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
     "g_avg_degree" -> (GraphCte +
       "SELECT round(avg(degree), 4) AS avg_degree FROM deg"),
     "g_triangles" -> (GraphCte +

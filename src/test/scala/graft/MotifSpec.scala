@@ -55,6 +55,35 @@ class MotifSpec extends AnyFunSuite {
     assert(e.getLong(0) == 1L && e.getLong(1) == 2L)
   }
 
+  test("attributed edges bind full structs and filter on e.weight") {
+    val we = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 3L), (3L, 4L, 2L))
+      .toDF("src", "dst", "weight")
+    val r = Motif.find(tiny, "(a)-[e]->(b)", we)
+    assert(r.columns.toSeq == Seq("a", "b", "e"))
+    assert(r.schema("e").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("src", "dst", "weight"))
+    // weight > 2 keeps edges 1-2 (5) and 2-3 (3), both directions
+    val heavy = r.filter("e.weight > 2")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(heavy == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    // the struct carries the ORIGINAL row in both match directions:
+    // matching 2->1 still reports the stored direction's weight
+    val back = r.filter($"a" === 2L && $"b" === 1L).head().getStruct(2)
+    assert(back.getLong(2) == 5L)
+    // attributed structs compose across multi-term patterns
+    val wedge = Motif.find(tiny, "(a)-[e1]->(b); (b)-[e2]->(c)", we)
+      .filter($"a" =!= $"c")
+      .filter("e1.weight > 2 AND e2.weight > 2")
+    // heavy wedges through the two heavy edges 1-2, 2-3: 1-2-3 and 3-2-1
+    assert(wedge.count() == 2)
+    // the real weighted co-purchase graph runs the same API at sf
+    val g = GraphBuilder.coPurchase(spark, sf)
+    val wre = GraphBuilder.weightedEdges(spark, sf)
+    val n = Motif.find(g, "(a)-[e]->(b)", wre).filter("e.weight >= 2").count()
+    val want = wre.filter($"weight" >= 2).count() * 2
+    assert(n == want)
+  }
+
   test("anonymous vertices bind nothing and emit no columns") {
     val r = Motif.find(tiny, "()-[]->(b)")
     assert(r.columns.toSeq == Seq("b"))
