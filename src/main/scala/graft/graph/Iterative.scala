@@ -248,26 +248,38 @@ object Iterative {
     * convention; for a simple graph this is exactly [[louvainMoves]]. */
   private def moveRounds(sym: DataFrame, strength: DataFrame, m: Long,
       rounds: Int): DataFrame = {
+    // size-gate the per-vertex side tables (labels, community
+    // strengths, node strengths — a few longs per node): when the node
+    // universe fits a broadcast, hint every dimension join so the big
+    // edge view streams WITHOUT a shuffle and the round's only
+    // exchanges are its two aggregates. AQE would convert the same
+    // joins eventually, but only after materializing each shuffle
+    // stage — the same per-round scheduling-barrier tax the coloring
+    // loop paid. Above the gate (a 100 TB-derived graph) every join
+    // stays a plain shuffle join.
+    val nV = strength.count()
+    val bc: DataFrame => DataFrame =
+      if (nV <= 1000000L) broadcast(_) else identity
     var lab = strength.select(col("id"), col("id").as("comm"))
       .localCheckpoint(true)
     for (r <- 1 to rounds) {
       val parity = r % 2
-      val stot = lab.join(strength, "id")
+      val stot = lab.join(bc(strength), "id")
         .groupBy("comm").agg(sum("k").as("stot"))
       // candidate communities of the moving half: every neighbor's
       // community, plus the current one (kvin 0 row; real neighbors in
       // the current community already contribute their own rows)
       val nbrComm = sym
-        .join(lab.select(col("id").as("dst"), col("comm")), "dst")
+        .join(bc(lab.select(col("id").as("dst"), col("comm"))), "dst")
         .select(col("src").as("id"), col("comm"), col("weight").as("kvin"))
       val cand = nbrComm
         .union(lab.select(col("id"), col("comm"), lit(0L).as("kvin")))
         .filter(pmod(col("id"), lit(2)) === parity)
         .groupBy("id", "comm").agg(sum("kvin").as("kvin"))
       val moved = cand
-        .join(lab.select(col("id"), col("comm").as("cur")), "id")
-        .join(stot, "comm")
-        .join(strength, "id")
+        .join(bc(lab.select(col("id"), col("comm").as("cur"))), "id")
+        .join(bc(stot), "comm")
+        .join(bc(strength), "id")
         .withColumn("stot_adj", col("stot") -
           when(col("comm") === col("cur"), col("k")).otherwise(lit(0L)))
         .withColumn("gain",
