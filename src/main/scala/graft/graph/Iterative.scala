@@ -398,14 +398,27 @@ object Iterative {
     var labels = GraphBuilder.vertices(edges)
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
+    // size-gates (same rule as the coloring/Louvain loops): the label
+    // table is |V| rows of two longs, the selection/pointer tables are
+    // ≤|components| rows — when they fit a broadcast, hint the joins so
+    // the edge set streams shuffle-free and the pointer doubling runs
+    // as chained broadcast joins with NO per-step checkpoint (lineage
+    // depth is bounded by `doubling`). Above the gate every join stays
+    // a shuffle join — the 100 TB path.
+    val bcLimit = 1000000L
+    val nV = labels.count()
+    val bcL: DataFrame => DataFrame =
+      if (nV <= bcLimit) broadcast(_) else identity
     var forest = edges.limit(0)
     var round = 0
     var done = false
     while (round < rounds && !done) {
       round += 1
       val ec = edges
-        .join(labels.select(col("id").as("src"), col("comp").as("ca")), "src")
-        .join(labels.select(col("id").as("dst"), col("comp").as("cb")), "dst")
+        .join(bcL(labels.select(col("id").as("src"), col("comp").as("ca"))),
+          "src")
+        .join(bcL(labels.select(col("id").as("dst"), col("comp").as("cb"))),
+          "dst")
         .filter(col("ca") =!= col("cb"))
       val cand = ec.select(col("ca").as("comp"), col("src"), col("dst"),
           col("weight"), col("cb").as("other"))
@@ -421,8 +434,11 @@ object Iterative {
       // fixpoint: no cross-component edge left ⇒ later rounds are
       // no-ops in BOTH engines (the oracle's extra unrolled rounds
       // select from an empty ec) — skip their job chains
-      done = sel.isEmpty
+      val nSel = sel.count()
+      done = nSel == 0L
       if (!done) {
+        val bcP: DataFrame => DataFrame =
+          if (nSel <= bcLimit) broadcast(_) else identity
         forest = forest
           .union(sel.select("src", "dst", "weight")).distinct()
           .localCheckpoint(true)
@@ -430,19 +446,21 @@ object Iterative {
         // smaller id (p = self marks a root)
         val f = sel.select(col("comp"), col("other"))
         var p = f.as("x")
-          .join(f.as("y"), col("x.other") === col("y.comp"), "left")
+          .join(bcP(f.as("y")), col("x.other") === col("y.comp"), "left")
           .select(col("x.comp").as("c"),
             when(col("y.other") === col("x.comp") &&
               col("x.comp") < col("x.other"), col("x.comp"))
               .otherwise(col("x.other")).as("p"))
-          .localCheckpoint(true)
         for (_ <- 1 to doubling) {
-          p = p.as("a").join(p.as("b"), col("a.p") === col("b.c"), "left")
+          p = p.as("a").join(bcP(p.as("b")), col("a.p") === col("b.c"), "left")
             .select(col("a.c").as("c"), coalesce(col("b.p"), col("a.p")).as("p"))
-            .localCheckpoint(true)
+          // broadcast path: lineage stays shallow, one checkpoint after
+          // the loop suffices; shuffle path: cap lineage per step
+          if (nSel > bcLimit) p = p.localCheckpoint(true)
         }
+        if (nSel <= bcLimit) p = p.localCheckpoint(true)
         labels = labels.as("l")
-          .join(p.as("pp"), col("l.comp") === col("pp.c"), "left")
+          .join(bcP(p.as("pp")), col("l.comp") === col("pp.c"), "left")
           .select(col("l.id"), coalesce(col("pp.p"), col("l.comp")).as("comp"))
           .localCheckpoint(true)
       }
