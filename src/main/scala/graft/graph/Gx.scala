@@ -245,22 +245,36 @@ object Gx {
       values.count()
       var changed = 1L
       var iter = 0
+      // TWO h-index rounds per materialized job: the update is pointwise
+      // monotone non-increasing from the degree init (Lü et al.), so
+      // values unchanged across a 2-round batch ⇔ fixpoint — the batch
+      // check loses nothing, and the driver pays half the job-scheduling
+      // round trips of the 19-38-round fixpoint (the per-round work
+      // itself is a cheap 2·|E|-int traversal).
+      val batch = 2
       while (changed > 0 && iter < maxIter) {
-        val vg = xg.outerJoinVertices(values)((_, _, v) => v.getOrElse(0))
-        val msgs = vg.aggregateMessages[Array[Int]](
-          ctx => {
-            ctx.sendToDst(Array(ctx.srcAttr))
-            ctx.sendToSrc(Array(ctx.dstAttr))
-          },
-          _ ++ _)
+        var next = values
+        val views = Seq.newBuilder[XGraph[Int, Int]]
+        for (_ <- 1 to batch) {
+          val vg = xg.outerJoinVertices(next)((_, _, v) => v.getOrElse(0))
+          views += vg
+          val msgs = vg.aggregateMessages[Array[Int]](
+            ctx => {
+              ctx.sendToDst(Array(ctx.srcAttr))
+              ctx.sendToSrc(Array(ctx.dstAttr))
+            },
+            _ ++ _)
+          next = next.leftJoin(msgs)((_, old, m) =>
+            m.map(hIndex).getOrElse(old))
+        }
+        next = next.cache()
         val prev = values
-        values = prev.leftJoin(msgs)((_, old, m) =>
-          m.map(hIndex).getOrElse(old)).cache()
-        changed = prev.innerJoin(values)((_, a, b) => a != b)
+        changed = prev.innerJoin(next)((_, a, b) => a != b)
           .filter(_._2).count()
+        values = next
         prev.unpersist(blocking = false)
-        vg.unpersistVertices(blocking = false)
-        iter += 1
+        views.result().foreach(_.unpersistVertices(blocking = false))
+        iter += batch
       }
       val df = values.map { case (id, c) => (id, c.toLong) }
         .toDF("id", "core")
