@@ -167,8 +167,11 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
         .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ascending-sorted adjacency: the intersection below is a native
+    // sorted-merge expression (two primitive cursors), which needs —
+    // and downstream determinism benefits from — sorted arrays
     val adjHiBase = oriented.groupBy(col("lo").as("v"))
-      .agg(collect_list(col("hi")).as("nbrs"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
     // adjacency is one array-row per vertex; when it fits comfortably in
     // a broadcast (the usual case for graphs whose vertex set is orders
     // of magnitude smaller than the edge set), broadcasting avoids
@@ -180,7 +183,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
       .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
       .select(col("lo"), col("hi"),
-        array_intersect(col("nu"),
+        graft.functions.SortedLongIntersect.sortedIntersect(col("nu"),
           coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }

@@ -210,12 +210,12 @@ object Metrics {
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi"))).as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
     val adj = oriented.groupBy(col("lo").as("v"))
-      .agg(collect_list(col("hi")).as("nbrs"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
     val tri = oriented
       .join(adj.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adj.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
       .select(col("lo"), col("hi"),
-        explode(array_intersect(col("nu"),
+        explode(graft.functions.SortedLongIntersect.sortedIntersect(col("nu"),
           coalesce(col("nv"), typedLit(Array.empty[Long])))).as("w"))
     def leg(x: String, y: String): DataFrame =
       tri.select(least(col(x), col(y)).as("src"),

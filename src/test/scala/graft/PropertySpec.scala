@@ -37,6 +37,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersect matches array_intersect on random sorted sets") {
+    val setGen = Gen.zip(
+      Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted),
+      Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted))
+    forAllN(setGen, n = 12) { case (xs, ys) =>
+      val got = Seq((xs, ys)).toDF("a", "b")
+        .select(graft.functions.SortedLongIntersect
+          .sortedIntersect($"a", $"b").as("i"))
+        .as[Seq[Long]].head()
+      val want = Seq((xs, ys)).toDF("a", "b")
+        .select(array_sort(array_intersect($"a", $"b")).as("i"))
+        .as[Seq[Long]].head()
+      assert(got == want, s"xs=$xs ys=$ys")
+      assert(got == got.sorted, "output must stay ascending")
+    }
+    // empties on either side
+    assert(Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(graft.functions.SortedLongIntersect
+        .sortedIntersect($"a", $"b")).as[Seq[Long]].head().isEmpty)
+  }
+
   test("minhash equal-fraction is exactly 1 iff shingle sets are equal") {
     forAllN(Gen.zip(docGen, docGen)) { case (d1, d2) =>
       val est = Seq((d1, d2)).toDF("a", "b")
