@@ -95,10 +95,16 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
   /** GraphFrames/GraphX `collectNeighborIds` parity: per-vertex sorted
     * neighbor-id array over the undirected edge set. One shuffle keyed
     * id; the sort is row-local. Hub vertices bound the row width by the
-    * max degree — same envelope as every adjacency-array consumer. */
-  def collectNeighborIds: DataFrame =
+    * max degree — same envelope as every adjacency-array consumer.
+    *
+    * A persisted lazy val (same reasoning as [[degrees]]): the DeepWalk
+    * corpus, the node2vec corpus and the coloring loop each need the
+    * adjacency table — one build serves all three instead of three
+    * |E|-shuffles. */
+  @transient lazy val collectNeighborIds: DataFrame =
     symmetrized.groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("neighbor_ids"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Per-EDGE triangle (common-neighbor) counts: for each canonical
     * edge, the number of triangles it participates in = |N(u) ∩ N(v)|.

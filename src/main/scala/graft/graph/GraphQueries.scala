@@ -184,9 +184,10 @@ object GraphQueries {
   /** Graph-parameterized core of [[walkCorpus]]. */
   def uniformWalks(g: Graph, steps: Int, stride: Long,
                    seed: Long): DataFrame = {
+    // collectNeighborIds is persisted on the Graph; this is a pure
+    // column rename over that shared cache
     val adj = g.collectNeighborIds
       .select(col("id").as("pos"), col("neighbor_ids").as("nbrs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = g.vertices.filter(col("id") % stride === 0)
       .select(col("id").as("walk_id"), col("id").as("pos"),
         array(col("id")).as("seq"))
@@ -233,8 +234,7 @@ object GraphQueries {
     * toy graphs). */
   def node2vecWalks(g: Graph, steps: Int, stride: Long,
                     seed: Long): DataFrame = {
-    val adj = g.collectNeighborIds
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = g.collectNeighborIds // persisted on the Graph
     val cadj = adj.select(col("id").as("pos"), col("neighbor_ids").as("nbrs"))
     val padj = adj.select(col("id").as("prev"), col("neighbor_ids").as("pnbrs"))
     var state = g.vertices.filter(col("id") % stride === 0)

@@ -504,9 +504,10 @@ object Iterative {
     * bound). */
   def greedyColoring(g: Graph, rounds: Int = 30): DataFrame = {
     import graft.functions.ColoringColumns.{countHigherPri, jpPriority, kthAbsent}
+    // collectNeighborIds is persisted on the Graph (shared with the walk
+    // corpora); the rename is a narrow projection over that cache
     val adj = g.collectNeighborIds
       .select(col("id"), col("neighbor_ids").as("nbrs"))
-      .localCheckpoint(true)
     // state: color NULL until fixed; rk = #uncolored higher-pri nbrs;
     // used = sorted colors taken by colored neighbors (dups possible)
     var st = adj
