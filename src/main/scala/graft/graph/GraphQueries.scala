@@ -273,15 +273,27 @@ object GraphQueries {
 
   /** Louvain phase-1 communities (4 parity-alternating exact-integer
     * modularity-gain move rounds) over the weighted co-purchase graph. */
+  // g_louvain exposes the phase-1 labels and g_louvain2 starts from the
+  // SAME phase-1 labeling — memoize one move loop per dir for both
+  private val louvainP1Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def louvainPhase1(spark: SparkSession, dir: String): DataFrame =
+    louvainP1Cache.getOrElseUpdate(dir, {
+      val l = Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l.count()
+      l
+    })
+
   def louvain(spark: SparkSession, dir: String): DataFrame =
-    Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
-      .orderBy("id")
+    louvainPhase1(spark, dir).orderBy("id")
 
   /** Full two-level Louvain (Blondel's loop: phase-1 moves, contract,
     * phase-2 moves on the supergraph) over the weighted co-purchase
     * graph — same exact-integer gain rule both levels. */
   def louvain2(spark: SparkSession, dir: String): DataFrame =
-    Iterative.louvainTwoLevel(GraphBuilder.weightedEdges(spark, dir))
+    Iterative.louvainTwoLevelFrom(GraphBuilder.weightedEdges(spark, dir),
+      louvainPhase1(spark, dir))
       .orderBy("id")
 
   /** Rank-offset speculative greedy coloring of the co-purchase graph.

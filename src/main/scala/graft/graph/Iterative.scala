@@ -310,8 +310,16 @@ object Iterative {
     * same exact-integer gain rule both levels, supernode ids are
     * phase-1 community ids (themselves vertex ids). */
   def louvainTwoLevel(weightedEdges: DataFrame, rounds1: Int = 4,
+      rounds2: Int = 4): DataFrame =
+    louvainTwoLevelFrom(weightedEdges, louvainMoves(weightedEdges, rounds1),
+      rounds2)
+
+  /** [[louvainTwoLevel]] over a PRECOMPUTED phase-1 labeling — callers
+    * that also expose the phase-1 labels as their own query (the
+    * g_louvain / g_louvain2 pair) memoize one move loop for both. */
+  def louvainTwoLevelFrom(weightedEdges: DataFrame, phase1: DataFrame,
       rounds2: Int = 4): DataFrame = {
-    val lab1 = louvainMoves(weightedEdges, rounds1).localCheckpoint(true)
+    val lab1 = phase1.localCheckpoint(true)
     val e1 = weightedEdges
       .join(lab1.select(col("id").as("src"), col("community").as("ca")), "src")
       .join(lab1.select(col("id").as("dst"), col("community").as("cb")), "dst")
