@@ -22,11 +22,19 @@ object Verify {
           // deterministic dump order lives HERE, not in the operators —
           // a global orderBy inside an operator is a full-corpus sort at
           // scale, while this one touches the (small) result set only.
+          // Queries that already END in a global Sort keep their own
+          // order (it was authored to match the oracle SQL's ORDER BY);
+          // only sort-free results get the all-column fallback sort.
           // Maps aren't orderable; every other type is.
-          val sortable = df.schema.fields
-            .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-            .map(f => org.apache.spark.sql.functions.col(f.name))
-          val out = if (sortable.nonEmpty) df.orderBy(sortable.toSeq: _*) else df
+          val out =
+            if (Verify.endsInGlobalSort(df)) df
+            else {
+              val sortable = df.schema.fields
+                .filterNot(_.dataType
+                  .isInstanceOf[org.apache.spark.sql.types.MapType])
+                .map(f => org.apache.spark.sql.functions.col(f.name))
+              if (sortable.nonEmpty) df.orderBy(sortable.toSeq: _*) else df
+            }
           out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -48,5 +56,24 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** True when the query's analyzed plan is a global Sort (possibly
+    * under projections/limits) — i.e. the operator author already chose
+    * a deterministic output order. */
+  private[graft] def endsInGlobalSort(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case GlobalLimit(_, child) => strip(child)
+      case LocalLimit(_, child) => strip(child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case s: Sort => s.global
+      case _ => false
+    }
   }
 }
