@@ -534,8 +534,12 @@ object Iterative {
     // (2.4 s for a 2-vertex frontier, measured). The hint collapses a
     // tail round to ~3 stages. Round 1 (frontier = |V|) keeps plain
     // shuffle joins — the scale-safe path.
+    // tighter than the Louvain/MST gates: frontier/pick rows carry the
+    // used-color (and, joined, adjacency) ARRAYS, so rows are max-degree
+    // wide, not a couple of longs — 50k wide rows keeps the broadcast
+    // tens of MB even on a hub-heavy graph
     var prevNp = Long.MaxValue
-    val bcLimit = 100000L
+    val bcLimit = 50000L
     while (r < rounds && !done) {
       r += 1
       val frontier0 = st.filter(col("color").isNull)
