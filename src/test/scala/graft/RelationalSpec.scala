@@ -23,6 +23,18 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("Verify's fallback sort skips queries that author their own order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((2L, "b"), (1L, "a")).toDF("k", "v")
+    assert(!Verify.endsInGlobalSort(df))
+    assert(Verify.endsInGlobalSort(df.orderBy("k")))
+    assert(Verify.endsInGlobalSort(df.orderBy(col("k").desc).limit(1)))
+    assert(Verify.endsInGlobalSort(df.orderBy("k").select(col("v"))))
+    // sortWithinPartitions is NOT a global order — fallback must apply
+    assert(!Verify.endsInGlobalSort(df.sortWithinPartitions("k")))
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
