@@ -29,9 +29,11 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // truncate BEFORE escaping (truncating after could cut an escape
+    // sequence in half) and blank ALL control chars, not just \r\n\t
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\r\\n\\t]", " ").take(300) + "\""
+      "\"" + s.take(300).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1F]", " ") + "\""
     // `queries` stays numbers-only (the driver's contract); failures go
     // to a separate `errors` map and are EXCLUDED from queries/total
     val qs = results.collect { case (k, v, None) =>
