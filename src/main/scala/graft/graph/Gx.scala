@@ -214,11 +214,30 @@ object Gx {
     * h-index of its neighbors' round-(k−1) values; the fixpoint is the
     * core number. Exactly [[Metrics.coreNumbers]]'s update rule
     * (spec-asserted equal) but on the cached, co-partitioned GraphX
-    * edges: per round ONE aggregateMessages (value arrays merged by
-    * concat — total message volume 2·|E| ints) + one vertex join from
-    * the BASE graph (never chained views), instead of the DataFrame
-    * twin's per-round Catalyst planning + shuffle + checkpoint. The
-    * h-index is a counting pass, O(deg) per vertex, no sort.
+    * edges: per round ONE aggregateMessages + one vertex join from the
+    * BASE graph (never chained views), instead of the DataFrame twin's
+    * per-round Catalyst planning + shuffle + checkpoint.
+    *
+    * MESSAGE SHAPE — bounded, hub-safe. A per-edge message is the
+    * 2-int scalar [min(senderValue, c), c] where c is the RECEIVER's
+    * current value; the merge upgrades the first scalar into a clamped
+    * count vector of width c+2 ([-1, cnt₀..cnt_c]) and folds every
+    * further scalar in as +1 at its clamped slot (elementwise sum when
+    * both sides are vectors). The h-index over values clamped at c
+    * equals min(rawH, c) = rawH (the update is pointwise monotone
+    * non-increasing from the init), so clamping changes nothing. Per
+    * edge this allocates 2 ints — NOT the neighbor-value multiset —
+    * and a vertex accumulates ONE width-(c+2) vector per partition
+    * touching it, so a 10⁶-degree hub costs O(parts × c), not
+    * O(deg²) merge churn on a multi-MB concat array.
+    *
+    * INIT CAP: values start at min(degree, D̂) where D̂ =
+    * ⌊(√(8|E|+1)−1)/2⌋ bounds the degeneracy (a k-core forces
+    * k(k+1)/2 ≤ |E|). Coreness ≤ min(degree, D̂) pointwise, and the
+    * monotone operator converges to the same greatest fixpoint from
+    * any pointwise upper bound of it that is ≤ the degree init
+    * (sandwich: Tᵏ(core) = core ≤ Tᵏ(x₀) ≤ Tᵏ(deg) → core). The cap
+    * bounds round-1 hub vector width by O(√|E|) instead of max-degree.
     *
     * (A delta-propagating variant — refresh only stale neighbor
     * caches — was measured to trickle: asynchronous value mixing
@@ -231,23 +250,50 @@ object Gx {
       val spark = g.edges.sparkSession
       import spark.implicits._
       val xg = of(g)
-      def hIndex(vals: Array[Int]): Int = {
-        val n = vals.length
-        val cnt = new Array[Int](n + 1)
-        var i = 0
-        while (i < n) { cnt(math.min(vals(i), n)) += 1; i += 1 }
-        var h = n
-        var run = cnt(n)
-        while (h > 0 && run < h) { h -= 1; run += cnt(h) }
-        h
+      val nEdges = xg.edges.count()
+      val degCap = ((math.sqrt(8.0 * nEdges + 1.0) - 1.0) / 2.0).toInt
+      // h-index from a message in either form. Scalar [v', c]: the
+      // single-neighbor h-index is min(v', 1). Vector [-1, cnt₀..cnt_c]:
+      // largest h ≤ c with Σ_{t≥h} cnt_t ≥ h (counts are clamped at c,
+      // so the tail sum at h ≤ c equals the unclamped tail sum).
+      def hOf(m: Array[Int]): Int =
+        if (m(0) >= 0) math.min(m(0), 1)
+        else {
+          val c = m.length - 2
+          var h = c
+          var run = m(1 + c)
+          while (h > 0 && run < h) { h -= 1; run += m(1 + h) }
+          h
+        }
+      // Commutative/associative merge; mutates and returns the
+      // accumulator (arrays are created by our own sendMsg, GraphX
+      // folds them per-partition — in-place merge is safe and keeps
+      // the merge O(1) per scalar message).
+      def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+        val acc =
+          if (a(0) >= 0) {
+            val c = a(1)
+            val arr = new Array[Int](c + 2)
+            arr(0) = -1
+            arr(1 + a(0)) += 1
+            arr
+          } else a
+        if (b(0) >= 0) { acc(1 + b(0)) += 1; acc }
+        else {
+          // both expanded: same receiver, same round ⇒ same width
+          var i = 1
+          while (i < acc.length) { acc(i) += b(i); i += 1 }
+          acc
+        }
       }
-      var values: VertexRDD[Int] = xg.vertices.mapValues((_, d) => d).cache()
+      var values: VertexRDD[Int] =
+        xg.vertices.mapValues((_, d) => math.min(d, degCap)).cache()
       values.count()
       var changed = 1L
       var iter = 0
       // TWO h-index rounds per materialized job: the update is pointwise
-      // monotone non-increasing from the degree init (Lü et al.), so
-      // values unchanged across a 2-round batch ⇔ fixpoint — the batch
+      // monotone non-increasing from the capped-degree init (Lü et al.),
+      // so values unchanged across a 2-round batch ⇔ fixpoint — the batch
       // check loses nothing, and the driver pays half the job-scheduling
       // round trips of the 19-38-round fixpoint (the per-round work
       // itself is a cheap 2·|E|-int traversal).
@@ -255,24 +301,30 @@ object Gx {
       while (changed > 0 && iter < maxIter) {
         var next = values
         val views = Seq.newBuilder[XGraph[Int, Int]]
-        for (_ <- 1 to batch) {
+        val mids = Seq.newBuilder[VertexRDD[Int]]
+        for (r <- 1 to batch) {
           val vg = xg.outerJoinVertices(next)((_, _, v) => v.getOrElse(0))
           views += vg
           val msgs = vg.aggregateMessages[Array[Int]](
             ctx => {
-              ctx.sendToDst(Array(ctx.srcAttr))
-              ctx.sendToSrc(Array(ctx.dstAttr))
+              ctx.sendToDst(Array(math.min(ctx.srcAttr, ctx.dstAttr), ctx.dstAttr))
+              ctx.sendToSrc(Array(math.min(ctx.dstAttr, ctx.srcAttr), ctx.srcAttr))
             },
-            _ ++ _)
+            merge)
           next = next.leftJoin(msgs)((_, old, m) =>
-            m.map(hIndex).getOrElse(old))
+            m.map(hOf).getOrElse(old))
+          // cache the intra-batch intermediate: round r's values feed
+          // round r+1's DAG TWICE (outerJoinVertices + leftJoin parent)
+          // — uncached, the whole round-r join/aggregate re-executes.
+          next = next.cache()
+          if (r < batch) mids += next
         }
-        next = next.cache()
         val prev = values
         changed = prev.innerJoin(next)((_, a, b) => a != b)
           .filter(_._2).count()
         values = next
         prev.unpersist(blocking = false)
+        mids.result().foreach(_.unpersist(blocking = false))
         views.result().foreach(_.unpersistVertices(blocking = false))
         iter += batch
       }

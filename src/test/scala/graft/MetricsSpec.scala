@@ -90,6 +90,54 @@ class MetricsSpec extends AnyFunSuite {
     assert(smallGx == small)
   }
 
+  test("Gx coreness == peeling oracle on seeded random graphs") {
+    // Local min-degree peeling is the definitional core decomposition —
+    // independent of BOTH the h-index twins. Pins the round-7 bounded
+    // count-vector message shape to the definition.
+    def peelCoreness(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      val core = scala.collection.mutable.Map.empty[Long, Int]
+      var k = 0
+      while (adj.nonEmpty) {
+        var peeled = true
+        while (peeled) {
+          peeled = false
+          adj.keys.toSeq.foreach { v =>
+            if (adj.contains(v) && adj(v).size <= k) {
+              core(v) = k
+              adj(v).foreach(u => adj.get(u).foreach(_ -= v))
+              adj -= v
+              peeled = true
+            }
+          }
+        }
+        k += 1
+      }
+      core.toMap
+    }
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val raw = (1 to 400).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val e = raw.toDF("src", "dst")
+      val g = Graph(GraphBuilder.vertices(e), e)
+      val want = peelCoreness(raw)
+      val gx = graft.graph.Gx.coreNumbers(g)
+        .as[(Long, Long)].collect().map { case (id, c) => id -> c.toInt }.toMap
+      assert(gx == want, s"seed=$seed: ${gx.toSeq.sorted.take(5)} vs ${want.toSeq.sorted.take(5)}")
+      val df = Metrics.coreNumbers(g)
+        .as[(Long, Long)].collect().map { case (id, c) => id -> c.toInt }.toMap
+      assert(df == want, s"seed=$seed DF twin")
+    }
+  }
+
   test("kTruss keeps a clique, drops pendants and weakly-attached triangles") {
     // K4 {1,2,3,4} + vertex 5 forming triangle {1,2,5} + pendant 6 on 1
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
