@@ -1274,6 +1274,17 @@ object SparkEntry {
         |  FROM customer)
         |WHERE rank_in_seg <= 3
         |ORDER BY c_mktsegment, rank_in_seg""".stripMargin,
+    // within_tolerance is computed Spark-side from the live HLL sketch
+    // vs the exact count; the oracle pins it TRUE — an out-of-tolerance
+    // estimate therefore hash-mismatches (the sketch stays gated).
+    "q_approx_distinct_users" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events,
+        |  TRUE AS within_tolerance
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,

