@@ -34,6 +34,20 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Key for the per-dir memo caches (GraphBuilder, louvain phase-1,
+    * LSH pairs, IVF index): binds the entry to the SESSION that built
+    * it, not just the path. A dir-only key served stale frames when a
+    * long-lived JVM saw the dir's data regenerated and read it through
+    * a fresh session (this environment's driver does exactly that
+    * between rounds) — sessionUUID is unique per SparkSession instance,
+    * so a new session always rebuilds. */
+  def sessionKey(spark: SparkSession, dir: String): String =
+    // object identity, not sessionUUID (private[sql] in Spark 4): unique
+    // per LIVE session, and every cache entry strongly references its
+    // session through the persisted DataFrame, so a key can't be
+    // re-issued to a new session while its entry is still served
+    System.identityHashCode(spark).toString + ":" + dir
 }
 
 /** Typed access to the driver-generated test tables (TESTDATA.md).

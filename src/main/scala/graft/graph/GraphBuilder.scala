@@ -66,11 +66,12 @@ object GraphBuilder {
       .union(edges.select(col("dst").as("id")))
       .distinct()
 
-  // One persisted graph per (session, dir): Bench runs every graph query
-  // in one JVM, and re-deriving + re-persisting the edge set per query
-  // would measure the derivation join five times instead of the
-  // algorithms. Persist is idempotent per dir; tiny footprint (two longs
-  // per edge).
+  // One persisted graph per (session, dir) — keyed via
+  // GraftSession.sessionKey, so a fresh session over a regenerated dir
+  // rebuilds instead of serving the old session's frame. Bench runs
+  // every graph query in one JVM, and re-deriving + re-persisting the
+  // edge set per query would measure the derivation join five times
+  // instead of the algorithms. Tiny footprint (two longs per edge).
   private val cache = TrieMap.empty[String, Graph]
 
   // weighted edges subsume the unweighted canonical set (same single
@@ -78,11 +79,11 @@ object GraphBuilder {
   private val weightedCache = TrieMap.empty[String, DataFrame]
 
   def weightedEdges(spark: SparkSession, dir: String): DataFrame =
-    weightedCache.getOrElseUpdate(dir,
+    weightedCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
       coPurchaseWeightedEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
 
   def coPurchase(spark: SparkSession, dir: String): Graph =
-    cache.getOrElseUpdate(dir, {
+    cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
       val e = weightedEdges(spark, dir).select("src", "dst")
       // vertices ARE the edge endpoints here (no isolates by
       // construction), so ONE degree aggregate serves both the degree

@@ -148,7 +148,7 @@ object Ann {
 
   private def ivfIndex(spark: SparkSession, dir: String,
                        cells: Int = 16): (DataFrame, DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate(s"$dir#$cells", {
+    ivfCache.getOrElseUpdate(s"${graft.GraftSession.sessionKey(spark, dir)}#$cells", {
       val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
       val centroids = kmeansCentroids(emb, cells).persist(StorageLevel.MEMORY_AND_DISK)
       centroids.count()

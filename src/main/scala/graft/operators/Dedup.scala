@@ -131,10 +131,13 @@ object Dedup {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** As [[minhashDupPairs]], memoized per `key` (e.g. the sf dir). */
+  /** As [[minhashDupPairs]], memoized per (session, `key`) — the
+    * session component keeps a long-lived JVM from serving pairs built
+    * over a previous generation of the dir's data. */
   def cachedMinhashPairs(key: String, docs: DataFrame,
                          threshold: Double): DataFrame =
-    pairCache.getOrElseUpdate(s"$key/$threshold",
+    pairCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(docs.sparkSession, key)}/$threshold",
       minhashDupPairs(docs, threshold).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Exact n-gram (unigram-shingle) Jaccard verification on the LSH
@@ -203,7 +206,8 @@ object Dedup {
     * row — everything else is trivially its own survivor. */
   def nearDupComponents(spark: SparkSession, docs: DataFrame,
                         cacheKey: String, threshold: Double = 0.8): DataFrame =
-    ccCache.getOrElseUpdate(s"$cacheKey/$threshold", {
+    ccCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, cacheKey)}/$threshold", {
       val pairs = cachedMinhashPairs(cacheKey, docs, threshold)
         .select(col("a").as("src"), col("b").as("dst"))
       // size the GraphX partitioning to the PAIR graph, not the session

@@ -16,6 +16,26 @@ class GraphSpec extends AnyFunSuite {
     Graph(GraphBuilder.vertices(e), e)
   }
 
+  test("per-dir caches are session-scoped: a new session over a regenerated dir rebuilds") {
+    // this environment's driver REGENERATES /root/testdata between
+    // rounds; a dir-only memo key would serve the old generation's
+    // persisted frame to a fresh session in a long-lived JVM.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cachegen").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val g1 = GraphBuilder.coPurchase(spark, tmp)
+    val e1 = g1.edges.count()
+    assert(e1 > 0)
+    // "driver regenerates the dir": same path, half the orders
+    li.filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val s2 = spark.newSession()
+    val g2 = GraphBuilder.coPurchase(s2, tmp)
+    assert(g2.edges.count() < e1, "fresh session must rebuild, not reuse")
+    // within one session the memo still reuses (the intended behavior)
+    assert(GraphBuilder.coPurchase(s2, tmp) eq g2)
+  }
+
   test("degrees on known graph") {
     val d = k4.degrees.as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 4, 5L -> 1, 6L -> 1, 7L -> 1))
