@@ -95,11 +95,19 @@ object Gx {
   /** Convergence-mode PageRank — the GraphFrames `pageRank(tol = …)`
     * signature next to the fixed-iteration twin: iterate the identical
     * update rule until max |Δrank| < tol, hard-capped at `maxIter` so a
-    * pathological graph can't loop forever. The per-round convergence
-    * check is a co-partitioned VertexRDD innerJoin (old vs new ranks) —
-    * no extra shuffle, it rides the same cached partitions as the rank
-    * update; the max is a double-max fold, safe to merge in any order
-    * (unlike a float SUM, max is associative-commutative exactly). */
+    * pathological graph can't loop forever. The convergence check is a
+    * co-partitioned VertexRDD innerJoin (old vs new ranks) — no extra
+    * shuffle, it rides the same cached partitions as the rank update;
+    * the max is a double-max fold, safe to merge in any order (unlike a
+    * float SUM, max is associative-commutative exactly).
+    *
+    * The check runs every 3 supersteps, not every one: delta < tol at
+    * any multiple-of-3 round means the result is AT LEAST as converged
+    * as the per-round stop (at most 2 extra update rounds), and the
+    * unchecked rounds schedule NO job at all — their cached lineage
+    * materializes inside the check round's single job — so a
+    * tight-tolerance run pays one driver round trip per 3 supersteps
+    * instead of 3. The maxIter cap still forces a final check. */
   def pageRankTol(g: Graph, tol: Double = 1e-4, maxIter: Int = 100,
                   damping: Double = 0.85): DataFrame = {
     val spark = g.edges.sparkSession
@@ -110,6 +118,8 @@ object Gx {
     rg.vertices.count()
     var it = 0
     var delta = Double.MaxValue
+    val checkEvery = 3
+    val pending = scala.collection.mutable.ArrayBuffer.empty[XGraph[(Int, Double), Int]]
     while (it < maxIter && delta >= tol) {
       it += 1
       val msgs = rg.aggregateMessages[Double](
@@ -121,11 +131,20 @@ object Gx {
       val prev = rg
       rg = xg.outerJoinVertices(msgs)((_, d, m) =>
         (d, (1.0 - damping) + damping * m.getOrElse(0.0))).cache()
-      delta = rg.vertices
-        .innerJoin(prev.vertices)((_, a, b) => math.abs(a._2 - b._2))
-        .values.fold(0.0)(math.max)
-      prev.unpersistVertices(blocking = false)
+      if (it % checkEvery == 0 || it == maxIter) {
+        delta = rg.vertices
+          .innerJoin(prev.vertices)((_, a, b) => math.abs(a._2 - b._2))
+          .values.fold(0.0)(math.max)
+        pending.foreach(_.unpersistVertices(blocking = false))
+        pending.clear()
+        prev.unpersistVertices(blocking = false)
+      } else {
+        // no action this round: keep prev cached until the lineage is
+        // materialized by the next check, then release the window
+        pending += prev
+      }
     }
+    pending.foreach(_.unpersistVertices(blocking = false))
     rg.vertices.map { case (id, (_, r)) => (id, r) }
       .toDF("id", "rank")
       .select(col("id"), round(col("rank"), 6).as("pagerank"))
