@@ -49,7 +49,8 @@ object Gx {
     // unchanged: 100 TB-derived graphs get thousands of partitions.
     val nEdges = g.edges.count()
     val parts = math.max(2L, nEdges / 250000L + 1L).toInt
-    val ed = g.edges.as[(Long, Long)].rdd
+    // project: Graph.edges may carry attribute columns (motif binding)
+    val ed = g.edges.select("src", "dst").as[(Long, Long)].rdd
       .map { case (s, d) => Edge(s, d, 1) }
     val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
     val raw = XGraph.fromEdges(sized, 0,
@@ -684,6 +685,52 @@ object Gx {
           map_from_entries(array().cast("array<struct<landmark:bigint,dist:int>>")))
           .as("distances"))
   }
+
+  /** EXACT all-source hop distances — the opt-in engine behind
+    * [[exactEccentricities]] / [[exactCloseness]] / [[exactDiameter]].
+    * nx.diameter and nx.closeness_centrality (ref main.py:151/:154) are
+    * exact; the landmark estimates stay the library DEFAULT (the right
+    * 100 TB choice), and this is the traversal family's exact opt-in,
+    * mirroring [[GxBetweenness.exact]] next to the sampled default.
+    *
+    * Sources run in `batchSize`-wide slices of the one array-state
+    * Pregel ([[multiSourceBfs]]): per slice the vertex state is a
+    * batch-wide Int array, so memory is O(n·batch), never O(n²); total
+    * work is O(n/batch) quiescent Pregel runs = O(n·|E|) — the
+    * irreducible cost of exactness, which is WHY it is opt-in. The only
+    * driver-side materialization is the vertex-id list (8 bytes/vertex,
+    * same order as the estimators' landmark collect). */
+  def exactAllDistances(g: Graph, batchSize: Int = 512): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val ids = g.vertices.select("id").orderBy("id").as[Long].collect()
+    ids.grouped(batchSize)
+      .map(b => multiSourceBfs(g, b.toSeq))
+      .reduce(_ union _)
+  }
+
+  /** Exact per-vertex eccentricity (nx.eccentricity within each
+    * connected component: max hop distance over REACHABLE vertices;
+    * isolates get 0). */
+  def exactEccentricities(g: Graph, batchSize: Int = 512): DataFrame =
+    exactAllDistances(g, batchSize)
+      .groupBy(col("v").as("id"))
+      .agg(max("dist").cast("long").as("eccentricity"))
+
+  /** Exact diameter = max eccentricity (per-component max for
+    * disconnected graphs — nx.diameter raises there; on a connected
+    * graph this IS nx.diameter, ref main.py:151). One row. */
+  def exactDiameter(g: Graph, batchSize: Int = 512): DataFrame =
+    exactEccentricities(g, batchSize)
+      .agg(max("eccentricity").as("diameter"))
+
+  /** Exact closeness — [[Iterative.closenessFrom]]'s formula
+    * ((reachable−1)/Σdist) fed the FULL distance table instead of
+    * landmark rows, making it exactly nx.closeness_centrality
+    * (wf_improved=False) on each component; isolates carry no row,
+    * matching the landmark twin. */
+  def exactCloseness(g: Graph, batchSize: Int = 512): DataFrame =
+    Iterative.closenessFrom(exactAllDistances(g, batchSize))
 
   /** Synchronous label propagation, exact [[Iterative.labelPropagation]]
     * semantics: labels start as vertex ids; each round every vertex

@@ -132,6 +132,59 @@ class GxSpec extends AnyFunSuite {
     assert(ours == dfImpl)
   }
 
+  test("exact eccentricities/diameter/closeness == brute-force BFS") {
+    // local queue-BFS oracle over an adjacency map
+    def bfsFrom(adj: Map[Long, Seq[Long]], s: Long): Map[Long, Int] = {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        adj.getOrElse(u, Nil).foreach { v =>
+          if (!dist.contains(v)) { dist(v) = dist(u) + 1; q.enqueue(v) }
+        }
+      }
+      dist.toMap
+    }
+    def check(edges: Seq[(Long, Long)], batchSize: Int): Unit = {
+      val e = edges.toDF("src", "dst")
+      val gg = Graph(GraphBuilder.vertices(e), e)
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2) }
+      val ids = adj.keys.toSeq
+      val all = ids.map(s => s -> bfsFrom(adj, s)).toMap
+      val wantEcc = ids.map(s => s -> all(s).values.max.toLong).toMap
+      val gotEcc = Gx.exactEccentricities(gg, batchSize)
+        .as[(Long, Long)].collect().toMap
+      assert(gotEcc == wantEcc, s"ecc mismatch (batch=$batchSize)")
+      val wantDiam = wantEcc.values.max
+      assert(Gx.exactDiameter(gg, batchSize).head().getLong(0) == wantDiam)
+      val gotClose = Gx.exactCloseness(gg, batchSize)
+        .as[(Long, Double)].collect().toMap
+      ids.filter(s => all(s).size > 1).foreach { s =>
+        val sum = all(s).values.sum
+        val want = (all(s).size - 1).toDouble / sum
+        assert(math.abs(gotClose(s) - want) < 1e-5,
+          s"closeness($s): ${gotClose(s)} vs $want")
+      }
+    }
+    // K4 (ecc all 1), path P5 (ecc 4,3,2,3,4), star (center 1, leaves 2),
+    // plus a disconnected pair — batch width 2 exercises the slicing
+    check(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), 2)
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 2)
+    check(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L)), 3)
+    // the real sf0.001 co-purchase graph against the same local oracle
+    val realEdges = g.edges.as[(Long, Long)].collect().toSeq
+    check(realEdges, 512)
+    // and the landmark estimate is a lower bound of the exact diameter
+    val est = Gx.diameterEstimate(g).head().getInt(0)
+    val exact = {
+      val e = realEdges.toDF("src", "dst")
+      val gg = Graph(GraphBuilder.vertices(e), e)
+      Gx.exactDiameter(gg).head().getLong(0)
+    }
+    assert(est <= exact, s"double-sweep $est must lower-bound exact $exact")
+  }
+
   test("Gx diameter estimate == DataFrame double sweep") {
     val ours = Gx.diameterEstimate(g).head().getInt(0)
     val dfImpl = Iterative.diameterEstimate(g).head().getInt(0)
