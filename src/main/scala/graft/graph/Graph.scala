@@ -10,10 +10,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Conventions:
   *   - `vertices`: column `id` (long) plus optional attributes.
-  *   - `edges`: columns `src`, `dst` (long). For undirected graphs edges
-  *     are stored CANONICALLY (src < dst, deduplicated) — algorithms that
-  *     need both directions symmetrize on the fly, which is a map-side
-  *     union, never a shuffle.
+  *   - `edges`: columns `src`, `dst` (long), plus OPTIONAL attribute
+  *     columns (e.g. `weight`) — motif `find` binds them into the edge
+  *     struct, GraphFrames-style; every algorithm projects `src`/`dst`
+  *     before use, so attributes never widen an algorithm's shuffle.
+  *     For undirected graphs edges are stored CANONICALLY (src < dst,
+  *     deduplicated) — algorithms that need both directions symmetrize
+  *     on the fly, which is a map-side union, never a shuffle.
   *
   * Nothing here ever collects the graph to the driver: the reference
   * pulls edges into NetworkX (main.py:122) for every metric, which caps

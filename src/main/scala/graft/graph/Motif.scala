@@ -64,9 +64,13 @@ object Motif {
   }
 
   /** Run the pattern against `g`; see object doc for grammar and
-    * output shape. Named edges bind `struct(src, dst)`. */
+    * output shape. A named edge binds the graph's OWN edge row —
+    * `struct(src, dst, attr…)` when `g.edges` carries attribute
+    * columns (GraphFrames' API shape: `find(g, "(a)-[e]->(b)")
+    * .filter("e.weight > 2")` needs no separate edge table), plain
+    * `struct(src, dst)` otherwise. */
   def find(g: Graph, pattern: String): DataFrame =
-    findImpl(g.vertices, g.symmetrized, Nil, pattern)
+    find(g, pattern, g.edges)
 
   /** GraphFrames-parity `find` over an ATTRIBUTED edge relation:
     * `attributedEdges` is the canonical one-row-per-undirected-edge

@@ -84,6 +84,30 @@ class MotifSpec extends AnyFunSuite {
     assert(n == want)
   }
 
+  test("a Graph carrying attributed edges binds them through 2-arg find") {
+    // GraphFrames' actual API shape: the graph OWNS its edge attributes;
+    // find(g, pattern) binds the full struct with no separate edge table
+    val we = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 3L), (3L, 4L, 2L))
+      .toDF("src", "dst", "weight")
+    val ag = Graph(GraphBuilder.vertices(we.select("src", "dst")), we)
+    val r = Motif.find(ag, "(a)-[e]->(b)")
+    assert(r.schema("e").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("src", "dst", "weight"))
+    val heavy = r.filter("e.weight > 2")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(heavy == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    // the same attributed Graph still runs plain algorithms (projection
+    // guards: GraphX build, degrees, triangles ignore the attr column)
+    assert(ag.degrees.count() == 4)
+    assert(graft.graph.Gx.connectedComponents(ag)
+      .select("component").distinct().count() == 1)
+    // attribute-free graphs keep the plain (src, dst) struct
+    val plain = Motif.find(tiny, "(a)-[e]->(b)")
+    assert(plain.schema("e").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("src", "dst"))
+  }
+
   test("anonymous vertices bind nothing and emit no columns") {
     val r = Motif.find(tiny, "()-[]->(b)")
     assert(r.columns.toSeq == Seq("b"))
