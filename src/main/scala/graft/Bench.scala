@@ -11,6 +11,34 @@ object Bench {
     // alphabetically-first query (no data is touched or cached here)
     spark.range(1000).selectExpr("sum(id)")
       .write.format("noop").mode("overwrite").save()
+    // Attribute the memoized shared caches EXPLICITLY: several query
+    // lines are thin readers over expensive session caches, and without
+    // attribution the alphabetically-first consumer absorbs the whole
+    // build (g_adamic_adar read as 20 s in round 6 when ~2/3 was the
+    // shared triangle-stream build). The builds run here, timed per
+    // cache, and still count toward `value` — they are real work the
+    // suite pays exactly once.
+    val sharedBuilds: Seq[(String, () => Unit)] = {
+      import graft.graph.{GraphBuilder, GraphQueries}
+      import graft.operators.Dedup
+      def g = GraphBuilder.coPurchase(spark, sfDir)
+      def docs = Tables(spark, sfDir).documents
+      Seq(
+        "co_purchase_graph" -> (() => { g.degrees.count(); () }),
+        "edge_common_stats" -> (() => { g.edgeCommonStats.count(); () }),
+        "lpa_communities" -> (() => { GraphBuilder.communities(spark, g).count(); () }),
+        "louvain_phase1" -> (() => { GraphQueries.louvainPhase1(spark, sfDir).count(); () }),
+        "lsh_pairs" -> (() => { Dedup.cachedMinhashPairs(sfDir, docs, 0.8).count(); () }),
+        "lsh_components" -> (() => { Dedup.nearDupComponents(spark, docs, sfDir, 0.8).count(); () })
+      )
+    }
+    val builds = sharedBuilds.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      val err = try { f(); None } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
     // deterministic order (not Map hash order) so per-query timings are
     // comparable across rounds
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -39,12 +67,20 @@ object Bench {
     val qs = results.collect { case (k, v, None) =>
       s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => (k, e) }
+    val failed = results.collect { case (k, _, Some(e)) => (k, e) } ++
+      builds.collect { case (k, _, Some(e)) => (s"build:$k", e) }
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val sb = builds.collect { case (k, v, None) =>
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val buildTotal = builds.collect { case (_, v, None) => v }.sum
+    // `value` = builds + queries: the same wall-clock work the suite
+    // always paid, now split so shared-cache cost reads separately
+    val total = results.collect { case (_, v, None) => v }.sum + buildTotal
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""shared_build":$sb,"shared_build_sec":$buildTotal,""" +
         s""""failures":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     if (failed.nonEmpty) {

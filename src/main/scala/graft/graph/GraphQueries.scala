@@ -277,7 +277,7 @@ object GraphQueries {
   // SAME phase-1 labeling — memoize one move loop per dir for both
   private val louvainP1Cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def louvainPhase1(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def louvainPhase1(spark: SparkSession, dir: String): DataFrame =
     louvainP1Cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
       val l = Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
