@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * generated code stays inside whole-stage codegen.
   *
   * PRECONDITION: both inputs ascending-sorted (the adjacency builder
-  * uses sort_array). Output is ascending — a superset of the guarantees
-  * consumers rely on (they count, explode into aggregates, or
-  * set-compare).
+  * uses sort_array). Duplicate elements follow `array_intersect` set
+  * semantics: equal runs are skipped, so each common value appears once
+  * in the output regardless of input multiplicity. Output is ascending —
+  * a superset of the guarantees consumers rely on (they count, explode
+  * into aggregates, or set-compare).
   */
 case class SortedLongIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -68,7 +70,13 @@ object SortedLongIntersect {
       val b = y.getLong(j)
       if (a < b) i += 1
       else if (a > b) j += 1
-      else { out(k) = a; k += 1; i += 1; j += 1 }
+      else {
+        out(k) = a; k += 1
+        // Set semantics (match array_intersect): skip the full equal run
+        // on both sides so duplicated inputs never emit duplicates.
+        do i += 1 while (i < n && x.getLong(i) == a)
+        do j += 1 while (j < m && y.getLong(j) == a)
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(
       if (k == out.length) out else java.util.Arrays.copyOf(out, k))

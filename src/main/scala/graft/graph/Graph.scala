@@ -49,9 +49,9 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     precomputedDegrees.getOrElse {
       val d = symmetrized.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("degree"))
-      vertices.select("id").join(d, Seq("id"), "left")
-        .na.fill(0L, Seq("degree"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.Materialize.table(
+        vertices.select("id").join(d, Seq("id"), "left")
+          .na.fill(0L, Seq("degree")))
     }
 
   /** Cached vertex count (drives broadcast decisions). */
@@ -60,7 +60,14 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
   /** Degree distribution: degree → number of vertices, plus the
     * normalized fraction pk = n_vertices / |V| the reference plots
     * (ref: nx.degree_histogram / main.py:132-135). |V| comes from the
-    * cached [[vertexCount]] — a scalar, not a second aggregate. */
+    * cached [[vertexCount]] — a scalar, not a second aggregate.
+    *
+    * Denominator choice: pk divides by |V| INCLUDING isolated vertices
+    * (which appear here as a degree-0 row via the [[degrees]] left
+    * join), matching nx.degree_histogram, where fractions over the
+    * histogram sum to 1 across all nodes. An edges-only degree table
+    * (the SQL-oracle shape) would silently shrink the denominator on
+    * graphs with isolates — pinned by GraphSpec. */
   def degreeHistogram: DataFrame = {
     val n = vertexCount.toDouble
     degrees.groupBy("degree").agg(count(lit(1)).as("n_vertices"))
@@ -105,9 +112,9 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * adjacency table — one build serves all three instead of three
     * |E|-shuffles. */
   @transient lazy val collectNeighborIds: DataFrame =
-    symmetrized.groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbor_ids"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Materialize.table(
+      symmetrized.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst"))).as("neighbor_ids")))
 
   /** Per-EDGE triangle (common-neighbor) counts: for each canonical
     * edge, the number of triangles it participates in = |N(u) ∩ N(v)|.
@@ -149,13 +156,11 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
       .union(leg("a", "w", "b"))
       .union(leg("b", "w", "a"))
     val deg = if (vertexCount <= 500000) broadcast(degrees) else degrees
-    val stats = contribs
+    graft.Materialize.table(contribs
       .join(deg.withColumnRenamed("id", "third"), "third")
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("common"),
-        sum(lit(1.0) / log(col("degree"))).as("aa_sum"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    stats
+        sum(lit(1.0) / log(col("degree"))).as("aa_sum")))
   }
 
   /** Oriented edges with their higher-neighborhood intersections —
@@ -168,14 +173,13 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     val e = edges.select("src", "dst")
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
-    val oriented = e.select(
+    val oriented = graft.Materialize.table(e.select(
       when(col("sdeg") < col("ddeg") ||
            (col("sdeg") === col("ddeg") && col("src") < col("dst")),
         struct(col("src").as("lo"), col("dst").as("hi")))
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
         .as("e"))
-      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi")))
     // ascending-sorted adjacency: the intersection below is a native
     // sorted-merge expression (two primitive cursors), which needs —
     // and downstream determinism benefits from — sorted arrays
@@ -188,13 +192,12 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     // through two joins. For vertex sets beyond that, fall back to the
     // co-partitioned shuffle join.
     val adjHi = if (vertexCount <= 500000) broadcast(adjHiBase) else adjHiBase
-    oriented
+    graft.Materialize.table(oriented
       .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
       .select(col("lo"), col("hi"),
         graft.functions.SortedLongIntersect.sortedIntersect(col("nu"),
-          coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common")))
   }
 
   /** Full triangle enumeration (lo, hi, w): every triangle once, from

@@ -536,25 +536,39 @@ object Iterative {
     // shuffle joins — the scale-safe path.
     // tighter than the Louvain/MST gates: frontier/pick rows carry the
     // used-color (and, joined, adjacency) ARRAYS, so rows are max-degree
-    // wide, not a couple of longs — 50k wide rows keeps the broadcast
-    // tens of MB even on a hub-heavy graph
+    // wide, not a couple of longs. Row count alone is NOT a size bound
+    // on a hub-heavy graph (50k hubs × 10⁶-long arrays = GBs), so the
+    // gate is a byte estimate: the same job that counts the frontier
+    // also sums its adjacency elements (used ⊆ nbrs and newUsed totals
+    // ≤ Σ deg(winners) ≤ that sum, so one measurement upper-bounds every
+    // wide broadcast this round and the frontier of the next).
     var prevNp = Long.MaxValue
+    var prevEstBytes = Long.MaxValue
     val bcLimit = 50000L
+    val bcBytes = 64L << 20
     while (r < rounds && !done) {
       r += 1
       val frontier0 = st.filter(col("color").isNull)
-      val frontier = if (prevNp <= bcLimit) broadcast(frontier0) else frontier0
+      val frontier =
+        if (prevNp <= bcLimit && prevEstBytes <= bcBytes) broadcast(frontier0)
+        else frontier0
       val picks = frontier
         .join(adj, "id")
         .select(col("id"), col("nbrs"), jpPriority(col("id")).as("h"),
           kthAbsent(col("used"), col("rk")).as("pick"))
         .cache()
-      val np = picks.count()
+      val stats = picks
+        .agg(count(lit(1L)), coalesce(sum(size(col("nbrs"))), lit(0L)))
+        .head()
+      val np = stats.getLong(0)
+      // 8 B/element + ~32 B/row of fixed columns and row overhead
+      val estBytes = stats.getLong(1) * 8L + np * 32L
       prevNp = np
+      prevEstBytes = estBytes
       if (np == 0L) { done = true; picks.unpersist() }
       else {
         val bc: DataFrame => DataFrame =
-          if (np <= bcLimit) broadcast(_) else identity
+          if (np <= bcLimit && estBytes <= bcBytes) broadcast(_) else identity
         // conflict messages: each pick announces (sender, pick) to its
         // neighbors; a vertex loses to any same-pick higher-pri sender.
         // No distinct on losers — the anti-join is duplicate-insensitive

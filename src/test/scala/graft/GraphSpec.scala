@@ -36,6 +36,18 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphBuilder.coPurchase(s2, tmp) eq g2)
   }
 
+  test("degreeHistogram pk divides by |V| including isolates (nx semantics)") {
+    // triangle on {1,2,3} plus isolated vertices 4,5: nx.degree_histogram
+    // fractions use all 5 nodes, so pk(0)=0.4 and pk(2)=0.6 — an
+    // edges-only denominator (3) would report pk(2)=1.0.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val h = Graph(v, e).degreeHistogram
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(h == List((0L, 2L, 0.4), (2L, 3L, 0.6)))
+    assert(math.abs(h.map(_._3).sum - 1.0) < 1e-9, "pk must sum to 1 over |V|")
+  }
+
   test("degrees on known graph") {
     val d = k4.degrees.as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 4, 5L -> 1, 6L -> 1, 7L -> 1))

@@ -58,6 +58,31 @@ class PropertySpec extends AnyFunSuite {
         .sortedIntersect($"a", $"b")).as[Seq[Long]].head().isEmpty)
   }
 
+  test("sortedIntersect keeps set semantics on duplicated inputs") {
+    // Sorted-with-repeats generator: array_intersect dedupes, and so
+    // must the merge (skip equal runs), even when a value repeats on
+    // one or both sides.
+    val dupGen = Gen.zip(
+      Gen.listOf(Gen.choose(0L, 12L)).map(_.sorted),
+      Gen.listOf(Gen.choose(0L, 12L)).map(_.sorted))
+    forAllN(dupGen, n = 12) { case (xs, ys) =>
+      val got = Seq((xs, ys)).toDF("a", "b")
+        .select(graft.functions.SortedLongIntersect
+          .sortedIntersect($"a", $"b").as("i"))
+        .as[Seq[Long]].head()
+      val want = Seq((xs, ys)).toDF("a", "b")
+        .select(array_sort(array_intersect($"a", $"b")).as("i"))
+        .as[Seq[Long]].head()
+      assert(got == want, s"xs=$xs ys=$ys")
+      assert(got == got.distinct, "output must be duplicate-free")
+    }
+    // pinned case: multiplicity min(2,3) must still emit once
+    assert(Seq((Seq(1L, 1L, 2L, 2L, 2L), Seq(2L, 2L, 2L, 3L)))
+      .toDF("a", "b")
+      .select(graft.functions.SortedLongIntersect
+        .sortedIntersect($"a", $"b")).as[Seq[Long]].head() == Seq(2L))
+  }
+
   test("minhash equal-fraction is exactly 1 iff shingle sets are equal") {
     forAllN(Gen.zip(docGen, docGen)) { case (d1, d2) =>
       val est = Seq((d1, d2)).toDF("a", "b")
