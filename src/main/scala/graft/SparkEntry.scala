@@ -164,6 +164,8 @@ object SparkEntry {
     "g_coloring" -> (GraphQueries.coloring _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "d_word_entropy" -> (TextAnalysis.wordEntropy _),
+    "d_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "d_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "g_knn_by_degree" -> (GraphQueries.knnByDegree _),
     "g_edge_arrival" -> (GraphQueries.edgeArrival _),
     "d_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
@@ -1646,6 +1648,43 @@ object SparkEntry {
         |  round(o.types / CAST(o.tot AS DOUBLE), 6) AS ttr
         |FROM ent e JOIN tot o ON o.doc_id = e.doc_id
         |ORDER BY e.doc_id""".stripMargin,
+    // patterns are RE2-compatible copies of TextAnalysis.EmailRe/Ipv4Re/
+    // PhoneRe; scrub order email → ip → phone matches the operator
+    "d_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT token, count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY token
+        |  ORDER BY freq DESC, token ASC LIMIT 100),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+        |    freq
+        |  FROM f),
+        |p AS (
+        |  SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(freq) * 1000000) AS BIGINT) AS y
+        |  FROM r)
+        |SELECT count(*) AS n_tokens,
+        |  round(
+        |    CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+        |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE),
+        |    6) AS zipf_slope
+        |FROM p""".stripMargin,
     "e_random_projection" ->
       """WITH ve AS (
         |  SELECT vec_id, j,

@@ -412,4 +412,70 @@ object TextAnalysis {
         "doc_id")
       .orderBy("doc_id")
   }
+
+  // PII patterns, deliberately RE2-compatible (no backrefs/lookaround)
+  // so the DuckDB oracle replays them verbatim. Kept in one place: the
+  // scrub order (email → ip → phone) is part of the operator contract.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private[graft] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before tokenization: regex-redact emails, IPv4 addresses and
+    * NANP-style phone numbers, counting per-category hits on the
+    * ORIGINAL text. Row-local codegen'd regexp projections — single
+    * scan, no shuffle, embarrassingly parallel at 100 TB. Redaction
+    * order email → ip → phone is fixed (a category's replacement token
+    * is never re-matched by a later pattern). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables(spark, dir).documents)
+
+  def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+
+  /** Zipf-slope lexical statistic: fit ln(freq) ~ ln(rank) over the
+    * top-`k` corpus token frequencies by least squares — natural text
+    * sits near slope −1; synthetic/templated corpora flatten. The
+    * health check curation stacks run on a corpus before training.
+    *
+    * Scale shape: ONE map-side-combined token count (vocabulary-sized
+    * output, never corpus-sized), a top-k sort-limit on that small
+    * aggregate, then a k-row regression. Determinism: ranks tie-break
+    * by token; each ln() is quantized to 1e-6 micro-units and the
+    * slope is computed from exact integer sums (order-free), so the
+    * 6-dp result reproduces in any engine. */
+  def zipfSlope(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val freqs = Tables(spark, dir).documents
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+    val pts = freqs
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    pts.agg(
+      count(lit(1)).as("n_tokens"),
+      round(
+        ((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y"))
+          .cast("double") /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x"))
+            .cast("double")), 6).as("zipf_slope"))
+  }
 }

@@ -28,6 +28,54 @@ class TextSpec extends AnyFunSuite {
     assert(en > r.count() / 2, "most docs should score as English")
   }
 
+  test("piiScrub redacts emails, IPs and phones and counts each on crafted docs") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+spam@example.co.uk or bob@x.io today"),
+      (2L, "server 10.0.255.3 and 192.168.1.1 went down"),
+      (3L, "call 555-123-4567 or 555.987.6543 now"),
+      (4L, "clean document with no pii at all"),
+      (5L, "mixed: a@b.com from 127.0.0.1 dialed 800-555-0199"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrubOf(docs)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((2, 0, 0,
+      "mail me at <EMAIL> or <EMAIL> today")))
+    assert(r(2L) == ((0, 2, 0, "server <IP> and <IP> went down")))
+    assert(r(3L) == ((0, 0, 2, "call <PHONE> or <PHONE> now")))
+    assert(r(4L) == ((0, 0, 0, "clean document with no pii at all")))
+    assert(r(5L) == ((1, 1, 1, "mixed: <EMAIL> from <IP> dialed <PHONE>")))
+    // the synthetic corpus is PII-free: the operator must be a no-op on it
+    val corpus = TextAnalysis.piiScrub(spark, sf).cache()
+    assert(corpus.filter($"n_emails" + $"n_ips" + $"n_phones" =!= 0).count() == 0)
+    assert(corpus.count() > 0)
+    corpus.unpersist()
+  }
+
+  test("zipfSlope is negative and matches a hand regression on the top tokens") {
+    val Seq((n, slope)) = TextAnalysis.zipfSlope(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(n > 10 && n <= 100)
+    assert(slope < 0.0, s"token frequencies must decay with rank, got $slope")
+    // hand-replay: same micro-unit regression over the same top-k
+    val freqs = Tables(spark, sf).documents
+      .select(explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token".asc).limit(100)
+      .as[(String, Long)].collect()
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(f.toDouble) * 1e6))
+    }
+    val k = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = BigDecimal((k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope == want)
+  }
+
   test("fingerprints are deterministic and subset-stable") {
     val a = TextAnalysis.fingerprints(spark, sf).collect().toSet
     val b = TextAnalysis.fingerprints(spark, sf).collect().toSet
