@@ -52,12 +52,9 @@ object CommunitySample {
              lpaIters: Int = 5, seed: Long = 42L,
              maxCommVertices: Int = 1000000): DataFrame =
     cache.getOrElseUpdate(
-      s"${System.identityHashCode(g)}/$alpha/$lpaIters/$seed/$maxCommVertices", {
-        val s = sampleUncached(spark, g, alpha, lpaIters, seed, maxCommVertices)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        s.count()
-        s
-      })
+      s"${System.identityHashCode(g)}/$alpha/$lpaIters/$seed/$maxCommVertices",
+      graft.Materialize.table(
+        sampleUncached(spark, g, alpha, lpaIters, seed, maxCommVertices)))
 
   private def sampleUncached(spark: SparkSession, g: Graph, alpha: Double,
                              lpaIters: Int, seed: Long,

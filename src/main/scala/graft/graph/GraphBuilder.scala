@@ -1,6 +1,6 @@
 package graft.graph
 
-import graft.Tables
+import graft.{Materialize, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -80,7 +80,7 @@ object GraphBuilder {
 
   def weightedEdges(spark: SparkSession, dir: String): DataFrame =
     weightedCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
-      coPurchaseWeightedEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
+      graft.Materialize.table(coPurchaseWeightedEdges(spark, dir)))
 
   def coPurchase(spark: SparkSession, dir: String): Graph =
     cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
@@ -90,10 +90,10 @@ object GraphBuilder {
       // table and the vertex set — the generic path's union+distinct
       // vertex derivation and isolate-preserving join would be two
       // extra shuffles re-materializing the same ids
-      val deg = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("degree"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = graft.Materialize.table(
+        e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("degree")))
       Graph(deg.select("id"), e, precomputedDegrees = Some(deg))
     })
 
@@ -106,13 +106,12 @@ object GraphBuilder {
     * DataFrame implementation, without per-iteration planning cost. */
   def communities(spark: SparkSession, g: Graph, iters: Int = 5): DataFrame =
     commCache.getOrElseUpdate((System.identityHashCode(g).toString, iters), {
-      // persist + count, not localCheckpoint: keeps the AQE-optimized
-      // plan for the materialization (checkpoint takes the non-adaptive
-      // path and measured ~10x slower on the triangle pipeline)
-      val c = Iterative.normalizeLabels(Gx.labelPropagation(g, iters))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      c
+      // persist + count (inside Materialize.table), not localCheckpoint:
+      // keeps the AQE-optimized plan for the materialization (checkpoint
+      // takes the non-adaptive path and measured ~10x slower on the
+      // triangle pipeline); the flatten then caps consumer plan depth
+      Materialize.table(
+        Iterative.normalizeLabels(Gx.labelPropagation(g, iters)))
     })
 
   // Four queries (triangles, local/global clustering, transitivity)
@@ -121,11 +120,8 @@ object GraphBuilder {
 
   /** Per-vertex triangle counts of `g`, memoized + materialized. */
   def triangles(g: Graph): DataFrame =
-    triCache.getOrElseUpdate(System.identityHashCode(g).toString, {
-      val t = g.triangleVertexCounts.persist(StorageLevel.MEMORY_AND_DISK)
-      t.count()
-      t
-    })
+    triCache.getOrElseUpdate(System.identityHashCode(g).toString,
+      Materialize.table(g.triangleVertexCounts))
 
   // landmark BFS distances feed three queries (bfs, closeness, and the
   // spirit of diameter); materialize the top-8 table once — top-4 is a
@@ -137,10 +133,7 @@ object GraphBuilder {
     bfsCache.getOrElseUpdate(System.identityHashCode(g).toString + "/" + k, {
       val landmarks = Iterative.topDegreeLandmarks(g, k)
         .collect().map(_.getLong(0)).toSeq
-      val d = Gx.multiSourceBfs(g, landmarks)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      d.count()
-      d
+      Materialize.table(Gx.multiSourceBfs(g, landmarks))
     })
 
   // the double-sweep diameter estimate runs a far-vertex Pregel; both
@@ -148,9 +141,6 @@ object GraphBuilder {
   private val diamCache = TrieMap.empty[String, DataFrame]
 
   def diameter(g: Graph): DataFrame =
-    diamCache.getOrElseUpdate(System.identityHashCode(g).toString, {
-      val d = Gx.diameterEstimate(g).persist(StorageLevel.MEMORY_AND_DISK)
-      d.count()
-      d
-    })
+    diamCache.getOrElseUpdate(System.identityHashCode(g).toString,
+      Materialize.table(Gx.diameterEstimate(g)))
 }

@@ -278,12 +278,9 @@ object GraphQueries {
   private val louvainP1Cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private[graft] def louvainPhase1(spark: SparkSession, dir: String): DataFrame =
-    louvainP1Cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
-      val l = Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      l.count()
-      l
-    })
+    louvainP1Cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+      graft.Materialize.table(
+        Iterative.louvainMoves(GraphBuilder.weightedEdges(spark, dir))))
 
   def louvain(spark: SparkSession, dir: String): DataFrame =
     louvainPhase1(spark, dir).orderBy("id")

@@ -138,7 +138,7 @@ object Dedup {
                          threshold: Double): DataFrame =
     pairCache.getOrElseUpdate(
       s"${graft.GraftSession.sessionKey(docs.sparkSession, key)}/$threshold",
-      minhashDupPairs(docs, threshold).persist(StorageLevel.MEMORY_AND_DISK))
+      graft.Materialize.table(minhashDupPairs(docs, threshold)))
 
   /** Exact n-gram (unigram-shingle) Jaccard verification on the LSH
     * candidates — the verify stage of the dedup pipeline. */
@@ -219,7 +219,7 @@ object Dedup {
       val parts = math.max(2L, pairs.count() / 250000L + 1L).toInt
       val pe = pairs.repartition(parts)
       val g = graft.graph.Graph(graft.graph.GraphBuilder.vertices(pe), pe)
-      graft.graph.Gx.connectedComponents(g)
+      graft.Materialize.table(graft.graph.Gx.connectedComponents(g))
     })
 
   // ---------- substring-level dedup ----------

@@ -74,6 +74,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 0))
   }
 
+  test("memoized tables are plan LEAVES: consumers never re-walk the build lineage") {
+    // memo depth 4+ (weightedEdges → degrees → orientedCommon →
+    // edgeCommonStats → triangles) printed as a TREE makes every
+    // downstream analysis exponential in memo depth — a two-column agg
+    // over the cached triangle table measured 5-15 s of pure driver
+    // time before Materialize.table flattened each memo to a LogicalRDD
+    val g = graft.graph.GraphBuilder.coPurchase(spark, sf)
+    val tri = graft.graph.GraphBuilder.triangles(g)
+    val nNodes = tri.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nNodes <= 2, tri.queryExecution.optimizedPlan.treeString)
+    // a consumer's whole plan stays O(1): aggregate + leaf, no cache scan
+    // of a nested pipeline
+    val consumer = g.averageClustering(tri).crossJoin(g.transitivity(tri))
+    val s = consumer.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(s <= 10, consumer.queryExecution.optimizedPlan.treeString)
+  }
+
+  test("pii scrub is row-local: no exchange except the output sort, pruned scan") {
+    val df = graft.operators.TextAnalysis.piiScrub(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, plan.treeString)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s.head.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("zipf slope: token count is partially aggregated before its exchange") {
+    val plan = graft.operators.TextAnalysis.zipfSlope(spark, sf)
+      .queryExecution.executedPlan
+    // map-side combine on the vocab count: a partial_count must appear
+    // below the exchange — without it the explode output shuffles raw
+    assert(plan.treeString.contains("partial_count"), plan.treeString)
+  }
+
   test("frame sampling scan reads only doc_id and text") {
     val s = scans(graft.operators.Multimodal.frameSample(spark, sf))
     assert(s.nonEmpty)
