@@ -176,6 +176,7 @@ object SparkEntry {
     "d_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
     "d_hash_embedding" -> ((s, d) => TextAnalysis.hashEmbedding(s, d)),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
+    "e_norm_stats" -> (Ann.normStats _),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
@@ -1685,6 +1686,21 @@ object SparkEntry {
         |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE),
         |    6) AS zipf_slope
         |FROM p""".stripMargin,
+    "e_norm_stats" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)),
+        |n AS (
+        |  SELECT vec_id, any_value(label) AS label,
+        |    round(sqrt(sum(CAST(round(x * x * 1000000) AS BIGINT))
+        |      / 1000000.0), 6) AS nrm
+        |  FROM ev GROUP BY vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(sum(CAST(round(nrm * 1000000) AS BIGINT))
+        |    / (count(*) * 1000000.0), 6) AS avg_norm,
+        |  min(nrm) AS min_norm,
+        |  max(nrm) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "e_random_projection" ->
       """WITH ve AS (
         |  SELECT vec_id, j,

@@ -172,10 +172,7 @@ object Scc {
   private val cache = TrieMap.empty[String, DataFrame]
 
   def labels(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(dir, {
-      val df = stronglyConnectedComponents(lineSequenceEdges(spark, dir))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    })
+    cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+      graft.Materialize.table(
+        stronglyConnectedComponents(lineSequenceEdges(spark, dir))))
 }

@@ -413,4 +413,30 @@ object Ann {
       .agg(round(sum(col("vi") * col("s")) / 1e6, 6).as("proj"))
       .orderBy("vec_id", "k")
   }
+
+  /** Embedding-health report per label — the sanity pass a pipeline
+    * runs before trusting an embedding column (zero/exploding norms ⇒
+    * upstream encoder bug): vector count and mean/min/max L2 norm.
+    *
+    * Determinism: the squared sum accumulates 1e-6-quantized terms as
+    * exact LONGS inside one row-local `aggregate` lambda, each norm is
+    * 6-dp-rounded, and the per-label mean re-quantizes the rounded
+    * norms — no float reassociation anywhere, so any engine reproduces
+    * the digits. Scale shape: one row-local projection + one
+    * label-keyed map-side-combined aggregate; state = |labels| rows. */
+  def normStats(spark: SparkSession, dir: String): DataFrame = {
+    val ssq = aggregate(col("embedding"), lit(0L),
+      (acc, v) =>
+        acc + round(v.cast("double") * v.cast("double") * 1e6).cast("long"))
+    Tables(spark, dir).embeddings
+      .select(col("label"), round(sqrt(ssq / 1e6), 6).as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(round(col("nrm") * 1e6).cast("long")) /
+          (count(lit(1)) * 1e6), 6).as("avg_norm"),
+        min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"))
+      .orderBy("label")
+  }
 }

@@ -44,7 +44,8 @@ object Bpe {
 
   private[graft] def train(spark: SparkSession, dir: String,
                            numMerges: Int): (Seq[(Int, String, String)], Seq[(String, Int)]) =
-    cache.getOrElseUpdate(s"$dir/$numMerges", {
+    cache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, dir)}/$numMerges", {
       // distributed: count words, keep the top-VocabCap vocabulary
       val wordFreq: Array[(String, Long)] = Tables(spark, dir).documents
         .select(explode(split(col("text"), " ")).as("word"))

@@ -428,8 +428,10 @@ object TextAnalysis {
     * order email → ip → phone is fixed (a category's replacement token
     * is never re-matched by a later pattern). */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    piiScrubOf(Tables(spark, dir).documents)
+    piiScrubOf(Tables(spark, dir).documents).orderBy("doc_id")
 
+  /** Sort-free projection form — stateless, so it runs unchanged over a
+    * streaming frame (StreamingSpec) as well as the batch table. */
   def piiScrubOf(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -444,7 +446,6 @@ object TextAnalysis {
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
-      .orderBy("doc_id")
 
   /** Zipf-slope lexical statistic: fit ln(freq) ~ ln(rank) over the
     * top-`k` corpus token frequencies by least squares — natural text

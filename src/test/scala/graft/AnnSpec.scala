@@ -37,6 +37,36 @@ class AnnSpec extends AnyFunSuite {
       viaWindow.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("normStats matches a brute-force norm computation per label") {
+    val r = Ann.normStats(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(r.nonEmpty)
+    // labels distinct + counts sum to table size
+    assert(r.map(_._1).distinct.size == r.size)
+    assert(r.map(_._2).sum == Tables(spark, sf).embeddings.count())
+    // brute-force replay on the driver with the same quantization
+    val want = Tables(spark, sf).embeddings
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+      .map { case (l, e) =>
+        val ssq = e.map(v => math.round(v.toDouble * v.toDouble * 1e6)).sum
+        (l, BigDecimal(math.sqrt(ssq / 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .groupBy(_._1).map { case (l, xs) =>
+        val norms = xs.map(_._2)
+        val avg = BigDecimal(norms.map(n => math.round(n * 1e6)).sum /
+            (norms.size * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        l -> ((norms.size.toLong, avg, norms.min, norms.max))
+      }
+    r.foreach { case (l, n, avg, mn, mx) =>
+      assert(want(l) == ((n, avg, mn, mx)), s"label $l")
+    }
+    // all norms sane: strictly positive, min <= avg <= max
+    assert(r.forall { case (_, _, avg, mn, mx) =>
+      mn > 0 && mn <= avg && avg <= mx })
+  }
+
   test("knnBrute returns k ranked neighbors per query, self excluded") {
     val r = Ann.knnBrute(spark, sf, nQueries = 5, k = 8).cache()
     assert(r.count() == 40)

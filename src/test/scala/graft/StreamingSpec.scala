@@ -100,6 +100,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L), s"got $ids")
   }
 
+  test("pii scrub composes with a stream: row-local projection, append mode") {
+    // the redaction pass is a stateless projection, so the SAME operator
+    // runs unchanged over readStream (no watermark, no state store)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "contact a@b.com or 10.0.0.1"),
+      (2L, "clean text only"))
+    val q = graft.operators.TextAnalysis
+      .piiScrubOf(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pii_out")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1, 1, 0, "contact <EMAIL> or <IP>"),
+      (2L, 0, 0, 0, "clean text only")), s"got $got")
+  }
+
   test("parquet file-source stream matches the batch windowed counts") {
     // the real source plumbing: the events table (normalized by
     // Tables.normalizeEventsTs, whatever the parquet generation) consumed
