@@ -2160,6 +2160,9 @@ object SparkEntry {
         |SELECT
         |  (SELECT count(*) FROM samp) AS sample_vertices,
         |  (SELECT count(*) FROM se) AS sample_edges,
+        |  (SELECT round(CAST(sum(degree) AS DOUBLE) / count(*), 6)
+        |     FROM scc) AS sample_avg_degree,
+        |  (SELECT round(avg(degree), 6) FROM deg) AS orig_avg_degree,
         |  (SELECT round(avg(CASE WHEN degree >= 2
         |     THEN 2.0 * triangles / (degree * (degree - 1))
         |     ELSE 0.0 END), 6) FROM scc) AS sample_avg_clustering,

@@ -365,17 +365,28 @@ object GraphQueries {
           lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0))).as("sample_avg_clustering"),
         (sum("triangles") / 3).as("tri_total"),
-        sum(col("degree") * (col("degree") - 1) / 2).as("wedge_total"))
+        sum(col("degree") * (col("degree") - 1) / 2).as("wedge_total"),
+        sum("degree").as("deg_total"))
       .head()
+    // avg degree next to clustering/transitivity: the reference's
+    // sampled-vs-original comparison reports it too (main.py:213-215 /
+    // :141-144); isolated sampled vertices count with degree 0, same
+    // as the nx.degree average over all nodes
     val origRow = g.averageClustering(GraphBuilder.triangles(g))
-      .crossJoin(g.transitivity(GraphBuilder.triangles(g))).head()
+      .crossJoin(g.transitivity(GraphBuilder.triangles(g)))
+      .crossJoin(g.degrees.agg(
+        round(avg(col("degree")), 6).as("orig_avg_degree")))
+      .head()
     spark.range(1).select(
       lit(stats.getLong(0)).as("sample_vertices"),
       lit(se.count()).as("sample_edges"),
+      round(lit(stats.getLong(4).toDouble / stats.getLong(0)), 6)
+        .as("sample_avg_degree"),
       round(lit(stats.getDouble(1)), 6).as("sample_avg_clustering"),
       round(lit(if (stats.getDouble(3) > 0)
           3.0 * stats.getDouble(2) / stats.getDouble(3) else 0.0), 6)
         .as("sample_transitivity"),
+      lit(origRow.getDouble(2)).as("orig_avg_degree"),
       lit(origRow.getDouble(0)).as("orig_avg_clustering"),
       lit(origRow.getDouble(1)).as("orig_transitivity"))
   }
