@@ -27,6 +27,8 @@ object Bench {
         "co_purchase_graph" -> (() => { g.degrees.count(); () }),
         "edge_common_stats" -> (() => { g.edgeCommonStats.count(); () }),
         "lpa_communities" -> (() => { GraphBuilder.communities(spark, g).count(); () }),
+        "community_sample" -> (() =>
+          { graft.graph.CommunitySample.sample(spark, g).count(); () }),
         "louvain_phase1" -> (() => { GraphQueries.louvainPhase1(spark, sfDir).count(); () }),
         "lsh_pairs" -> (() => { Dedup.cachedMinhashPairs(sfDir, docs, 0.8).count(); () }),
         "lsh_components" -> (() => { Dedup.nearDupComponents(spark, docs, sfDir, 0.8).count(); () })
