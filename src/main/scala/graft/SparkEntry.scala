@@ -108,6 +108,7 @@ object SparkEntry {
     // transitive near-dup clusters over the LSH pair graph (GraphX CC)
     "d_dup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(s, Tables(s, d).documents, cacheKey = d)),
+    "d_dup_survivors" -> ((s, d) => Dedup.qualitySurvivors(s, d)),
     "d_substring_dups" -> ((s, d) => Dedup.substringDups(s, d)),
     "d_bpe_merges" -> ((s, d) => Bpe.bpeMerges(s, d)),
     "d_bpe_token_count" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
@@ -2464,6 +2465,47 @@ object SparkEntry {
       }.mkString +
       """SELECT lbl AS cluster, min(id) AS survivor, count(*) AS n_members
         |FROM pc16 GROUP BY lbl HAVING count(*) > 1 ORDER BY cluster""".stripMargin),
+    // quality-ranked retention: pc16 CC replay + the d_quality_score
+    // blend, survivor = row_number 1 by (quality DESC, id ASC)
+    "d_dup_survivors" -> (MinhashCte +
+      """, pe AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+        |psymp AS MATERIALIZED (
+        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+        |  UNION ALL SELECT id, id FROM pv),
+        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+      (1 to 16).map { i =>
+        s""", pc$i AS (
+           |  SELECT s.src AS id, min(n.lbl) AS lbl
+           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+           |""".stripMargin
+      }.mkString +
+      """, qmm AS (
+        |  SELECT doc_id,
+        |    length(text)::DOUBLE AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
+        |    len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 64.0, 1.0) * 0.5
+        |      + (n_alpha / n_chars) * 0.3
+        |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
+        |  FROM qmm),
+        |cl AS (SELECT lbl, count(*) AS n_members FROM pc16
+        |       GROUP BY lbl HAVING count(*) > 1),
+        |ranked AS (
+        |  SELECT p.lbl AS cluster, p.id, q.quality,
+        |    row_number() OVER (PARTITION BY p.lbl
+        |      ORDER BY q.quality DESC, p.id ASC) AS rk
+        |  FROM pc16 p JOIN qm q ON q.doc_id = p.id)
+        |SELECT r.cluster, r.id AS survivor, r.quality AS survivor_quality,
+        |  c.n_members
+        |FROM ranked r JOIN cl c ON c.lbl = r.cluster
+        |WHERE r.rk = 1 ORDER BY r.cluster""".stripMargin),
     "d_dup_cluster_sizes" -> (MinhashCte +
       """, pe AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),

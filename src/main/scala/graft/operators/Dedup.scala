@@ -184,6 +184,38 @@ object Dedup {
       .filter(col("n_members") > 1)
       .orderBy("cluster")
 
+  /** Quality-aware dedup retention: per multi-member near-dup cluster,
+    * KEEP the highest-quality member (production pipelines retain the
+    * best copy, not an arbitrary id — min-id retention throws away the
+    * cleaner duplicate whenever boilerplate got crawled first). Ranking
+    * is deterministic: the 4-dp quality blend descending, doc_id
+    * ascending on ties.
+    *
+    * Scale shape: the session-cached CC labels join the row-local
+    * quality projection on doc id (one shuffle), and the survivor pick
+    * is a cluster-partitioned window — no global sort, state bounded by
+    * cluster count. */
+  def qualitySurvivors(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val cc = nearDupComponents(spark, docs, dir, threshold)
+    val q = TextAnalysis.qualityScores(spark, dir)
+      .select(col("doc_id").as("id"), col("quality"))
+    val sized = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    cc.join(sized, "component")
+      .join(q, "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(col("quality").desc, col("id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("component").as("cluster"), col("id").as("survivor"),
+        col("quality").as("survivor_quality"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   /** Near-dup cluster SIZE distribution — the corpus-health summary a
     * dedup run reports (how much boilerplate, how big the worst groups
     * are). One tiny aggregate over the session-cached CC labels. */

@@ -76,6 +76,29 @@ class TextSpec extends AnyFunSuite {
     assert(slope == want)
   }
 
+  test("qualitySurvivors keeps the best-quality cluster member, not the min id") {
+    // near-identical pair where the LOWER id is the WORSE copy: min-id
+    // retention would keep the digit-polluted text; quality retention
+    // must keep doc 2 (stopword-rich tail → higher blend)
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base 1111 2222 3333"),
+      (2L, s"$base the of and in"),
+      (10L, "identical exact copy text right here"),
+      (11L, "identical exact copy text right here"),
+      (99L, "a lonely singleton document with no duplicate"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-surv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.Dedup.qualitySurvivors(spark, tmp)
+      .as[(Long, Long, Double, Long)].collect().toList.sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._4)) == List((1L, 2L, 2L), (10L, 10L, 2L)),
+      s"got $r")
+    // identical texts tie on quality -> min id wins deterministically
+    assert(r.find(_._1 == 10L).get._2 == 10L)
+  }
+
   test("fingerprints are deterministic and subset-stable") {
     val a = TextAnalysis.fingerprints(spark, sf).collect().toSet
     val b = TextAnalysis.fingerprints(spark, sf).collect().toSet
