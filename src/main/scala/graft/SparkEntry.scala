@@ -68,6 +68,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "d_semantic_dedup" -> ((s, d) => Ann.semanticDedup(s, d)),
     "e_centroid_assign" -> (Ann.centroidAssign _),
+    "e_cluster_entropy" -> (Ann.clusterEntropy _),
+    "e_embedding_covariance" -> (Ann.embeddingCovariance _),
+    "e_pca_power" -> (Ann.pcaPower(_, _)),
+    "g_core_sizes" -> (GraphQueries.coreSizes _),
+    "d_minhash_est_error" -> (Dedup.minhashEstError _),
+    "m_avg_hash" -> (Multimodal.avgHashBuckets _),
     "d_bigram_logprob" -> (TextAnalysis.bigramLogProb _),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
@@ -835,6 +841,87 @@ object SparkEntry {
       |  GROUP BY c.a, c.b)
       |""".stripMargin
 
+  /** Nearest-centroid assignment pipeline shared by e_centroid_assign
+    * and e_cluster_entropy: 6-dp float-pinned label centroids, cosine
+    * argmax with clabel-DESC tie-break (the max-struct convention). */
+  private val CentroidCte: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT vec_id, label, i, CAST(x AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, label, unnest(embedding) AS x,
+      |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |ce AS MATERIALIZED (
+      |  SELECT label AS clabel, i,
+      |    CAST(CAST(round(sum(CAST(round(x * 1000000) AS BIGINT))
+      |      / (count(*) * 1000000.0), 6) AS REAL) AS DOUBLE) AS c
+      |  FROM ev GROUP BY label, i),
+      |evn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+      |cn AS (SELECT clabel, sqrt(sum(c * c)) AS cnrm FROM ce GROUP BY clabel),
+      |dots AS (
+      |  SELECT e.vec_id, c.clabel, sum(e.x * c.c) AS dot
+      |  FROM ev e JOIN ce c ON c.i = e.i
+      |  GROUP BY e.vec_id, c.clabel),
+      |asg AS (
+      |  SELECT vec_id, clabel FROM (
+      |    SELECT d.vec_id, d.clabel, row_number() OVER (
+      |      PARTITION BY d.vec_id
+      |      ORDER BY d.dot / (n.nrm * cn.cnrm) DESC, d.clabel DESC) AS rn
+      |    FROM dots d
+      |    JOIN evn n ON n.vec_id = d.vec_id
+      |    JOIN cn ON cn.clabel = d.clabel)
+      |  WHERE rn = 1),
+      |tl AS (SELECT DISTINCT vec_id, label FROM ev)
+      |""".stripMargin
+
+  /** Exact-integer embedding co-moments (CoMoments' 1e-3 quantization):
+    * per-dim sums `s(i, sx, n)` and upper-triangle product sums
+    * `p(i, j, sxy)`. BIGINT sums promote to HUGEINT — exact like the
+    * aggregate's long/BigInt path. */
+  private val CovCte: String =
+    """WITH mv AS MATERIALIZED (
+      |  SELECT vec_id, i - 1 AS i,
+      |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS mx
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |s AS MATERIALIZED (
+      |  SELECT i, sum(mx) AS sx, count(*) AS n FROM mv GROUP BY i),
+      |p AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, sum(a.mx * b.mx) AS sxy
+      |  FROM mv a JOIN mv b ON b.vec_id = a.vec_id AND b.i >= a.i
+      |  GROUP BY a.i, b.i)
+      |""".stripMargin
+
+  /** Power iteration on the integer micro-covariance, unrolled: each
+    * round y = C·v is an exact HUGEINT mat-vec, the norm is √(Σy²)
+    * carried exactly until ONE double conversion, and the next vector
+    * re-quantizes y/‖y‖ at 1e-6 — the identical integer walk
+    * [[graft.operators.Ann.pcaPower]] takes (see its scaladoc). */
+  private def pcaPowerUnrolled(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s""", y$t AS (
+         |  SELECT c.i, sum(c.mc * v.vm) AS y
+         |  FROM cf c JOIN v${t - 1} v ON v.i = c.j GROUP BY c.i),
+         |n$t AS (
+         |  SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS nrm
+         |  FROM y$t),
+         |v$t AS (
+         |  SELECT i, CAST(round(CAST(y AS DOUBLE) / nrm * 1000000) AS BIGINT)
+         |    AS vm
+         |  FROM y$t, n$t)
+         |""".stripMargin
+    }.mkString
+    s""", cm AS MATERIALIZED (
+       |  SELECT p.i, p.j, CAST(round((si.n * p.sxy - si.sx * sj.sx)
+       |    / (si.n * si.n)) AS BIGINT) AS mc
+       |  FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j),
+       |cf AS MATERIALIZED (
+       |  SELECT i, j, mc FROM cm
+       |  UNION ALL SELECT j, i, mc FROM cm WHERE i <> j),
+       |v0 AS (
+       |  SELECT i, CAST(round(1000000 / sqrt(CAST(
+       |    (SELECT count(*) FROM s) AS DOUBLE))) AS BIGINT) AS vm FROM s)
+       |""".stripMargin + steps
+  }
+
   /** Oracle for the FLAGSHIP seeded community-sample walk. The Spark
     * walk draws every choice from md5("seed:community:step") (see
     * CommunitySample.portableChoice), so the whole sampler — LPA
@@ -1367,36 +1454,43 @@ object SparkEntry {
     // nearest-centroid confusion: centroids = 6-dp label means pinned
     // through REAL; argmax cosine with clabel-DESC tie-break (the
     // max-struct convention)
-    "e_centroid_assign" ->
-      """WITH ev AS MATERIALIZED (
-        |  SELECT vec_id, label, i, CAST(x AS DOUBLE) AS x FROM (
-        |    SELECT vec_id, label, unnest(embedding) AS x,
-        |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
-        |ce AS MATERIALIZED (
-        |  SELECT label AS clabel, i,
-        |    CAST(CAST(round(sum(CAST(round(x * 1000000) AS BIGINT))
-        |      / (count(*) * 1000000.0), 6) AS REAL) AS DOUBLE) AS c
-        |  FROM ev GROUP BY label, i),
-        |evn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
-        |cn AS (SELECT clabel, sqrt(sum(c * c)) AS cnrm FROM ce GROUP BY clabel),
-        |dots AS (
-        |  SELECT e.vec_id, c.clabel, sum(e.x * c.c) AS dot
-        |  FROM ev e JOIN ce c ON c.i = e.i
-        |  GROUP BY e.vec_id, c.clabel),
-        |asg AS (
-        |  SELECT vec_id, clabel FROM (
-        |    SELECT d.vec_id, d.clabel, row_number() OVER (
-        |      PARTITION BY d.vec_id
-        |      ORDER BY d.dot / (n.nrm * cn.cnrm) DESC, d.clabel DESC) AS rn
-        |    FROM dots d
-        |    JOIN evn n ON n.vec_id = d.vec_id
-        |    JOIN cn ON cn.clabel = d.clabel)
-        |  WHERE rn = 1),
-        |tl AS (SELECT DISTINCT vec_id, label FROM ev)
-        |SELECT t.label, a.clabel AS assigned_label, count(*) AS n
+    "e_centroid_assign" -> (CentroidCte +
+      """SELECT t.label, a.clabel AS assigned_label, count(*) AS n
         |FROM tl t JOIN asg a USING (vec_id)
         |GROUP BY t.label, a.clabel
-        |ORDER BY t.label, a.clabel""".stripMargin,
+        |ORDER BY t.label, a.clabel""".stripMargin),
+    // cluster balance over the same nearest-centroid assignment:
+    // entropy terms 1e-6-quantized to exact longs (the word-entropy
+    // portability move) before the order-free sum
+    "e_cluster_entropy" -> (CentroidCte +
+      """, sizes AS (SELECT clabel, count(*) AS nc FROM asg GROUP BY clabel),
+        |t AS (SELECT CAST(sum(nc) AS BIGINT) AS tot,
+        |             CAST(count(*) AS BIGINT) AS k, max(nc) AS mx FROM sizes),
+        |u AS (
+        |  SELECT CAST(round((nc / CAST(t.tot AS DOUBLE)) *
+        |    log2(nc / CAST(t.tot AS DOUBLE)) * 1000000) AS BIGINT) AS u
+        |  FROM sizes, t)
+        |SELECT (SELECT k FROM t) AS n_clusters,
+        |  (SELECT tot FROM t) AS n_vecs,
+        |  round(-sum(u) / 1e6, 6) AS entropy,
+        |  round(-sum(u) / 1e6 /
+        |    log2(CAST((SELECT k FROM t) AS DOUBLE)), 6) AS norm_entropy,
+        |  round((SELECT mx FROM t) /
+        |    CAST((SELECT tot FROM t) AS DOUBLE), 6) AS max_share
+        |FROM u""".stripMargin),
+    // covariance: identical 1e-3 input quantization, exact integer
+    // moments (HUGEINT here, long/BigInt in CoMoments), one shared
+    // division order — see CoMoments scaladoc
+    "e_embedding_covariance" -> (CovCte +
+      """SELECT p.i, p.j,
+        |  round((si.n * p.sxy - si.sx * sj.sx)
+        |    / (si.n * si.n) / 1000000.0, 6) AS cov
+        |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin),
+    "e_pca_power" -> (CovCte + pcaPowerUnrolled(8) +
+      """SELECT v.i AS dim, round(v.vm / 1000000.0, 6) AS component,
+        |  round((SELECT nrm FROM n8) / 1e12, 6) AS eigenvalue
+        |FROM v8 v ORDER BY dim""".stripMargin),
     "d_semantic_dedup" -> semDedupUnrolled(3, 0.35),
     "e_knn_graph" -> knnGraphUnrolled(3, 5),
     "g_betweenness" -> btwUnrolled(12, 8, 42L),
@@ -2216,6 +2310,11 @@ object SparkEntry {
       """SELECT d.id, CAST(coalesce(h.c, 0) AS BIGINT) AS core
         |FROM deg d LEFT JOIN h22 h USING (id)
         |ORDER BY d.id""".stripMargin),
+    "g_core_sizes" -> (GraphCte + coreUnrolled(22) +
+      """SELECT CAST(coalesce(h.c, 0) AS BIGINT) AS core,
+        |  count(*) AS n_vertices
+        |FROM deg d LEFT JOIN h22 h USING (id)
+        |GROUP BY 1 ORDER BY core""".stripMargin),
     "g_reciprocity" -> (DirectedCte +
       """SELECT
         |  (SELECT count(*) FROM de) AS n_edges,
@@ -2449,6 +2548,29 @@ object SparkEntry {
         |  JOIN ds db ON db.doc_id = e.b)
         |SELECT a, b, round(j, 4) AS jaccard FROM ngj
         |WHERE j >= 0.8 ORDER BY a, b""".stripMargin),
+    // estimate-vs-exact calibration on the same candidate set; error
+    // terms 1e-6-quantized before the order-free bucket means
+    "d_minhash_est_error" -> (MinhashCte +
+      """, ds AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pj AS (
+        |  SELECT round(e.est, 4) AS ej,
+        |    len(list_intersect(da.toks, db.toks))::DOUBLE /
+        |      (len(da.toks) + len(db.toks)
+        |        - len(list_intersect(da.toks, db.toks))) AS j
+        |  FROM (SELECT a, b, est FROM est WHERE est >= 0.8) e
+        |  JOIN ds da ON da.doc_id = e.a
+        |  JOIN ds db ON db.doc_id = e.b)
+        |SELECT LEAST(CAST(floor(j * 10) AS INT), 9) AS bucket,
+        |  count(*) AS n_pairs,
+        |  round(sum(CAST(round(abs(ej - j) * 1000000) AS BIGINT))
+        |    / (count(*) * 1000000.0), 6) AS avg_abs_err,
+        |  round(sum(CAST(round(ej * 1000000) AS BIGINT))
+        |    / (count(*) * 1000000.0), 6) AS avg_est,
+        |  round(sum(CAST(round(j * 1000000) AS BIGINT))
+        |    / (count(*) * 1000000.0), 6) AS avg_exact
+        |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin),
     "d_dup_clusters" -> (MinhashCte +
       """, pe AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
@@ -2850,6 +2972,34 @@ object SparkEntry {
         |    unnest(range(0, greatest(length(text) - 64, 0) + 1, 128)) AS start
         |  FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // aHash bits are pure integer cross-multiplies (s_b·L > S·c_b) over
+    // the ASCII byte view — no floats, bit-exact in any engine
+    "m_avg_hash" ->
+      """WITH cs AS (
+        |  SELECT doc_id, string_split(text, '') AS chars FROM documents),
+        |by AS (
+        |  SELECT doc_id,
+        |    CAST(((generate_subscripts(chars, 1) - 1) * 64)
+        |      // len(chars) AS INT) AS b,
+        |    unicode(unnest(chars)) AS v
+        |  FROM cs),
+        |agg AS (
+        |  SELECT doc_id, b, sum(v) AS s, count(*) AS c
+        |  FROM by GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, sum(v) AS st, count(*) AS lt FROM by GROUP BY 1),
+        |bits AS (
+        |  SELECT t.doc_id, g.b,
+        |    CASE WHEN ag.s IS NOT NULL AND ag.s * t.lt > t.st * ag.c
+        |      THEN '1' ELSE '0' END AS bit
+        |  FROM tot t CROSS JOIN range(64) g(b)
+        |  LEFT JOIN agg ag ON ag.doc_id = t.doc_id AND ag.b = g.b),
+        |h AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, ahash,
+        |  count(*) OVER (PARTITION BY ahash) AS bucket_size
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem

@@ -124,6 +124,16 @@ object GraphQueries {
     Gx.coreNumbers(GraphBuilder.coPurchase(spark, dir))
       .orderBy("id")
 
+  /** Core-number size distribution (k-shell profile): how many
+    * vertices sit at each coreness — the one-page density fingerprint
+    * of the graph. Rides the memoized [[Gx.coreNumbers]] fixpoint;
+    * the distribution itself is one ≤-max-core-row groupBy. */
+  def coreSizes(spark: SparkSession, dir: String): DataFrame =
+    Gx.coreNumbers(GraphBuilder.coPurchase(spark, dir))
+      .groupBy("core")
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy("core")
+
   /** 12-truss of the co-purchase graph: the clique-ish dense core
     * (every surviving edge closes ≥ 10 triangles among survivors). */
   def kTruss(spark: SparkSession, dir: String): DataFrame =

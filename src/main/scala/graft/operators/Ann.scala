@@ -439,4 +439,211 @@ object Ann {
         max("nrm").as("max_norm"))
       .orderBy("label")
   }
+
+  /** Cluster balance report over the nearest-centroid assignment: how
+    * evenly the corpus spreads across the label centroids — the
+    * diversity check a data-mixing pipeline runs before trusting
+    * cluster-stratified sampling (entropy ≈ log₂k means balanced;
+    * max_share → 1 means one cluster swallowed the corpus).
+    *
+    * Scale shape: rides [[centroidAssign]] (broadcast centroids, one
+    * corpus stream, labels² confusion state); everything after is
+    * arithmetic on ≤ labels rows. Determinism: per-cluster
+    * p·log₂p terms are 1e-6-quantized to exact longs before the sum
+    * (the [[TextAnalysis.wordEntropy]] move). */
+  def clusterEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = centroidAssign(spark, dir)
+      .groupBy("assigned_label").agg(sum("n").as("nc"))
+    val t = sizes.agg(sum("nc").as("tot"), count(lit(1)).as("k"),
+      max("nc").as("mx"))
+    val p = col("nc") / col("tot").cast("double")
+    sizes.crossJoin(broadcast(t))
+      .select(col("k"), col("tot"), col("mx"),
+        round(p * log2(p) * 1e6).cast("long").as("u"))
+      .groupBy()
+      .agg(
+        max("k").as("n_clusters"),
+        max("tot").as("n_vecs"),
+        round(-sum(col("u")) / 1e6, 6).as("entropy"),
+        round(-sum(col("u")) / 1e6 / log2(max("k").cast("double")), 6)
+          .as("norm_entropy"),
+        round(max("mx") / max("tot").cast("double"), 6).as("max_share"))
+  }
+
+  /** Upper-triangle covariance matrix of the embedding column, long
+    * form (i, j, cov) — the moment pass PCA/whitening/drift monitoring
+    * run over an embedding corpus.
+    *
+    * Scale shape: ONE [[graft.functions.CoMoments]] aggregate — each
+    * task keeps a d(d+1)/2-long sketch (~17 KB at d=64) and only the
+    * sketches shuffle; no self-join, no pair explosion, corpus streams
+    * once. Determinism: 1e-3-quantized exact-integer moments (see
+    * CoMoments scaladoc); output pinned at 6 dp. */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(graft.functions.CoMoments.coMoments(col("embedding")).as("cm"))
+      .select(explode(col("cm")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        round(col("p.cov_micro") / 1e6, 6).as("cov"))
+      .orderBy("i", "j")
+
+  /** The integer micro-covariance matrix (round(cov·1e6)) as a local
+    * dense symmetric d×d array — O(d²) bounded driver state (the same
+    * legitimacy class as the capped BPE vocab), fed by the distributed
+    * [[embeddingCovariance]] moment pass. */
+  private val covCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+
+  private def microCovMatrix(spark: SparkSession, dir: String): Array[Array[Long]] =
+    covCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+      computeMicroCov(spark, dir))
+
+  private def computeMicroCov(spark: SparkSession, dir: String): Array[Array[Long]] = {
+    val rows = Tables(spark, dir).embeddings
+      .select(graft.functions.CoMoments.coMoments(col("embedding")).as("cm"))
+      .select(explode(col("cm")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.cov_micro"))
+      .collect()
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Long](d, d)
+    rows.foreach { r =>
+      val mc = roundHalfAway(r.getDouble(2))
+      m(r.getInt(0))(r.getInt(1)) = mc; m(r.getInt(1))(r.getInt(0)) = mc
+    }
+    m
+  }
+
+  private def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Fixed-round power iteration on the embedding covariance: the
+    * direction and Rayleigh-style eigenvalue estimate after exactly 8
+    * deterministic rounds — a spectral health probe (drift monitors
+    * track the estimate; an estimate far below the max diagonal
+    * variance means no dominant direction). NOTE on semantics: 8
+    * rounds converge to PC1 only when the spectral gap is real; on a
+    * near-isotropic corpus (like the synthetic embeddings, λ₂/λ₁ ≈
+    * 0.99) the direction is still mixing — that is inherent to power
+    * iteration, the convergence property is spec-gated on a spiked
+    * matrix (PcaSpec), and converged PCA lives in [[pcaEigen]] /
+    * [[pcaProject]]. The estimate is ALWAYS within [λ_min, λ_max]
+    * (spec-asserted against the Jacobi spectrum).
+    *
+    * Determinism contract (what makes this oracle-checkable): the
+    * iteration runs on the 1e-6-quantized integer covariance and a
+    * 1e-6-quantized integer vector. Each round, y = C·v is EXACT
+    * integer arithmetic (≤6.4e13 at d=64 — double-exact), the norm is
+    * √(Σy²) with the squared sum carried exactly (BigInt here, HUGEINT
+    * in the oracle), and the new vector re-quantizes y/‖y‖ at 1e-6
+    * with round-half-away-from-zero — so every engine walks the same
+    * integer sequence. Scale shape: one distributed moment pass
+    * ([[CoMoments]]), then O(d²) driver math — iteration state is
+    * d-bounded, corpus-independent. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    val (vm, nrm) = powerLoop(microCovMatrix(spark, dir), iters)
+    val lambda = nrm / 1e12
+    spark.createDataset(vm.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      (i, v / 1e6, lambda)
+    }).toDF("dim", "component", "eigenvalue")
+      .select(col("dim"), round(col("component"), 6).as("component"),
+        round(col("eigenvalue"), 6).as("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  /** The exact integer power-iteration walk shared by [[pcaPower]]
+    * and the DuckDB oracle (pcaPowerUnrolled): returns (final 1e-6
+    * vector, final ‖C·v‖). Exposed for the spiked-matrix convergence
+    * spec. */
+  private[graft] def powerLoop(m: Array[Array[Long]], iters: Int): (Array[Long], Double) = {
+    val d = m.length
+    var vm = Array.fill(d)(roundHalfAway(1e6 / math.sqrt(d.toDouble)))
+    var nrm = 0.0
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        var s = BigInt(0)
+        var j = 0
+        while (j < d) { s += BigInt(m(i)(j)) * vm(j); j += 1 }
+        s
+      }
+      nrm = math.sqrt(y.foldLeft(BigInt(0))((a, b) => a + b * b).toDouble)
+      vm = y.map(yi => roundHalfAway(yi.toDouble / nrm * 1e6))
+    }
+    (vm, nrm)
+  }
+
+  /** Full PCA projection: cyclic-Jacobi eigendecomposition of the
+    * covariance (driver-side on the d×d moment matrix — bounded state,
+    * like [[pcaPower]]), then a map-side projection of every embedding
+    * onto the top-k components. The projection is a literal-coefficient
+    * sum (k × d fused multiply-adds inside whole-stage codegen) — no
+    * join, no shuffle, no UDF; the corpus streams once.
+    *
+    * Eigenvector sign is pinned (largest-|component| entry positive) so
+    * the output is deterministic. Spec-gated (eigendecomposition has no
+    * SQL twin): PcaSpec asserts orthonormality, descending eigenvalues,
+    * trace preservation, agreement of PC1 with [[pcaPower]], and that
+    * per-component projection variance matches the eigenvalue. */
+  def pcaProject(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val (eigVals, eigVecs) = pcaEigen(spark, dir)
+    val emb = Tables(spark, dir).embeddings
+    val kk = math.min(k, eigVals.length)
+    val e = col("embedding")
+    val pcs = (0 until kk).map { c =>
+      val v = eigVecs(c)
+      v.indices.map(i => element_at(e, i + 1).cast("double") * lit(v(i)))
+        .reduce(_ + _).as(s"pc${c + 1}")
+    }
+    emb.select(col("vec_id") +: pcs: _*)
+  }
+
+  /** (eigenvalues desc, eigenvectors row-major) of the covariance via
+    * cyclic Jacobi — deterministic rotation order, signs pinned. */
+  private[graft] def pcaEigen(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) = {
+    val mc = microCovMatrix(spark, dir)
+    val d = mc.length
+    val a = Array.tabulate(d, d)((i, j) => mc(i)(j) / 1e6)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        val apq = a(p)(q)
+        off += apq * apq
+        if (math.abs(apq) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          var i = 0
+          while (i < d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { ci =>
+      val vec = Array.tabulate(d)(r => v(r)(ci))
+      val am = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(am) < 0) vec.map(-_) else vec
+    }.toArray
+    (vals, vecs)
+  }
 }

@@ -169,6 +169,44 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash calibration report: how far the 128-perm signature
+    * estimate sits from the exact token Jaccard, bucketed by the exact
+    * similarity — the measurement a pipeline runs before trusting an
+    * LSH threshold (est−exact bias tells you where 0.8-est really
+    * cuts). Output per 0.1-wide exact-Jaccard bucket:
+    * (bucket, n_pairs, avg_abs_err, avg_est, avg_exact).
+    *
+    * Scale shape: rides the memoized LSH candidate pairs (band join —
+    * never |D|²) and the sorted-shingle merge intersect of
+    * [[ngramJaccardPairs]]; the report is a ≤10-row groupBy.
+    * Determinism: per-pair error terms are 1e-6-quantized to exact
+    * longs before averaging (bucket means are order-free). */
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = cachedMinhashPairs(dir, docs, threshold = 0.8)
+    val sets = docs.select(col("doc_id"),
+      array_sort(transform(array_distinct(tokens(col("text"))), xxhash64(_)))
+        .as("toks"))
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+      .select(col("est_jaccard"),
+        graft.functions.HashColumns
+          .sortedLongIntersectCount(col("ta"), col("tb")).as("common"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .select(col("est_jaccard"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("j"))
+    def microAvg(c: org.apache.spark.sql.Column) =
+      round(sum(round(c * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6)
+    pairs
+      .groupBy(least(floor(col("j") * 10).cast("int"), lit(9)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        microAvg(abs(col("est_jaccard") - col("j"))).as("avg_abs_err"),
+        microAvg(col("est_jaccard")).as("avg_est"),
+        microAvg(col("j")).as("avg_exact"))
+      .orderBy("bucket")
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified LSH
     * pair graph, survivor = min doc_id per cluster — the step an actual
     * dedup pipeline runs after pair generation (pairs alone double-drop

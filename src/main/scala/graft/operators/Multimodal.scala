@@ -117,4 +117,26 @@ object Multimodal {
         length(col("resized_text")).as("n_resized"),
         md5(col("resized_text")).as("resized_md5"))
       .orderBy("doc_id")
+
+  /** Perceptual-hash near-dup buckets over the media payloads: each
+    * payload's 64-bit average-hash ([[graft.functions.AvgHash64]] —
+    * the aHash skeleton a real image pipeline runs on downsampled
+    * luma), then payloads grouped by hash. Output (doc_id, ahash,
+    * bucket_size); bucket_size > 1 flags byte-level near-identical
+    * media.
+    *
+    * Scale shape: the hash is one compiled map-side pass over each
+    * payload (zero shuffle); the bucket join is ONE hash-keyed window
+    * count — candidate grouping at 100 TB is exactly this equi-key
+    * shuffle, never payload×payload. Integer-only math end to end
+    * (see AvgHash64), so the whole operator hash-checks against a
+    * DuckDB oracle recomputing the bits from the text view. */
+  def avgHashBuckets(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"),
+        graft.functions.ByteColumns.avgHash64(col("payload")).as("ahash"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("ahash")))
+      .orderBy("doc_id")
 }
