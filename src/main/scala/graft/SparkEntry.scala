@@ -110,6 +110,12 @@ object SparkEntry {
     "g_avg_path_length" -> (GraphQueries.avgPathLength _),
     "g_eccentricity" -> (GraphQueries.eccentricity _),
     "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
+    "q9_profit_by_nation" -> (Relational.q9ProfitByNation _),
+    "q11_important_parts" -> (Relational.q11ImportantParts _),
+    "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
+    "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
+    "q20_excess_suppliers" -> (Relational.q20ExcessSuppliers _),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     "g_sample_metrics" -> (GraphQueries.sampleMetrics _),
     // transitive near-dup clusters over the LSH pair graph (GraphX CC)
     "d_dup_clusters" -> ((s, d) =>
@@ -1894,6 +1900,89 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)
+        |    - 0.4 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |  AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // cents·500 > total-cents: the 0.2% importance threshold as exact
+    // integer cross-multiplication (no float summation boundary)
+    "q11_important_parts" ->
+      """WITH vals AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * l_quantity * 100)
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+        |  count(*) AS n_parts FROM vals)
+        |SELECT p_partkey, round(cents / 100.0, 2) AS value
+        |FROM vals, tot WHERE cents * n_parts * 10 > tot_cents * 14
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q12_shipping_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_counts" ->
+      """WITH bridge AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM bridge JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 8 AND p_brand <> 'Brand#1'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH qty AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS qty_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(qty_cents) AS BIGINT) AS tot_cents,
+        |  count(*) AS n_supp FROM qty),
+        |heavy AS (
+        |  SELECT l_suppkey FROM qty, tot
+        |  WHERE qty_cents * n_supp * 2 > tot_cents * 3)
+        |SELECT s_name, n_name AS nation
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH lines AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate,
+        |    max(l.l_shipdate) OVER (PARTITION BY l.l_orderkey) AS max_ship
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderstatus = 'F'),
+        |ord AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate = max_ship
+        |      THEN l_suppkey END) AS late_supp
+        |  FROM lines GROUP BY 1),
+        |wait AS (
+        |  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        |  FROM lines li JOIN ord ON ord.l_orderkey = li.l_orderkey
+        |  WHERE ord.n_supp >= 2 AND ord.late_supp = 1
+        |    AND li.l_shipdate = li.max_ship
+        |    AND li.l_shipdate > li.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM wait JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  round(sum(o_totalprice) OVER (

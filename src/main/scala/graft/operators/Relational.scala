@@ -153,13 +153,24 @@ object Relational {
     * asserts TRUE: if the sketch ever drifts out of tolerance the
     * hash mismatches, so the sketch itself stays gated every round.
     * The exact column exists for the gate; the sketch remains the
-    * operator under test and the 100 TB pattern. */
+    * operator under test and the 100 TB pattern.
+    *
+    * Plan shape: the exact count is TWO-PHASE — pre-aggregate
+    * (event_type, user_id) with map-side combine, then count the
+    * distinct rows. Mixing countDistinct with plain aggregates in one
+    * groupBy makes Spark Expand every input row into two streams
+    * (2× scan width through both aggregate passes — measured ~3× this
+    * plan at sf0.1); the pre-distinct shuffle carries only the
+    * distinct pairs, and the HLL sketch rides the distinct set
+    * unchanged (HLL is duplicate-insensitive by construction). */
   def qApproxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
       .groupBy("event_type")
-      .agg(countDistinct("user_id").as("exact_users"),
+      .agg(count(lit(1)).as("exact_users"),
         approx_count_distinct("user_id", rsd = 0.01).as("approx"),
-        count(lit(1)).as("n_events"))
+        sum("n").as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx") - col("exact_users")) <=
           greatest(lit(10.0), col("exact_users") * lit(0.05)))
@@ -647,5 +658,163 @@ object Relational {
       .agg(count(lit(1)).as("numcust"),
         round(sum("c_acctbal"), 2).as("totacctbal"))
       .orderBy("n_name")
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year; adapted —
+    * this schema has no partsupp, so supply cost is modeled as
+    * 0.4·p_retailprice·l_quantity). The 5-way star join resolves as
+    * ONE shuffle-free pass over lineitem⋈orders: part and
+    * supplier⋈nation are broadcast dims, so only the two fact tables
+    * shuffle (on the l_orderkey equi-key AQE picks anyway). Profit
+    * sums are cent-exact after the 2-dp round. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part.filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.4) * col("p_retailprice") * col("l_quantity")).as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum("amount"), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock; adapted — no partsupp, so a
+    * part's "value" is the order volume shipped for it): parts whose
+    * value exceeds 1.4× the mean part value (≈ the p95 of this
+    * generator's near-uniform part-volume distribution). The threshold is
+    * SCALE-FREE (a fixed fraction pins the row count to the data
+    * size; a mean multiple keeps the same selectivity at any SF) and the
+    * compare cross-multiplies exact cent sums (10·cents·n_parts >
+    * 14·total) — no float summation boundary can flip a part between
+    * engines. The total is a 1-row broadcast. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vals = t.lineitem
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * col("l_quantity") * 100)
+        .cast("long")).as("cents"))
+    val tot = vals.agg(sum("cents").as("tot_cents"),
+      count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("cents") * col("n_parts") * 10 > col("tot_cents") * 14)
+      .select(col("p_partkey"), round(col("cents") / 100.0, 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping priority vs lateness; adapted — no
+    * l_shipmode, so lines group by l_linestatus, and "late" means
+    * shipped more than 60 days after the order date): high- vs
+    * low-priority line counts per status. One fact-fact equi-join,
+    * both conditional counts in ONE map-side-combined pass. */
+  def q12ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q16 shape (supplier counts by part attribute; adapted — the
+    * part-supplier relation is DERIVED from lineitem, and "complaint"
+    * suppliers are those with negative account balance): distinct
+    * supplier count per (brand, type, size) for small parts outside
+    * one brand. The bridge dedups to distinct (part, supp) pairs
+    * BEFORE the attribute join (map-side combine absorbs lineitem
+    * fan-in); part attrs broadcast; excluded suppliers anti-join. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part
+      .filter(col("p_size") <= 8 && col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val bridge = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    bridge.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (suppliers with excess movement; adapted — no
+    * partsupp availability, so the signal is total 1997 shipped
+    * quantity of small-named parts above 1.5× the supplier mean — a
+    * SCALE-FREE threshold, same selectivity at any SF): the
+    * qualifying supplier keys come out of one part-filtered lineitem
+    * aggregate with an exact integer cross-multiplied cut
+    * (2·qty·n_supp > 3·total), then a semi-join keeps matching
+    * suppliers. Part filter broadcast; one fact scan. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val smallParts = t.part.filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val qty = t.lineitem
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    val tot = qty.agg(sum("qty_cents").as("tot_cents"),
+      count(lit(1)).as("n_supp"))
+    val heavy = qty.crossJoin(broadcast(tot))
+      .filter(col("qty_cents") * col("n_supp") * 2 > col("tot_cents") * 3)
+      .select(col("l_suppkey"))
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("n_name").as("nation"))
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting; adapted — no
+    * receipt/commit dates, so "waiting" means: in a finished
+    * multi-supplier order, THIS supplier alone shipped last, later
+    * than 60 days after the order date). The EXISTS / NOT-EXISTS pair
+    * of the reference SQL decorrelates into per-order window
+    * aggregates — max ship date, its supplier count, distinct
+    * supplier count — computed in ONE pass over the order's lines;
+    * no self-join of lineitem against itself per predicate. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("l_orderkey")
+    val lines = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("o_orderdate"))
+      .withColumn("max_ship", max(col("l_shipdate")).over(w))
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("late_supp", size(collect_set(
+        when(col("l_shipdate") === col("max_ship"), col("l_suppkey"))).over(w)))
+    lines
+      .filter(col("n_supp") >= 2 && col("late_supp") === 1 &&
+        col("l_shipdate") === col("max_ship") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 }
