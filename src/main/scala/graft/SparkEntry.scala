@@ -72,6 +72,7 @@ object SparkEntry {
     "e_embedding_covariance" -> (Ann.embeddingCovariance _),
     "e_pca_power" -> (Ann.pcaPower(_, _)),
     "g_core_sizes" -> (GraphQueries.coreSizes _),
+    "g_community_graph" -> (GraphQueries.communityGraph _),
     "d_minhash_est_error" -> (Dedup.minhashEstError _),
     "m_avg_hash" -> (Multimodal.avgHashBuckets _),
     "d_bigram_logprob" -> (TextAnalysis.bigramLogProb _),
@@ -445,6 +446,23 @@ object SparkEntry {
     * round i moves only vertices with id%2 == i%2; the gain argmax is
     * the exact-integer numerator 2·m·k_{v,in}(C) − k_v·Σ_tot(C \ v),
     * ties to the smaller community id. Expects wsym/st/mm CTEs. */
+  /** Weighted co-purchase graph + strengths + total mass — the shared
+    * prefix of the Louvain oracles (phase-1 move loop inputs). */
+  private val LouvainCte: String =
+    """WITH we AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |wsym AS MATERIALIZED (
+      |  SELECT src, dst, weight FROM we
+      |  UNION ALL SELECT dst, src, weight FROM we),
+      |st AS MATERIALIZED (
+      |  SELECT src AS id, CAST(sum(weight) AS BIGINT) AS k
+      |  FROM wsym GROUP BY 1),
+      |mm AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM we)
+      |""".stripMargin
+
   private def louvainUnrolled(rounds: Int): String =
     louvainUnrolledOver(rounds, "l", "wsym", "st", "mm")
 
@@ -3166,20 +3184,16 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |""".stripMargin + msfUnrolled(10, 5)),
     // Louvain phase-1: 4 parity-alternating exact-integer gain rounds
-    "g_louvain" -> ("""WITH we AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2),
-        |wsym AS MATERIALIZED (
-        |  SELECT src, dst, weight FROM we
-        |  UNION ALL SELECT dst, src, weight FROM we),
-        |st AS MATERIALIZED (
-        |  SELECT src AS id, CAST(sum(weight) AS BIGINT) AS k
-        |  FROM wsym GROUP BY 1),
-        |mm AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM we)
-        |""".stripMargin + louvainUnrolled(4) +
+    "g_louvain" -> (LouvainCte + louvainUnrolled(4) +
       "SELECT id, CAST(comm AS BIGINT) AS community FROM l4 ORDER BY id"),
+    "g_community_graph" -> (LouvainCte + louvainUnrolled(4) +
+      """, lbl AS MATERIALIZED (SELECT id, comm FROM l4)
+        |SELECT least(x.comm, y.comm) AS ca,
+        |  greatest(x.comm, y.comm) AS cb,
+        |  count(*) AS n_edges,
+        |  CAST(sum(e.weight) AS BIGINT) AS weight
+        |FROM we e JOIN lbl x ON x.id = e.src JOIN lbl y ON y.id = e.dst
+        |GROUP BY 1, 2 ORDER BY ca, cb""".stripMargin),
     // Blondel's full loop: phase-1 unroll, contract communities to
     // supernodes (inter weights summed; intra weight = self-loop,
     // entering strength 2× and m but never kvin), phase-2 unroll over

@@ -336,6 +336,33 @@ object GraphQueries {
     CommunitySample.sample(spark, GraphBuilder.coPurchase(spark, dir))
       .orderBy("community", "id")
 
+  /** Community quotient (coarsened) graph: one super-vertex per
+    * Louvain community, super-edges = original edge count + summed
+    * co-purchase weight between the community pair (ca ≤ cb; ca = cb
+    * rows carry the intra-community mass). The contraction step of
+    * multilevel partitioners/layouts and the one-page "how modular is
+    * this graph" surface. Louvain labels, not LPA: LPA collapses this
+    * dense co-purchase graph into ONE community (a known LPA failure
+    * mode), while the modularity moves keep a real partition.
+    *
+    * Scale shape: rides the memoized Louvain phase-1 labeling; two
+    * vertex-keyed equi-joins tag each edge endpoint, then ONE
+    * map-side-combined groupBy on the (tiny) community-pair key —
+    * the same contraction plan louvain2 itself uses. */
+  def communityGraph(spark: SparkSession, dir: String): DataFrame = {
+    val labels = louvainPhase1(spark, dir)
+    GraphBuilder.weightedEdges(spark, dir)
+      .join(labels.select(col("id").as("src"), col("community").as("c1")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("community").as("c2")),
+        "dst")
+      .groupBy(least(col("c1"), col("c2")).as("ca"),
+        greatest(col("c1"), col("c2")).as("cb"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum("weight").cast("long").as("weight"))
+      .orderBy("ca", "cb")
+  }
+
   /** Sample-quality summary: the metric suite recomputed on the
     * subgraph induced by the community sample, next to the original
     * graph's values (ref main.py:197-229 rebuilds a NetworkX graph of

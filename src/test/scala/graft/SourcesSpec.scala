@@ -63,4 +63,44 @@ class SourcesSpec extends AnyFunSuite {
         |""".stripMargin).head().getDouble(0)
     assert(r == 1.0)
   }
+
+  test("JSONL docs source: clean/corrupt split, derived ids, ingest report") {
+    import graft.sources.JsonDocsSource
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      Seq(
+        """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}""",
+        """{"text": "no id line", "lang": "en", "source": "web"}""",
+        """{"doc_id": 3, "text": "missing meta"}""",
+        """{"doc_id": 4, "lang": "en", "source": "web"}""",
+        """this is not json at all""",
+        """{"doc_id": 5, "text": "ok again", "lang": "de", "source": "books"}"""
+      ).mkString("\n"))
+    val (clean, corrupt) = JsonDocsSource.readDocs(spark, f.toString)
+    val rows = clean.orderBy("doc_id")
+      .as[(Long, String, String, String, Long)].collect()
+    // 4 clean docs; the no-text object and the non-JSON line quarantine
+    assert(rows.length == 4)
+    assert(corrupt.count() == 2)
+    // explicit ids survive; defaults fill missing metadata
+    assert(rows.exists(r => r._1 == 1L && r._2 == "hello world" &&
+      r._5 == 11L))
+    assert(rows.exists(r => r._1 == 3L && r._3 == "und" && r._4 == "unknown"))
+    // the derived id is the deterministic text hash — re-reading the
+    // same file yields the same id
+    val derived = rows.filter(r => !Set(1L, 3L, 5L).contains(r._1))
+    assert(derived.length == 1 && derived.head._2 == "no id line")
+    val (clean2, _) = JsonDocsSource.readDocs(spark, f.toString)
+    assert(clean2.orderBy("doc_id")
+      .as[(Long, String, String, String, Long)].collect()
+      .toSeq == rows.toSeq)
+    // report: per-source counts + the corrupt quarantine row
+    val repRows = JsonDocsSource.ingestReport(spark, f.toString)
+      .as[(String, Long, Long)].collect()
+    assert(repRows.map(_._1).toSet ==
+      Set("_corrupt", "web", "books", "unknown"))
+    assert(repRows.find(_._1 == "_corrupt").get._2 == 2L)
+    assert(repRows.find(_._1 == "web").get._2 == 2L)
+  }
 }
