@@ -112,6 +112,7 @@ object SparkEntry {
     "g_eccentricity" -> (GraphQueries.eccentricity _),
     "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
     "q9_profit_by_nation" -> (Relational.q9ProfitByNation _),
+    "q_key_skew" -> (graft.operators.Skew.qKeySkew _),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
@@ -1918,6 +1919,19 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    // hottest key via (n, k) lexicographic max — ORDER BY n DESC,
+    // k DESC mirrors Spark's max(struct(n, k)) convention
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        |hot AS (SELECT k, n FROM c ORDER BY n DESC, k DESC LIMIT 1),
+        |t AS (SELECT count(*) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows FROM c)
+        |SELECT t.n_keys, hot.k AS hottest_key, hot.n AS max_n,
+        |  round(t.n_rows / CAST(t.n_keys AS DOUBLE), 4) AS avg_n,
+        |  round(hot.n * t.n_keys / CAST(t.n_rows AS DOUBLE), 4)
+        |    AS skew_ratio
+        |FROM t, hot""".stripMargin,
     "q9_profit_by_nation" ->
       """SELECT n.n_name AS nation,
         |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -63,6 +63,26 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Windowed approximate-distinct users: HyperLogLog++ per tumbling
+    * window — the streaming twin of the batch
+    * `Relational.qApproxDistinctUsers` sketch. The HLL register set is
+    * the ONLY per-window state (fixed-size, merges map-side across
+    * micro-batches), so distinct-user cardinality over an unbounded
+    * stream costs O(windows × registers), never O(users); watermark
+    * eviction bounds the window count. */
+  def windowedApproxUsers(events: DataFrame,
+                          window: String = "1 hour",
+                          watermark: String = "10 minutes",
+                          rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(approx_count_distinct("user_id", rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("approx_users"), col("n_events"))
+
   /** Streaming exact dedup: drop events with a duplicate `event_id`
     * arriving within the watermark window — the streaming twin of
     * `Dedup.exactDedup`. State is bounded: ids older than the watermark

@@ -294,4 +294,51 @@ class PlanQualitySpec extends AnyFunSuite {
         .subsetOf(Set("doc_id", "text")), s.requiredSchema.fieldNames.mkString(","))
     }
   }
+
+  test("embedding covariance: one sketch aggregate, no join, pruned scan") {
+    val df = graft.operators.Ann.embeddingCovariance(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    // the CoMoments path must never self-join or pair-explode the corpus
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(plan.contains("partial_comoments"), plan)
+    // pruning gate only when the file scan is visible (the IVF/PQ tests
+    // persist the embeddings table, which swaps in an InMemoryRelation —
+    // same caveat as the label-centroids test)
+    scans(df).headOption.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("embedding"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("avg-hash buckets: map-side hash, one hash-keyed window exchange") {
+    val df = graft.operators.Multimodal.avgHashBuckets(spark, sf)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one shuffle for the ahash window + the output sort only
+    assert(exchanges.size <= 2, df.queryExecution.sparkPlan.treeString)
+    assert(!df.queryExecution.sparkPlan.treeString.contains("Join"),
+      df.queryExecution.sparkPlan.treeString)
+  }
+
+  test("q9 star join: part and supplier-nation sides broadcast") {
+    val plan = Relational.q9ProfitByNation(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q21 decorrelation: lineitem is scanned once, not self-joined") {
+    val li = scans(Relational.q21WaitingSuppliers(spark, sf))
+      .filter(_.requiredSchema.fieldNames.exists(_.startsWith("l_")))
+    assert(li.size == 1,
+      s"expected one lineitem scan, got ${li.size}")
+  }
+
+  test("approx distinct users: two-phase plan, no Expand") {
+    val plan = Relational.qApproxDistinctUsers(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(!plan.contains("Expand"), plan)
+  }
 }

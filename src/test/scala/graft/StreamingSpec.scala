@@ -240,4 +240,28 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(latest == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $latest")
   }
+
+  test("windowed approx-distinct users: HLL per window within tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 40 distinct users in one window, repeats included
+    in.addData((1 to 80).map(i =>
+      Event(i.toLong, ts(1), (i % 40).toLong, "click", 1.0)): _*)
+    val q = EventStreams.windowedApproxUsers(in.toDF(),
+      window = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hll_out").start()
+    q.processAllAvailable()
+    in.addData(Event(999, Timestamp.valueOf("2024-01-01 11:30:00"),
+      1, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("hll_out")
+      .select($"window_start", $"event_type", $"approx_users", $"n_events")
+      .as[(Timestamp, String, Long, Long)].collect()
+    val click = out.find(_._2 == "click").get
+    assert(click._1 == ts(0))
+    assert(click._4 == 80L)
+    // rsd=0.02 → 40 ± a few
+    assert(math.abs(click._3 - 40L) <= 3, s"approx ${click._3}")
+  }
 }
