@@ -113,6 +113,7 @@ object SparkEntry {
     "q_approx_distinct_users" -> (Relational.qApproxDistinctUsers _),
     "q9_profit_by_nation" -> (Relational.q9ProfitByNation _),
     "q_key_skew" -> (graft.operators.Skew.qKeySkew _),
+    "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
@@ -3283,6 +3284,14 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle asserts the tolerance flag TRUE (the same gating move
+    // as q_approx_distinct_users): a drifting GK sketch hash-mismatches
+    "q_approx_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  count(*) AS n_events,
+        |  TRUE AS within_tolerance
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_customers_no_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers

@@ -128,6 +128,32 @@ object Relational {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Sketch quantiles: approx_percentile (Greenwald–Khanna) per event
+    * type — at 100 TB the exact `percentile` sorts every group value;
+    * the GK sketch is fixed-size per group and merges map-side, the
+    * same scale argument as the HLL sketch. Hash-matchable by the
+    * same tolerance-flag move as [[qApproxDistinctUsers]]: the
+    * engine-specific sketch estimate is checked DISTRIBUTEDLY against
+    * the exact rank bound (accuracy 10⁴ ⇒ rank error ≤ n·10⁻⁴;
+    * checking |approx−exact| against the value spread of the
+    * neighboring exact quantiles would re-derive the sketch, so the
+    * flag asserts the estimate sits between the exact p40 and p60 —
+    * a ±10-percentile envelope ≫ the sketch's guarantee). The oracle
+    * asserts TRUE, so a drifting sketch hash-mismatches every round. */
+  def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 10000)").as("approx"),
+        round(expr("percentile(value, 0.40)"), 4).as("lo"),
+        round(expr("percentile(value, 0.60)"), 4).as("hi"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_p50"), col("n_events"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .as("within_tolerance"))
+      .orderBy("event_type")
+
   /** Anti-join shape (NOT EXISTS): customers with no large orders
     * (total price above 450k) — non-empty at every scale factor. */
   def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
