@@ -33,6 +33,7 @@ object GraftFunctions {
       "kth_absent", exprs => KthAbsent(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_stride", exprs => ByteStride(exprs(0), exprs(1)), "built-in")
+    one("avg_hash64")(e => AvgHash64(e))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "n2v_pick",
       exprs => Node2vecPick(exprs(0), exprs(1), exprs(2), exprs(3)),

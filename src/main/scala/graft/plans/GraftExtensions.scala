@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => KthAbsent(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("byte_stride"), info("byte_stride"),
       (es: Seq[Expression]) => ByteStride(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("avg_hash64"), info("avg_hash64"),
+      (es: Seq[Expression]) => AvgHash64(es.head)))
     ext.injectFunction((FunctionIdentifier("n2v_pick"), info("n2v_pick"),
       (es: Seq[Expression]) => Node2vecPick(es(0), es(1), es(2), es(3))))
   }

@@ -30,6 +30,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) AS c")
         .head()
       assert(ic.getLong(0) == 2L)
+      val ah = withExt.sql(
+        "SELECT avg_hash64(encode(repeat('a', 32) || repeat('z', 32), " +
+          "'UTF-8')) AS h").head()
+      assert(ah.getString(0) == "0" * 32 + "1" * 32)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
