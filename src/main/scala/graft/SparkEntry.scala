@@ -114,6 +114,9 @@ object SparkEntry {
     "q9_profit_by_nation" -> (Relational.q9ProfitByNation _),
     "q_key_skew" -> (graft.operators.Skew.qKeySkew _),
     "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
+    "q_events_anomaly" -> (Relational.qEventsAnomaly _),
+    "d_containment_dups" -> (Dedup.containmentDups(_, _)),
+    "g_triangle_estimate" -> (GraphQueries.triangleEstimate(_, _)),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
@@ -3285,6 +3288,59 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // z computed from exact integer moments in the IDENTICAL operation
+    // order as the Spark side — the 2σ cut can't drift between engines
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS h,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    CAST(sum(n * n) AS BIGINT) AS sq
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n AS n_events,
+        |  round((h.n - st.s / CAST(st.h AS DOUBLE)) /
+        |    sqrt(st.sq / CAST(st.h AS DOUBLE) -
+        |      (st.s / CAST(st.h AS DOUBLE)) *
+        |      (st.s / CAST(st.h AS DOUBLE))), 4) AS z
+        |FROM hourly h JOIN st USING (event_type)
+        |WHERE abs((h.n - st.s / CAST(st.h AS DOUBLE)) /
+        |    sqrt(st.sq / CAST(st.h AS DOUBLE) -
+        |      (st.s / CAST(st.h AS DOUBLE)) *
+        |      (st.s / CAST(st.h AS DOUBLE)))) > 2.0
+        |ORDER BY event_type, hour""".stripMargin,
+    // containment on the same candidate set as the Jaccard verify
+    "d_containment_dups" -> (MinhashCte +
+      """, ds AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |cont AS (
+        |  SELECT e.a, e.b,
+        |    len(list_intersect(da.toks, db.toks))::DOUBLE /
+        |      least(len(da.toks), len(db.toks)) AS c
+        |  FROM (SELECT a, b FROM est WHERE est >= 0.8) e
+        |  JOIN ds da ON da.doc_id = e.a
+        |  JOIN ds db ON db.doc_id = e.b)
+        |SELECT a, b, round(c, 4) AS containment FROM cont
+        |WHERE c >= 0.9 ORDER BY a, b""".stripMargin),
+    // the md5 coin makes the "random" 1/4 edge sample replay exactly;
+    // est = sampled × 4³ (DOULION unbiased estimator)
+    "g_triangle_estimate" -> (GraphCte +
+      """, se AS MATERIALIZED (
+        |  SELECT src, dst FROM e
+        |  WHERE ('0x' || substr(md5(src || ':' || dst || ':42'), 1, 7))
+        |    ::BIGINT % 4 = 0),
+        |stri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM se e1 JOIN se e2 ON e1.dst = e2.src
+        |  JOIN se e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM se) AS n_sampled,
+        |  (SELECT count(*) FROM stri) AS sampled_triangles,
+        |  CAST((SELECT count(*) FROM stri) * 64 AS BIGINT)
+        |    AS est_triangles""".stripMargin),
     // the oracle asserts the tolerance flag TRUE (the same gating move
     // as q_approx_distinct_users): a drifting GK sketch hash-mismatches
     "q_approx_percentiles" ->

@@ -134,6 +134,35 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_vertices"))
       .orderBy("core")
 
+  /** DOULION-style sampled triangle estimate (Tsourakakis et al.
+    * 2009): keep each edge with probability 1/mod via a DETERMINISTIC
+    * md5 coin (so the "random" sample replays identically in any
+    * engine — the portable-choice move the walk corpus uses), count
+    * triangles on the sparsified graph with the same oriented
+    * intersection kernel, scale by mod³. At 100 TB this is the
+    * triangles-path when exact counting is too expensive: the kernel's
+    * cost drops ~p² in wedges while the estimator stays unbiased;
+    * the exact count stays available as [[triangles]]. Output carries
+    * both the sampled count and the estimate, plus edge tallies, so
+    * the oracle pins the entire sampling pipeline exactly. */
+  def triangleEstimate(spark: SparkSession, dir: String,
+                       mod: Int = 4, seed: Long = 42L): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val coin = conv(substring(md5(concat(col("src"), lit(":"),
+      col("dst"), lit(s":$seed"))), 1, 7), 16, 10).cast("long") % mod
+    val se = g.edges.filter(coin === 0)
+    val sg = Graph(GraphBuilder.vertices(se), se)
+    val sampled = sg.edgeCommonStats
+      .agg((sum("common") / 3).cast("long").as("sampled_triangles"))
+    g.edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(se.agg(count(lit(1)).as("n_sampled")))
+      .crossJoin(sampled)
+      .select(col("n_edges"), col("n_sampled"),
+        coalesce(col("sampled_triangles"), lit(0L)).as("sampled_triangles"),
+        (coalesce(col("sampled_triangles"), lit(0L)) *
+          (mod.toLong * mod * mod)).as("est_triangles"))
+  }
+
   /** 12-truss of the co-purchase graph: the clique-ish dense core
     * (every surviving edge closes ≥ 10 triangles among survivors). */
   def kTruss(spark: SparkSession, dir: String): DataFrame =

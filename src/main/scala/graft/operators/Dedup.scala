@@ -207,6 +207,34 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Asymmetric containment dedup: |A∩B| / min(|A|,|B|) on the LSH
+    * candidates — catches the small-doc-inside-big-doc duplicates
+    * (quote pages, excerpt mirrors) that symmetric Jaccard dilutes
+    * (a 50-token doc fully contained in a 500-token doc has Jaccard
+    * ≤ 0.1 but containment 1.0). Same scale shape as
+    * [[ngramJaccardPairs]]: candidates from the band join only, exact
+    * sets as sorted 64-bit shingles through the native merge
+    * intersect. */
+  def containmentDups(spark: SparkSession, dir: String,
+                      threshold: Double = 0.9): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = cachedMinhashPairs(dir, docs, threshold = 0.8)
+    val sets = docs.select(col("doc_id"),
+      array_sort(transform(array_distinct(tokens(col("text"))), xxhash64(_)))
+        .as("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+      .select(col("a"), col("b"),
+        (graft.functions.HashColumns
+          .sortedLongIntersectCount(col("ta"), col("tb")) /
+          least(size(col("ta")), size(col("tb"))).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+      .orderBy("a", "b")
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified LSH
     * pair graph, survivor = min doc_id per cluster — the step an actual
     * dedup pipeline runs after pair generation (pairs alone double-drop

@@ -154,6 +154,31 @@ object Relational {
           .as("within_tolerance"))
       .orderBy("event_type")
 
+  /** Hourly volume anomalies per event type: hours whose event count
+    * sits more than 2σ from the type's hourly mean — the monitoring
+    * query every event pipeline runs. Two map-side-combined
+    * aggregates (hourly counts, then per-type moments) + a broadcast
+    * of the |types|-row stats; z is computed from exact integer
+    * moments (Σn, Σn² as longs) in an operation order the oracle
+    * mirrors token-for-token, so the 2σ boundary cannot drift
+    * between engines. */
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("h"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("sq"))
+    val mean = col("s") / col("h").cast("double")
+    val z = (col("n") - mean) /
+      sqrt(col("sq") / col("h").cast("double") - mean * mean)
+    hourly.join(broadcast(stats), "event_type")
+      .filter(abs(z) > 2.0)
+      .select(col("event_type"), col("hour"), col("n").as("n_events"),
+        round(z, 4).as("z"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Anti-join shape (NOT EXISTS): customers with no large orders
     * (total price above 450k) — non-empty at every scale factor. */
   def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
