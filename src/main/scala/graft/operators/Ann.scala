@@ -597,6 +597,30 @@ object Ann {
     emb.select(col("vec_id") +: pcs: _*)
   }
 
+  /** PCA whitening into the top-k component space: w = diag(1/√λ)·Vᵀ·x
+    * — the decorrelation transform embedding pipelines apply before
+    * cosine retrieval or SemDeDup (dominant directions stop swamping
+    * the metric). Same scale shape as [[pcaProject]]: the k×d
+    * whitening matrix comes out of the driver-side Jacobi eigensolve
+    * on the d² moment sketch, then every row is a literal-coefficient
+    * fused multiply-add inside whole-stage codegen — no join, no
+    * shuffle, corpus streams once. Components with λ ≤ 1e-9 are
+    * dropped (no 1/√0 blowup). Spec-gated: whitened per-component
+    * variance ≈ 1 and pairwise covariance ≈ 0 (PcaSpec). */
+  def pcaWhiten(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (eigVals, eigVecs) = pcaEigen(spark, dir)
+    val usable = eigVals.takeWhile(_ > 1e-9).length
+    val kk = math.min(k, usable)
+    val e = col("embedding")
+    val cols = (0 until kk).map { c =>
+      val s = 1.0 / math.sqrt(eigVals(c))
+      val v = eigVecs(c)
+      v.indices.map(i => element_at(e, i + 1).cast("double") * lit(v(i) * s))
+        .reduce(_ + _).as(s"w${c + 1}")
+    }
+    Tables(spark, dir).embeddings.select(col("vec_id") +: cols: _*)
+  }
+
   /** (eigenvalues desc, eigenvectors row-major) of the covariance via
     * cyclic Jacobi — deterministic rotation order, signs pinned. */
   private[graft] def pcaEigen(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) = {

@@ -113,6 +113,28 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaWhiten: unit variance per component, near-zero cross-covariance") {
+    val w = Ann.pcaWhiten(spark, sf, k = 4)
+    val n = w.count().toDouble
+    val stats = w.agg(
+      sum($"w1").as("s1"), sum($"w1" * $"w1").as("q1"),
+      sum($"w2").as("s2"), sum($"w2" * $"w2").as("q2"),
+      sum($"w3").as("s3"), sum($"w3" * $"w3").as("q3"),
+      sum($"w1" * $"w2").as("c12"), sum($"w1" * $"w3").as("c13"),
+      sum($"w2" * $"w3").as("c23")).head()
+    def v(q: Double, s: Double) = q / n - math.pow(s / n, 2)
+    def cv(c: Double, sa: Double, sb: Double) = c / n - (sa / n) * (sb / n)
+    val (s1, q1) = (stats.getDouble(0), stats.getDouble(1))
+    val (s2, q2) = (stats.getDouble(2), stats.getDouble(3))
+    val (s3, q3) = (stats.getDouble(4), stats.getDouble(5))
+    assert(math.abs(v(q1, s1) - 1.0) < 0.02, s"var w1 ${v(q1, s1)}")
+    assert(math.abs(v(q2, s2) - 1.0) < 0.02, s"var w2 ${v(q2, s2)}")
+    assert(math.abs(v(q3, s3) - 1.0) < 0.02, s"var w3 ${v(q3, s3)}")
+    assert(math.abs(cv(stats.getDouble(6), s1, s2)) < 0.02)
+    assert(math.abs(cv(stats.getDouble(7), s1, s3)) < 0.02)
+    assert(math.abs(cv(stats.getDouble(8), s2, s3)) < 0.02)
+  }
+
   test("avg-hash: known payloads, empty payload, ASCII text equivalence") {
     val df = Seq(
       ("low-high", ("a" * 32) + ("z" * 32)),  // low half then high half

@@ -264,4 +264,33 @@ class StreamingSpec extends AnyFunSuite {
     // rsd=0.02 → 40 ± a few
     assert(math.abs(click._3 - 40L) <= 3, s"approx ${click._3}")
   }
+
+  test("idempotent parquet sink: batch replay overwrites, never appends") {
+    import graft.streaming.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.writeBatch(b0, dir, batchId = 0L)
+    Sinks.writeBatch(Seq((3L, "c")).toDF("id", "v"), dir, batchId = 1L)
+    // failure replay: batch 1 re-delivered with different row order
+    Sinks.writeBatch(Seq((3L, "c")).toDF("id", "v").repartition(3),
+      dir, batchId = 1L)
+    val out = spark.read.parquet(dir)
+      .select($"id", $"v", $"batch_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
+    // dynamic overwrite is per-partition: replaying batch 1 left batch 0
+    assert(out.count(_._3 == 0L) == 2)
+    // the streaming attach path wires foreachBatch end-to-end
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(Event(10, ts(1), 7, "click", 1.0))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val q = Sinks.startIdempotentParquet(
+      in.toDF().select($"event_id", $"event_type"), dir2)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(dir2)
+      .select($"event_id", $"event_type", $"batch_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(streamed == Seq((10L, "click", 0L)))
+  }
 }
