@@ -69,6 +69,7 @@ object SparkEntry {
     "d_semantic_dedup" -> ((s, d) => Ann.semanticDedup(s, d)),
     "e_centroid_assign" -> (Ann.centroidAssign _),
     "e_cluster_entropy" -> (Ann.clusterEntropy _),
+    "e_ivf_recall" -> ((s, d) => Ann.ivfRecall(s, d)),
     "e_embedding_covariance" -> (Ann.embeddingCovariance _),
     "e_pca_power" -> (Ann.pcaPower(_, _)),
     "g_core_sizes" -> (GraphQueries.coreSizes _),
@@ -1083,7 +1084,14 @@ object SparkEntry {
   /** The IVF probe query on top of the trained index (exactly
     * `Ann.knnIvf`): probe the 4 nearest cells per query, rank
     * candidates by exact cosine. */
-  private def ivfUnrolled(iters: Int): String = {
+  private def ivfUnrolled(iters: Int): String =
+    ivfTopCtes(iters) +
+      """SELECT query_id, rank, neighbor_id FROM rr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The trained-index probe/candidate/rank pipeline as CTEs ending in
+    * `rr` — shared by e_knn_ivf and the recall report. */
+  private def ivfTopCtes(iters: Int): String = {
     ivfTrainedCtes(iters) +
     s""", probes AS MATERIALIZED (
        |  SELECT query_id, cell FROM (
@@ -1107,8 +1115,7 @@ object SparkEntry {
        |    ORDER BY cd.dot / (nq.nrm * nn.nrm) DESC, cd.neighbor_id ASC) AS rank
        |  FROM cd JOIN evn nq ON nq.vec_id = cd.query_id
        |  JOIN evn nn ON nn.vec_id = cd.neighbor_id)
-       |SELECT query_id, rank, neighbor_id FROM rr
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |""".stripMargin
   }
 
   /** Within-cell kNN graph on top of the trained index (exactly
@@ -1479,6 +1486,28 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
+    // recall@10 of the IVF probe against exact brute force — BOTH
+    // pipelines replayed in one statement from the shared ev/evn CTEs
+    "e_ivf_recall" -> (ivfTopCtes(3) +
+      """, bq AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |bs AS (
+        |  SELECT bq.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(bq.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+        |br AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM bs),
+        |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10),
+        |ivft AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+        |SELECT b.query_id,
+        |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+        |  round(count(i.neighbor_id) / 10.0, 4) AS recall_at_10
+        |FROM brt b LEFT JOIN ivft i USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY query_id""".stripMargin),
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
     // nearest-centroid confusion: centroids = 6-dp label means pinned
     // through REAL; argmax cosine with clabel-DESC tie-break (the

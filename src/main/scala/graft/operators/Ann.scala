@@ -196,6 +196,26 @@ object Ann {
     * pairs, bounded by scaling the cell count with the corpus (never
     * |D|²); top-k is a map-side bounded TypedImperativeAggregate. One
     * training run serves knnIvf, semanticDedup and this graph. */
+  /** Recall report: how much of the exact brute-force top-k the IVF
+    * probe recovers, per query — the accuracy/cost dial every ANN
+    * deployment tunes (nProbe up ⇒ recall up, search cost up). Both
+    * sides ride their memoized pipelines (broadcast-query brute pass,
+    * trained IVF index); the compare is a (query, neighbor)-keyed
+    * left join of two k·|queries|-row frames — negligible at any
+    * scale. */
+  def ivfRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvf(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val (emb, _, assigned) = ivfIndex(spark, dir)
     val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
