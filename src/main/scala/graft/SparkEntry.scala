@@ -116,6 +116,7 @@ object SparkEntry {
     "q_key_skew" -> (graft.operators.Skew.qKeySkew _),
     "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q_events_anomaly" -> (Relational.qEventsAnomaly _),
+    "d_pack_efficiency" -> (Curation.packEfficiency(_, _)),
     "d_containment_dups" -> (Dedup.containmentDups(_, _)),
     "g_triangle_estimate" -> (GraphQueries.triangleEstimate(_, _)),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
@@ -3079,6 +3080,31 @@ object SparkEntry {
         |  CAST(floor(start_tok / 2048.0) AS BIGINT) AS seq_id,
         |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "d_pack_efficiency" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+        |      1, 7))::BIGINT % 32 AS INT) AS shard,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM b),
+        |p AS (
+        |  SELECT shard, n_tokens, CAST(start_tok % 2048 AS BIGINT)
+        |    AS seq_offset
+        |  FROM c)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN seq_offset + n_tokens > 2048
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+        |  round(sum(n_tokens) /
+        |    CAST(((sum(n_tokens) + 2047) // 2048) * 2048 AS DOUBLE), 6)
+        |    AS utilization
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     // md5 k-gram hashes are engine-portable, so the whole winnowing
     // pipeline (3-token grams, min per 4-window, distinct) is oracled
     "d_fingerprint" ->

@@ -306,4 +306,27 @@ object Curation {
         (col("start_tok") % seqLen).cast("bigint").as("seq_offset"))
       .orderBy("doc_id")
   }
+
+  /** Packing efficiency report per shard: sequence count (integer
+    * ceil), tail utilization, and how many documents STRADDLE a
+    * sequence boundary (those get split or padded at training time —
+    * the packing-quality number loader teams watch). Rides
+    * [[sequencePacking]]'s layout; one shard-keyed map-side-combined
+    * aggregate over the (tiny) per-doc packing table. All integer
+    * arithmetic until the final utilization ratio. */
+  def packEfficiency(spark: SparkSession, dir: String,
+                     seqLen: Int = 2048, shards: Int = 32): DataFrame =
+    sequencePacking(spark, dir, seqLen, shards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) div $seqLen AS BIGINT)")
+          .as("n_seqs"),
+        sum(when(col("seq_offset") + col("n_tokens") > seqLen, 1L)
+          .otherwise(0L)).as("n_straddling"),
+        round(sum("n_tokens") /
+          (expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) div $seqLen AS BIGINT)")
+            * seqLen).cast("double"), 6).as("utilization"))
+      .orderBy("shard")
 }
