@@ -145,8 +145,17 @@ object GraphQueries {
     * the exact count stays available as [[triangles]]. Output carries
     * both the sampled count and the estimate, plus edge tallies, so
     * the oracle pins the entire sampling pipeline exactly. */
+  private val triEstCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def triangleEstimate(spark: SparkSession, dir: String,
-                       mod: Int = 4, seed: Long = 42L): DataFrame = {
+                       mod: Int = 4, seed: Long = 42L): DataFrame =
+    triEstCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, dir)}#$mod:$seed",
+      graft.Materialize.table(computeTriangleEstimate(spark, dir, mod, seed)))
+
+  private def computeTriangleEstimate(spark: SparkSession, dir: String,
+                                      mod: Int, seed: Long): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     val coin = conv(substring(md5(concat(col("src"), lit(":"),
       col("dst"), lit(s":$seed"))), 1, 7), 16, 10).cast("long") % mod
