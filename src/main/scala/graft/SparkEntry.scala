@@ -117,6 +117,7 @@ object SparkEntry {
     "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q_events_anomaly" -> (Relational.qEventsAnomaly _),
     "d_pack_efficiency" -> (Curation.packEfficiency(_, _)),
+    "d_epoch_plan" -> (Curation.epochPlan(_, _)),
     "d_containment_dups" -> (Dedup.containmentDups(_, _)),
     "g_triangle_estimate" -> (GraphQueries.triangleEstimate(_, _)),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
@@ -3080,6 +3081,25 @@ object SparkEntry {
         |  CAST(floor(start_tok / 2048.0) AS BIGINT) AS seq_id,
         |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "d_epoch_plan" ->
+      """WITH toks AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n_docs)) AS z FROM toks),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    round(sqrt(n_docs) / z.z, 6) AS weight
+        |  FROM toks, z),
+        |t AS (
+        |  SELECT source, n_docs, n_tokens, weight,
+        |    CAST(round(weight * 1000000) AS BIGINT) AS target_tokens
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens, weight, target_tokens,
+        |  round(target_tokens / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+        |  target_tokens > n_tokens * 4 AS oversampled
+        |FROM t ORDER BY source""".stripMargin,
     "d_pack_efficiency" ->
       """WITH b AS (
         |  SELECT doc_id,

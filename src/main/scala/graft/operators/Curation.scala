@@ -173,6 +173,34 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch plan for a token budget: given the √-temperature source
+    * weights (the [[temperatureMix]] recipe), how many tokens each
+    * source must contribute and how many PASSES over its data that
+    * means — epochs > 4 flags the over-repetition regime (repeating
+    * data beyond ~4 epochs gives rapidly diminishing returns, so the
+    * mix should be re-tempered or the source backfilled). The
+    * planning table a data team signs off before a training run.
+    * One source-keyed map-side-combined count + a 1-row broadcast;
+    * everything after is |sources|-row arithmetic. */
+  def epochPlan(spark: SparkSession, dir: String,
+                budgetTokens: Long = 1000000L): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).as("n_tokens"))
+    val z = toks.agg(sum(sqrt(col("n_docs"))).as("z"))
+    toks.crossJoin(broadcast(z))
+      .withColumn("weight", round(sqrt(col("n_docs")) / col("z"), 6))
+      .withColumn("target_tokens",
+        round(col("weight") * budgetTokens).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens") / col("n_tokens").cast("double"), 4))
+      .withColumn("oversampled", col("target_tokens") > col("n_tokens") * 4)
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "epochs", "oversampled")
+      .orderBy("source")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each
     * language's documents split into head/middle/tail by LM-score
     * terciles — CCNet keeps "head" (lowest perplexity ⇒ here HIGHEST
