@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   * SQL-oracle-checkable. */
 object GraphExport {
 
+  /** Persist a graph as a parquet layout (`path/vertices`,
+    * `path/edges`) — the save half of a GraphFrames-style
+    * save/load round trip. Edges are repartitioned on `src` before
+    * the write so a reloaded graph's edge files are already
+    * src-clustered (degree/adjacency scans touch co-located rows);
+    * at 100 TB this is the difference between a layout the next job
+    * can exploit and a random one. */
+  def saveParquet(g: Graph, path: String): Unit = {
+    g.vertices.write.mode("overwrite").parquet(s"$path/vertices")
+    g.edges.repartition(g.edges.rdd.getNumPartitions, col("src"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+  }
+
+  /** Load the [[saveParquet]] layout back into a [[Graph]]. */
+  def loadParquet(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Graph =
+    Graph(spark.read.parquet(s"$path/vertices"),
+      spark.read.parquet(s"$path/edges"))
+
   /** Graphviz DOT lines for an undirected graph. */
   def dotLines(g: Graph, name: String = "sample"): DataFrame = {
     val spark = g.edges.sparkSession

@@ -217,4 +217,22 @@ class GraphSpec extends AnyFunSuite {
       "graph t {", "  1;", "  2;", "  3;",
       "  1 -- 2;", "  2 -- 3;", "}"))
   }
+
+  test("parquet save/load round-trips the graph exactly") {
+    import graft.graph.{GraphBuilder, GraphExport}
+    val g = GraphBuilder.coPurchase(spark, SparkTestSession.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gio").toString
+    GraphExport.saveParquet(g, dir)
+    val g2 = GraphExport.loadParquet(spark, dir)
+    assert(g2.edges.count() == g.edges.count())
+    assert(g2.vertices.count() == g.vertices.count())
+    // identical edge sets and identical degree table
+    import spark.implicits._
+    val e1 = g.edges.select("src", "dst").as[(Long, Long)].collect().toSet
+    val e2 = g2.edges.select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(e1 == e2)
+    val d1 = g.degrees.as[(Long, Long)].collect().toMap
+    val d2 = g2.degrees.as[(Long, Long)].collect().toMap
+    assert(d1 == d2)
+  }
 }
