@@ -161,6 +161,8 @@ object SparkEntry {
     "g_adamic_adar" -> (GraphQueries.adamicAdar _),
     "d_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "g_rich_club" -> (GraphQueries.richClub _),
+    "g_clique4" -> (GraphQueries.clique4 _),
+    "g_dyad_census" -> (GraphQueries.dyadCensus _),
     "e_label_centroids" -> (Ann.labelCentroids _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q_running_total" -> (Relational.qRunningTotal _),
@@ -1770,6 +1772,34 @@ object SparkEntry {
         |SELECT k, n_k, e_k,
         |  round(2.0 * e_k / (n_k * (n_k - 1.0)), 6) AS rich_club
         |FROM nk WHERE n_k >= 2 ORDER BY k""".stripMargin),
+    // 4-clique count: id-ordered enumeration (each K4 a<b<c<d counted
+    // once, at triangle (a,b,c) via the 4th-vertex intersection) — the
+    // engine's degree-ordered kernel counts the same invariant.
+    "g_clique4" -> (GraphCte +
+      """, adjid AS (
+        |  SELECT src AS u, list(dst ORDER BY dst) AS nbrs FROM e
+        |  GROUP BY 1)
+        |SELECT CAST(coalesce(sum(len(list_intersect(
+        |    list_intersect(ax.nbrs, ay.nbrs), az.nbrs))), 0) AS BIGINT)
+        |  AS clique4_count
+        |FROM tri t JOIN adjid ax ON ax.u = t.a
+        |JOIN adjid ay ON ay.u = t.b
+        |JOIN adjid az ON az.u = t.c""".stripMargin),
+    "g_dyad_census" -> (DirectedCte +
+      """, pd AS (
+        |  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+        |    count(*) AS ndir
+        |  FROM de GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN ndir = 2 THEN 1 END), 0) AS BIGINT) AS mutual,
+        |    CAST(coalesce(sum(CASE WHEN ndir = 1 THEN 1 END), 0) AS BIGINT) AS asym
+        |  FROM pd),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dv)
+        |SELECT nv.n AS n_vertices, ag.mutual, ag.asym,
+        |  CAST((nv.n * (nv.n - 1)) // 2 - ag.mutual - ag.asym AS BIGINT)
+        |    AS nulld
+        |FROM ag, nv""".stripMargin),
     "q18_large_orders" ->
       """WITH bo AS (
         |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem

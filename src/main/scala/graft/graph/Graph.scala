@@ -168,36 +168,67 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * A lazy val: GraphBuilder caches Graph instances per dir, so the
     * persisted intersection stream is computed once per graph no matter
     * how many triangle-derived queries consume it. */
-  @transient private lazy val orientedCommon: DataFrame = {
+  /** Degree-ordered oriented edge set (lo→hi by (degree, id)) — the
+    * acyclic orientation under every triangle/clique kernel. */
+  @transient private lazy val orientedEdges: DataFrame = {
     val deg = if (vertexCount <= 500000) broadcast(degrees) else degrees
     val e = edges.select("src", "dst")
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
-    val oriented = graft.Materialize.table(e.select(
+    graft.Materialize.table(e.select(
       when(col("sdeg") < col("ddeg") ||
            (col("sdeg") === col("ddeg") && col("src") < col("dst")),
         struct(col("src").as("lo"), col("dst").as("hi")))
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
         .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi")))
-    // ascending-sorted adjacency: the intersection below is a native
-    // sorted-merge expression (two primitive cursors), which needs —
-    // and downstream determinism benefits from — sorted arrays
-    val adjHiBase = oriented.groupBy(col("lo").as("v"))
-      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+  }
+
+  /** Sorted out-neighbor adjacency of [[orientedEdges]] (v → nbrs asc).
+    * Ascending sort because the intersect kernels are native sorted-
+    * merge expressions (two primitive cursors); array width is bounded
+    * by the orientation at O(√|E|), never the raw max degree. Shared by
+    * the triangle intersection stream and the 4-clique kernel. */
+  @transient private lazy val orientedAdj: DataFrame =
+    graft.Materialize.table(orientedEdges.groupBy(col("lo").as("v"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs")))
+
+  @transient private lazy val orientedCommon: DataFrame = {
     // adjacency is one array-row per vertex; when it fits comfortably in
     // a broadcast (the usual case for graphs whose vertex set is orders
     // of magnitude smaller than the edge set), broadcasting avoids
     // shuffling the WIDE intermediate rows (edge + its adjacency array)
     // through two joins. For vertex sets beyond that, fall back to the
     // co-partitioned shuffle join.
-    val adjHi = if (vertexCount <= 500000) broadcast(adjHiBase) else adjHiBase
-    graft.Materialize.table(oriented
+    val adjHi = if (vertexCount <= 500000) broadcast(orientedAdj) else orientedAdj
+    graft.Materialize.table(orientedEdges
       .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
       .select(col("lo"), col("hi"),
         graft.functions.SortedLongIntersect.sortedIntersect(col("nu"),
           coalesce(col("nv"), typedLit(Array.empty[Long]))).as("common")))
+  }
+
+  /** Global 4-clique (K4) count — the Chiba–Nishizeki kernel one rung
+    * up from triangles. Every K4 {a,b,c,d} has a unique topological
+    * order a→b→c→d under the acyclic (degree, id) orientation, so it is
+    * counted exactly once: at triangle (a,b,c) — row (a,b) of the
+    * persisted intersection stream with c ∈ common — when d turns up in
+    * common(a,b) ∩ N⁺(c). Cost is Σ_triangles |N⁺(c)|-merge work, with
+    * every array width bounded by the orientation at O(√|E|); the
+    * triangle stream joins adjacency co-partitioned on c (broadcast
+    * under the usual vertex-count gate), then one global sum — no
+    * wedge materialization, no 4-way join. */
+  @transient lazy val clique4Count: DataFrame = {
+    val triC = orientedCommon
+      .filter(size(col("common")) >= 2)
+      .select(col("common"), explode(col("common")).as("c"))
+    val adj = if (vertexCount <= 500000) broadcast(orientedAdj) else orientedAdj
+    triC.join(adj.select(col("v").as("c"), col("nbrs")), Seq("c"), "left")
+      .select(size(graft.functions.SortedLongIntersect.sortedIntersect(
+        col("common"),
+        coalesce(col("nbrs"), typedLit(Array.empty[Long])))).cast("long").as("k"))
+      .agg(coalesce(sum("k"), lit(0L)).as("clique4_count"))
   }
 
   /** Full triangle enumeration (lo, hi, w): every triangle once, from

@@ -767,4 +767,34 @@ object GraphQueries {
   /** Rich-club coefficient curve — see [[Metrics.richClub]]. */
   def richClub(spark: SparkSession, dir: String): DataFrame =
     Metrics.richClub(GraphBuilder.coPurchase(spark, dir))
+
+  /** Global 4-clique count — see [[Graph.clique4Count]]. The natural
+    * next rung of the clique ladder after [[triangles]]; a K4-dense
+    * graph is the signature of the order-clique construction, so the
+    * count is a structural fingerprint the triangle count can't see. */
+  def clique4(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).clique4Count
+
+  /** Dyad census of the directed purchase-sequence graph
+    * (nx.dyadic census semantics: holland-leinhardt M/A/N counts):
+    * mutual = unordered pairs linked in both directions, asym = pairs
+    * linked one way, nulld = unlinked pairs among the C(n,2) dyads.
+    * One groupBy on the canonicalized pair (the directed edge set is
+    * distinct, so the per-pair direction count is 1 or 2) plus the
+    * cached vertex count — no pair materialization for the nulls. */
+  def dyadCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Scc.lineSequenceEdges(spark, dir)
+    val pairDirs = e.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("ndir"))
+    val v = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    pairDirs.agg(
+        sum(when(col("ndir") === 2, 1L).otherwise(0L)).as("mutual"),
+        sum(when(col("ndir") === 1, 1L).otherwise(0L)).as("asym"))
+      .crossJoin(v.agg(count(lit(1)).as("n")))
+      .select(col("n").as("n_vertices"), col("mutual"), col("asym"),
+        (col("n") * (col("n") - 1) / 2 - col("mutual") - col("asym"))
+          .cast("long").as("nulld"))
+  }
 }
