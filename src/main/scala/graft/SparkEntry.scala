@@ -164,6 +164,7 @@ object SparkEntry {
     "g_clique4" -> (GraphQueries.clique4 _),
     "g_dyad_census" -> (GraphQueries.dyadCensus _),
     "e_label_centroids" -> (Ann.labelCentroids _),
+    "e_silhouette" -> (Ann.silhouette _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q_running_total" -> (Relational.qRunningTotal _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
@@ -2171,6 +2172,44 @@ object SparkEntry {
         |FROM embeddings e
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) x
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // centroid silhouette, exact-integer replica of the engine's
+    // micro-int pipeline: micro vectors -> floor-mean micro centroids
+    // -> BIGINT squared distances -> IEEE sqrt ratio -> micro-pinned
+    // order-free mean. Every d2 is an exact integer in both engines.
+    "e_silhouette" ->
+      """WITH cent AS (
+        |  SELECT e.label AS clabel, x.i AS dim,
+        |    CAST(floor(sum(CAST(round(CAST(e.embedding[x.i] AS DOUBLE)
+        |      * 1000000) AS BIGINT)) / count(*)) AS BIGINT) AS mu
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) x
+        |  GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    CAST(sum(
+        |      (CAST(round(CAST(e.embedding[c.dim] AS DOUBLE) * 1000000)
+        |         AS BIGINT) - c.mu)
+        |      * (CAST(round(CAST(e.embedding[c.dim] AS DOUBLE) * 1000000)
+        |           AS BIGINT) - c.mu)) AS BIGINT) AS d2
+        |  FROM embeddings e CROSS JOIN cent c
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |    min(CASE WHEN clabel <> label THEN d2 END) AS b2
+        |  FROM dist GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT label,
+        |    CAST(round((CASE WHEN greatest(a2, b2) = 0 THEN 0.0
+        |      ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+        |        / greatest(sqrt(CAST(a2 AS DOUBLE)),
+        |                   sqrt(CAST(b2 AS DOUBLE))) END) * 1000000)
+        |      AS BIGINT) AS sm
+        |  FROM ab)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(sm) AS BIGINT) / (count(*) * 1000000.0), 6)
+        |    AS silhouette
+        |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_katz" -> (GraphCte + katzUnrolled(8) +
       "SELECT id, round(rank, 6) AS katz FROM k8 ORDER BY id"),
     "g_eigenvector" -> (GraphCte + evUnrolled(8) +

@@ -690,4 +690,53 @@ object Ann {
     }.toArray
     (vals, vecs)
   }
+
+  /** Per-label simplified silhouette (centroid silhouette): for each
+    * vector, a = distance to its OWN label centroid, b = distance to
+    * the nearest OTHER label centroid, s = (b − a)/max(a, b); report
+    * the per-label mean — the standard clustering-quality score at the
+    * cost of one centroid pass instead of the O(n²) pairwise original.
+    *
+    * Engine-portable by exact integer arithmetic end to end: vectors
+    * and centroids live in micro-ints (centroid micro = floor of the
+    * exact micro-sum / n), so every squared distance is an exact
+    * BIGINT in any engine; s derives from those integers through
+    * IEEE sqrt/division (bit-identical on identical inputs) and is
+    * micro-pinned before the order-free integer mean.
+    *
+    * Scale shape: centroids are a labels×dim broadcast (built by ONE
+    * map-side-combined groupBy); the corpus streams once through the
+    * scoring crossJoin — labels rows per vector, a (label-count)-way
+    * fan-out, NOT |D|²; per-vector min/max collapse map-side. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => micro(x)).as("m"))
+    val cents = emb
+      .select(col("label").as("clabel"), posexplode(col("m")).as(Seq("dim", "v")))
+      .groupBy("clabel", "dim")
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("mu"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("cvec"))
+    val d2 = aggregate(
+      zip_with(col("m"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        when(col("clabel") === col("label"), d2).as("a2"),
+        when(col("clabel") =!= col("label"), d2).as("b2"))
+      .groupBy("vec_id", "label")
+      .agg(max("a2").as("a2"), min("b2").as("b2"))
+    val a = sqrt(col("a2").cast("double"))
+    val b = sqrt(col("b2").cast("double"))
+    val s = when(greatest(col("a2"), col("b2")) === 0L, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    scored
+      .select(col("label"), micro(s).as("sm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sm")) / (count(lit(1)) * 1e6), 6).as("silhouette"))
+      .orderBy("label")
+  }
 }

@@ -185,4 +185,39 @@ class AnnSpec extends AnyFunSuite {
       assert(rows.map(_._2).sorted.toSeq == (1 to 8))
     }
   }
+
+  test("silhouette matches a driver-side exact-integer recompute") {
+    val got = Ann.silhouette(spark, sf)
+      .as[(Int, Long, Double)].collect().toSeq
+    // brute replica of the same micro-int pipeline on collected data
+    val vecs = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", $"label", $"embedding").as[(Long, Int, Array[Float])]
+      .collect()
+      .map { case (id, l, e) =>
+        (id, l, e.map(x => math.round(x.toDouble * 1e6)))
+      }
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim) { i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / vs.length).toLong
+      }
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val perLabel = vecs.groupBy(_._2).map { case (l, vs) =>
+      val sms = vs.map { case (_, _, m) =>
+        val a2 = d2(m, cents(l))
+        val b2 = cents.collect { case (l2, c) if l2 != l => d2(m, c) }.min
+        val s = if (math.max(a2, b2) == 0L) 0.0
+          else (math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+               math.max(math.sqrt(a2.toDouble), math.sqrt(b2.toDouble))
+        math.round(s * 1e6)
+      }
+      (l, vs.length.toLong,
+        BigDecimal(sms.sum.toDouble / (vs.length * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got == perLabel)
+    got.foreach { case (_, _, s) => assert(s >= -1.0 && s <= 1.0) }
+  }
 }
