@@ -163,6 +163,8 @@ object SparkEntry {
     "g_rich_club" -> (GraphQueries.richClub _),
     "g_clique4" -> (GraphQueries.clique4 _),
     "g_dyad_census" -> (GraphQueries.dyadCensus _),
+    "g_triad_census" ->
+      ((s: SparkSession, d: String) => graph.TriadCensus.census(s, d)),
     "e_label_centroids" -> (Ann.labelCentroids _),
     "e_silhouette" -> (Ann.silhouette _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
@@ -611,6 +613,14 @@ object SparkEntry {
 
   /** Directed purchase-sequence edge CTE (the [[SccCte]] derivation
     * minus the transitive closure): `de` (src,dst) + `dv` (id). */
+  /** 64-way dyad-code classifier CASE, generated from the engine's
+    * [[graph.TriadCensus.codeToType]] so the oracle and the engine
+    * share ONE classification by construction. */
+  private def triadCaseSql: String =
+    graph.TriadCensus.codeToType.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $k THEN '$v'" }
+      .mkString("CASE cab * 16 + cac * 4 + cbc ", " ", " END")
+
   private val DirectedCte: String =
     """WITH li AS (
       |  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
@@ -1801,6 +1811,71 @@ object SparkEntry {
         |  CAST((nv.n * (nv.n - 1)) // 2 - ag.mutual - ag.asym AS BIGINT)
         |    AS nulld
         |FROM ag, nv""".stripMargin),
+    // Full 16-type triad census: the same Batagelj–Mrvar decomposition
+    // as the engine (vertex-ordered >=2-dyad triple enumeration +
+    // counting formulas for 012/102/003); the 64-way classifier CASE is
+    // GENERATED from the engine's own codeToType map, so both sides
+    // share one classification by construction.
+    "g_triad_census" -> (DirectedCte +
+      s""", pc AS (
+        |  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+        |    max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+        |      + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+        |  FROM de GROUP BY 1, 2),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dv),
+        |t1 AS (
+        |  SELECT p1.code AS cab, p2.code AS cac,
+        |    coalesce(p3.code, 0) AS cbc
+        |  FROM pc p1 JOIN pc p2 ON p2.lo = p1.lo AND p2.hi > p1.hi
+        |  LEFT JOIN pc p3 ON p3.lo = p1.hi AND p3.hi = p2.hi),
+        |t2 AS (
+        |  SELECT p1.code AS cab, 0 AS cac, p3.code AS cbc
+        |  FROM pc p1 JOIN pc p3 ON p3.lo = p1.hi
+        |  WHERE NOT EXISTS (SELECT 1 FROM pc p2
+        |                    WHERE p2.lo = p1.lo AND p2.hi = p3.hi)),
+        |t3 AS (
+        |  SELECT 0 AS cab, p2.code AS cac, p3.code AS cbc
+        |  FROM pc p2 JOIN pc p3 ON p3.hi = p2.hi AND p3.lo > p2.lo
+        |  WHERE NOT EXISTS (SELECT 1 FROM pc p1
+        |                    WHERE p1.lo = p2.lo AND p1.hi = p3.lo)),
+        |tri AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        |        UNION ALL SELECT * FROM t3),
+        |cls AS (
+        |  SELECT ${triadCaseSql} AS triad_type,
+        |    (CASE WHEN cab = 3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cac = 3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cbc = 3 THEN 1 ELSE 0 END) AS nmut,
+        |    (CASE WHEN cab IN (1, 2) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cac IN (1, 2) THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cbc IN (1, 2) THEN 1 ELSE 0 END) AS nasym
+        |  FROM tri),
+        |agg AS (SELECT triad_type, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM cls GROUP BY 1),
+        |subs AS (
+        |  SELECT CAST(coalesce(sum(nmut), 0) AS BIGINT) AS sm,
+        |    CAST(coalesce(sum(nasym), 0) AS BIGINT) AS sa,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM cls),
+        |dy AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN code = 3 THEN 1 END), 0) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(CASE WHEN code IN (1, 2) THEN 1 END), 0) AS BIGINT) AS a
+        |  FROM pc),
+        |names AS (SELECT unnest(['003','012','021C','021D','021U','030C',
+        |  '030T','102','111D','111U','120C','120D','120U','201','210',
+        |  '300']) AS triad_type)
+        |SELECT nm.triad_type,
+        |  CAST(CASE nm.triad_type
+        |    WHEN '012' THEN (nv.n - 2) * dy.a - subs.sa
+        |    WHEN '102' THEN (nv.n - 2) * dy.m - subs.sm
+        |    WHEN '003' THEN (nv.n * (nv.n - 1) * (nv.n - 2)) // 6
+        |      - subs.tot - ((nv.n - 2) * dy.a - subs.sa)
+        |      - ((nv.n - 2) * dy.m - subs.sm)
+        |    ELSE coalesce(ag.cnt, 0) END AS BIGINT) AS n_triads
+        |FROM names nm
+        |LEFT JOIN agg ag ON ag.triad_type = nm.triad_type
+        |CROSS JOIN nv CROSS JOIN dy CROSS JOIN subs
+        |ORDER BY nm.triad_type""".stripMargin),
     "q18_large_orders" ->
       """WITH bo AS (
         |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
