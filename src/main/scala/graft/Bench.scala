@@ -25,6 +25,8 @@ object Bench {
       def docs = Tables(spark, sfDir).documents
       Seq(
         "co_purchase_graph" -> (() => { g.degrees.count(); () }),
+        "directed_edges" -> (() =>
+          { graft.graph.Scc.lineSequenceEdges(spark, sfDir).count(); () }),
         "edge_common_stats" -> (() => { g.edgeCommonStats.count(); () }),
         "lpa_communities" -> (() => { GraphBuilder.communities(spark, g).count(); () }),
         "community_sample" -> (() =>

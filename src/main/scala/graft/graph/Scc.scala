@@ -49,7 +49,21 @@ object Scc {
     * 944). The filter is a plain pushed-down parquet predicate; the
     * window shuffles once on l_orderkey (orders are O(1) lines each). */
   def lineSequenceEdges(spark: SparkSession, dir: String,
-                        minQty: Double = 42.0): DataFrame = {
+                        minQty: Double = 42.0): DataFrame =
+    // the default-threshold table feeds SEVEN queries (scc ×2,
+    // reciprocity, directed degrees, HITS, dyad + triad census) —
+    // materialize it once per (session, dir) instead of re-running
+    // the 600k-row window pass per consumer. Non-default thresholds
+    // (spec-only) stay unmemoized.
+    if (minQty == 42.0)
+      edgeCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+        graft.Materialize.table(buildLineSequenceEdges(spark, dir, minQty)))
+    else buildLineSequenceEdges(spark, dir, minQty)
+
+  private val edgeCache = TrieMap.empty[String, DataFrame]
+
+  private def buildLineSequenceEdges(spark: SparkSession, dir: String,
+                                     minQty: Double): DataFrame = {
     val li = Tables(spark, dir).lineitem
       .filter(col("l_quantity") >= minQty)
       .select("l_orderkey", "l_linenumber", "l_partkey")
