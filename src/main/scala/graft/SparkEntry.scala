@@ -162,6 +162,7 @@ object SparkEntry {
     "d_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "g_rich_club" -> (GraphQueries.richClub _),
     "g_clique4" -> (GraphQueries.clique4 _),
+    "g_square_count" -> (GraphQueries.squareCount _),
     "g_dyad_census" -> (GraphQueries.dyadCensus _),
     "g_triad_census" ->
       ((s: SparkSession, d: String) => graph.TriadCensus.census(s, d)),
@@ -1796,6 +1797,16 @@ object SparkEntry {
         |FROM tri t JOIN adjid ax ON ax.u = t.a
         |JOIN adjid ay ON ay.u = t.b
         |JOIN adjid az ON az.u = t.c""".stripMargin),
+    // 4-cycle count via the wedge-pair identity: every square has two
+    // endpoint diagonals, so C4 = (1/2) sum over pairs of C(n_uw, 2).
+    "g_square_count" -> (GraphCte +
+      """, wp AS (
+        |  SELECT s1.dst AS u, s2.dst AS w, count(*) AS n
+        |  FROM sym s1 JOIN sym s2 ON s2.src = s1.src AND s1.dst < s2.dst
+        |  GROUP BY 1, 2)
+        |SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT)
+        |  AS square_count
+        |FROM wp""".stripMargin),
     "g_dyad_census" -> (DirectedCte +
       """, pd AS (
         |  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,

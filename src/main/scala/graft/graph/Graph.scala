@@ -231,6 +231,37 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
       .agg(coalesce(sum("k"), lit(0L)).as("clique4_count"))
   }
 
+  /** Global 4-cycle (C4 / square) count, via the wedge-pair identity:
+    * a square u–v₁–w–v₂ is an unordered pair of wedges sharing BOTH
+    * endpoints, and every square has exactly two endpoint diagonals,
+    * so C4 = ½ Σ_{u<w} C(n_uw, 2) with n_uw = # common neighbors —
+    * summed over ALL pairs at distance ≤ 2, adjacent or not (which is
+    * why this is its own kernel and not a [[edgeCommonStats]] read).
+    *
+    * Cost is the wedge count Σ_v C(deg(v), 2) — the information-
+    * theoretic floor for exact C4 counting (every wedge can close a
+    * square). Plan: one co-partitioned self-join on the wedge center
+    * (narrow 16-byte rows), then one map-side-combined groupBy on the
+    * endpoint pair; counts stay exact longs. Hub skew bounds each
+    * center's fan-out at C(maxDeg, 2) — AQE's skew split handles the
+    * tail; nothing is ever collected. */
+  @transient lazy val squareCount: DataFrame = {
+    // wedges via the codegen'd equi-join on the center (an adjacency-
+    // array HOF pair generator was measured 4.5× SLOWER — interpreted
+    // transform/slice per row, same trap the triangle kernel hit);
+    // the u<w predicate runs inline in the join loop, and the packed
+    // 64-bit pair key (ids < 2³² by construction) halves the shuffle
+    // row into the map-side-combined hash aggregate.
+    val sym = symmetrized
+    val wedges = sym.select(col("src").as("v"), col("dst").as("u"))
+      .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+      .select((col("u") * lit(4294967296L) + col("w")).as("uw"))
+    wedges.groupBy("uw").agg(count(lit(1)).as("n"))
+      .agg((coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)) / 2)
+        .cast("long").as("square_count"))
+  }
+
   /** Full triangle enumeration (lo, hi, w): every triangle once, from
     * the persisted oriented intersection stream — consumers that need
     * per-SUBGRAPH triangle counts (e.g. intra-community clustering)

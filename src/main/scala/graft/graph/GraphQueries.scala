@@ -775,6 +775,10 @@ object GraphQueries {
   def clique4(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).clique4Count
 
+  /** Global 4-cycle count — see [[Graph.squareCount]]. */
+  def squareCount(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.coPurchase(spark, dir).squareCount
+
   /** Dyad census of the directed purchase-sequence graph
     * (nx.dyadic census semantics: holland-leinhardt M/A/N counts):
     * mutual = unordered pairs linked in both directions, asym = pairs

@@ -261,6 +261,40 @@ class GraphSpec extends AnyFunSuite {
     assert(got == k4)
   }
 
+  test("squareCount counts 4-cycles on known graphs") {
+    // plain 4-cycle: 1 square
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(Graph(GraphBuilder.vertices(c4), c4).squareCount.head().getLong(0) == 1L)
+    // C5: no 4-cycles
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)).toDF("src", "dst")
+    assert(Graph(GraphBuilder.vertices(c5), c5).squareCount.head().getLong(0) == 0L)
+    // K4: C(4,2)/... each omitted pair of a 4-subset? K4's squares:
+    // choose the 4 vertices, 3 distinct cyclic orderings -> 3
+    assert(k4.filterVertices($"id" <= 4).squareCount.head().getLong(0) == 3L)
+    // K2,3: pairs of degree-2-side vertices through the two hubs: C(3,2)=3
+    val k23 = (for { l <- Seq(1L, 2L); r <- Seq(10L, 11L, 12L) } yield (l, r))
+      .toDF("src", "dst")
+    assert(Graph(GraphBuilder.vertices(k23), k23).squareCount.head().getLong(0) == 3L)
+  }
+
+  test("squareCount matches a driver-side wedge-pair recompute on the real graph") {
+    val g = GraphBuilder.coPurchase(spark, SparkTestSession.sf)
+    val got = g.squareCount.head().getLong(0)
+    val edges = g.edges.select("src", "dst").as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.Set.empty) += d
+      adj.getOrElseUpdate(d, scala.collection.mutable.Set.empty) += s
+    }
+    val ids = adj.keys.toArray.sorted
+    var sum = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val n = (adj(ids(i)) & adj(ids(j))).size.toLong
+      sum += n * (n - 1) / 2
+    }
+    assert(got == sum / 2)
+  }
+
   test("dyadCensus partitions C(n,2) into mutual/asym/null") {
     // directed edges: 1↔2 mutual, 1→3 asym, 3↔4... build via a temp
     // dir is heavyweight — test the pure pair algebra on the real
