@@ -163,6 +163,7 @@ object SparkEntry {
     "g_rich_club" -> (GraphQueries.richClub _),
     "g_clique4" -> (GraphQueries.clique4 _),
     "g_square_count" -> (GraphQueries.squareCount _),
+    "g_community_conductance" -> (GraphQueries.communityConductance _),
     "g_dyad_census" -> (GraphQueries.dyadCensus _),
     "g_triad_census" ->
       ((s: SparkSession, d: String) => graph.TriadCensus.census(s, d)),
@@ -2525,6 +2526,31 @@ object SparkEntry {
         |FROM l5 ORDER BY id""".stripMargin),
     "g_community_count" -> (GraphCte + lpaUnrolled(5) +
       "SELECT count(DISTINCT label) AS n_communities FROM l5"),
+    "g_community_conductance" -> (GraphCte + lpaUnrolled(5) +
+      """, lab AS (
+        |  SELECT id, dense_rank() OVER (ORDER BY label) - 1 AS community
+        |  FROM l5),
+        |ec AS (
+        |  SELECT la.community AS ca, lb.community AS cb
+        |  FROM e JOIN lab la ON la.id = e.src
+        |  JOIN lab lb ON lb.id = e.dst),
+        |cut AS (
+        |  SELECT community, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+        |    SELECT ca AS community FROM ec WHERE ca <> cb
+        |    UNION ALL SELECT cb FROM ec WHERE ca <> cb)
+        |  GROUP BY 1),
+        |vol AS (
+        |  SELECT l.community, CAST(count(*) AS BIGINT) AS n_vertices,
+        |    CAST(sum(d.degree) AS BIGINT) AS volume
+        |  FROM lab l JOIN deg d ON d.id = l.id GROUP BY 1),
+        |tot AS (SELECT CAST(sum(volume) AS BIGINT) AS vt FROM vol)
+        |SELECT v.community, v.n_vertices,
+        |  coalesce(c.cut_edges, 0) AS cut_edges, v.volume,
+        |  round(CASE WHEN least(v.volume, tot.vt - v.volume) = 0 THEN 0.0
+        |    ELSE coalesce(c.cut_edges, 0)
+        |      / least(v.volume, tot.vt - v.volume) END, 6) AS conductance
+        |FROM vol v LEFT JOIN cut c USING (community)
+        |CROSS JOIN tot ORDER BY v.community""".stripMargin),
     "g_community_sample" -> (SampleCte +
       "SELECT DISTINCT community, cur AS id FROM walk ORDER BY community, id"),
     "g_sample_export_dot" -> (SampleCte +

@@ -775,6 +775,42 @@ object GraphQueries {
   def clique4(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).clique4Count
 
+  /** Per-community conductance over the session-cached LPA labels:
+    * cut(c) = edges with exactly one endpoint in c, vol(c) = Σ degree,
+    * φ(c) = cut / min(vol, 2|E| − vol) — the standard community-
+    * quality score next to [[modularity]]. One edge→label join (the
+    * canonical co-partitioned shuffle), one label→degree join, then
+    * community-keyed aggregates; the 2|E| total is a 1-row crossJoin,
+    * never a collect. */
+  def communityConductance(spark: SparkSession, dir: String): DataFrame =
+    conductance(GraphBuilder.coPurchase(spark, dir),
+      GraphBuilder.communities(spark, GraphBuilder.coPurchase(spark, dir)))
+
+  /** Conductance core over any (id, community) labeling — spec-driven
+    * directly on hand-labeled graphs. */
+  def conductance(g: Graph, labels: DataFrame): DataFrame = {
+    val withC = g.edges.select("src", "dst")
+      .join(labels.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(labels.select(col("id").as("dst"), col("community").as("cb")), "dst")
+    val cut = withC.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+    val vol = labels.join(g.degrees, "id")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_vertices"), sum("degree").as("volume"))
+    val tot = vol.agg(sum("volume").as("vt"))
+    vol.join(cut, Seq("community"), "left")
+      .na.fill(0L, Seq("cut_edges"))
+      .crossJoin(tot)
+      .select(col("community"), col("n_vertices"), col("cut_edges"),
+        col("volume"),
+        round(when(least(col("volume"), col("vt") - col("volume")) === 0, 0.0)
+          .otherwise(col("cut_edges") /
+            least(col("volume"), col("vt") - col("volume"))), 6)
+          .as("conductance"))
+      .orderBy("community")
+  }
+
   /** Global 4-cycle count — see [[Graph.squareCount]]. */
   def squareCount(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).squareCount

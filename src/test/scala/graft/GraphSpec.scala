@@ -295,6 +295,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got == sum / 2)
   }
 
+  test("conductance on a hand-labeled two-cluster graph") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "community")
+    val got = graft.graph.GraphQueries.conductance(g, labels)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // each cluster: 3 vertices, cut 1, volume 3*2+1=7, min(7, 14-7)=7
+    assert(got == Seq((0L, 3L, 1L, 7L, 0.142857), (1L, 3L, 1L, 7L, 0.142857)))
+    // whole graph as one community: cut 0, denominator 0 -> 0.0
+    val one = labels.withColumn("community", lit(0L))
+    val g2 = graft.graph.GraphQueries.conductance(g, one)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(g2 == Seq((0L, 6L, 0L, 14L, 0.0)))
+  }
+
   test("dyadCensus partitions C(n,2) into mutual/asym/null") {
     // directed edges: 1↔2 mutual, 1→3 asym, 3↔4... build via a temp
     // dir is heavyweight — test the pure pair algebra on the real
