@@ -80,6 +80,8 @@ object SparkEntry {
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
+    "q_event_transitions" -> (Relational.qEventTransitions _),
+    "q_basket_lift" -> (Relational.qBasketLift _),
     "q_asof_attribution" -> (Relational.qAsofAttribution _),
     "q_range_join" -> (Relational.qRangeJoin _),
     "q_pivot_revenue" -> (Relational.qPivotRevenue _),
@@ -3634,6 +3636,32 @@ object SparkEntry {
         |SELECT user_id, sid, min(epoch_ms(ts)) AS session_start_ms,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "q_event_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |n AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM n ORDER BY from_type, to_type""".stripMargin,
+    "q_basket_lift" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pcnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+        |pw AS (
+        |  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pw.src, pw.dst, pw.w, cs.c AS c_src, cd.c AS c_dst,
+        |  round(pw.w * tot.n_orders / (cs.c * cd.c), 6) AS lift
+        |FROM pw JOIN pcnt cs ON cs.pk = pw.src
+        |JOIN pcnt cd ON cd.pk = pw.dst CROSS JOIN tot
+        |ORDER BY lift DESC, pw.src, pw.dst LIMIT 20""".stripMargin,
     // the oracle uses DuckDB's NATIVE ASOF JOIN against our
     // union+window implementation — two independent algorithms, one
     // hash

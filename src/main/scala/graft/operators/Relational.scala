@@ -868,4 +868,52 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
+
+  /** Event-type transition matrix (first-order Markov chain over each
+    * user's event sequence): count + row-normalized probability per
+    * (from, to). The sequence order is (ts, event_id) — the same
+    * deterministic tie-break as sessionization. One window pass + one
+    * tiny groupBy; the row normalization is a types²-sized window, not
+    * a second data pass. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Market-basket lift for co-purchased part pairs:
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) = w·N / (cₐ·c_b) over the
+    * distinct (order, part) incidence — the association-rule strength
+    * behind "frequently bought together". All counts are exact longs
+    * (ONE double division at the end, engine-portable); the order
+    * total is a 1-row crossJoin. Support floor w ≥ 3 is scale-free;
+    * top 20 by (lift, src, dst) is a deterministic bounded sort. */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val partCnt = op.groupBy("pk").agg(count(lit(1)).as("c"))
+    val tot = op.agg(countDistinct("ok").as("n_orders"))
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .join(partCnt.select(col("pk").as("src"), col("c").as("c_src")), "src")
+      .join(partCnt.select(col("pk").as("dst"), col("c").as("c_dst")), "dst")
+      .crossJoin(tot)
+      .select(col("src"), col("dst"), col("w"), col("c_src"), col("c_dst"),
+        round(col("w") * col("n_orders") / (col("c_src") * col("c_dst")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("src"), col("dst"))
+      .limit(20)
+  }
 }

@@ -145,4 +145,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.nonEmpty)
     assert(row.forall(_.getAs[Long]("count_order") > 0))
   }
+
+  test("event transition probabilities row-normalize to 1") {
+    val rows = SparkEntry.queries("q_event_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("basket lift is consistent with its own count columns") {
+    val df = SparkEntry.queries("q_basket_lift")(spark, sf)
+    val nOrders = graft.Tables(spark, sf).lineitem
+      .select("l_orderkey").distinct().count()
+    val rows = df.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (w, cs, cd, lift) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+      val want = BigDecimal(w.toDouble * nOrders / (cs.toDouble * cd))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lift == want && w >= 3)
+    }
+  }
 }
