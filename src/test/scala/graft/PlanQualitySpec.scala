@@ -341,4 +341,26 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.sparkPlan.treeString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("square count: wedge pairs are partially aggregated before their exchange") {
+    // the 64-bit-packed pair groupBy must map-side combine — shuffling
+    // raw wedges (Σ C(deg,2) rows) uncombined is the difference between
+    // a bounded shuffle and the full wedge stream on the wire
+    val plan = graft.graph.GraphBuilder.coPurchase(spark, sf)
+      .squareCount.queryExecution.executedPlan.treeString
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("clique4 joins adjacency broadcast under the vertex gate") {
+    val plan = graft.graph.GraphBuilder.coPurchase(spark, sf)
+      .clique4Count.queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("event transitions: counts combine map-side") {
+    val plan = Relational.qEventTransitions(spark, sf)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("partial_count"), plan)
+  }
 }
