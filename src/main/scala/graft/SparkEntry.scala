@@ -38,6 +38,7 @@ object SparkEntry {
     "g_closeness" -> (GraphQueries.closeness _),
     "g_diameter" -> (GraphQueries.diameter _),
     "g_betweenness" -> (GraphQueries.betweenness _),
+    "g_edge_betweenness" -> (GraphQueries.edgeBetweenness _),
     "g_community_sample" -> (GraphQueries.communitySample _),
     "d_exact_dedup" -> (Dedup.exactDedup _),
     "d_minhash_lsh_dups" -> ((s, d) =>
@@ -1321,7 +1322,54 @@ object SparkEntry {
     * level-unrolled to depth `maxDepth` (≥ max source eccentricity;
     * BFS distances come from the same recursive CTE as the BFS-family
     * oracles). */
+  /** Edge-betweenness oracle: shares [[btwCore]]'s forward/backward
+    * replay; the per-edge dependency at level l is the SAME fixed-point
+    * term the vertex sweep routes (σv/σw·(1e9+δw) for v at l−1, w at
+    * l), summed over sources and both edge orientations. */
+  private def edgeBtwUnrolled(maxDepth: Int, numSources: Int,
+                              seed: Long): String = {
+    val levels = (0 until maxDepth).map { l =>
+      s"""SELECT least(cur.v, nxt.v) AS lo, greatest(cur.v, nxt.v) AS hi,
+         |  CAST(floor(cur.sigma / nxt.sigma * (1000000000.0 + nd.dmicro)
+         |    + 0.5) AS BIGINT) AS c
+         |FROM (SELECT s, v, sigma FROM sg$maxDepth WHERE dist = $l) cur
+         |JOIN sym e ON e.src = cur.v
+         |JOIN (SELECT s, v, sigma FROM sg$maxDepth
+         |      WHERE dist = ${l + 1}) nxt
+         |  ON nxt.s = cur.s AND nxt.v = e.dst
+         |JOIN dl${l + 1} nd ON nd.s = cur.s AND nd.v = e.dst
+         |""".stripMargin
+    }.mkString(" UNION ALL ")
+    btwCore(maxDepth, numSources, seed) +
+    s""", ec AS (
+       |  SELECT lo, hi, CAST(sum(c) AS BIGINT) AS depmicro
+       |  FROM ($levels) GROUP BY lo, hi)
+       |SELECT e.src, e.dst,
+       |  CAST(coalesce(ec.depmicro, 0) * (SELECT count(*) FROM deg)
+       |    AS DOUBLE) / ($numSources * 2.0 * 1000000000.0)
+       |    AS edge_betweenness
+       |FROM e LEFT JOIN ec ON ec.lo = e.src AND ec.hi = e.dst
+       |ORDER BY e.src, e.dst""".stripMargin
+  }
+
   private def btwUnrolled(maxDepth: Int, numSources: Int, seed: Long): String = {
+    val allDl = (0 to maxDepth).map(l => s"SELECT s, v, dmicro FROM dl$l")
+      .mkString(" UNION ALL ")
+    btwCore(maxDepth, numSources, seed) +
+    s""", bw AS (
+       |  SELECT v AS id, CAST(sum(dmicro) AS BIGINT) AS depmicro
+       |  FROM ($allDl) WHERE s <> v GROUP BY v)
+       |SELECT dg.id,
+       |  CAST(coalesce(b.depmicro, 0) * (SELECT count(*) FROM deg) AS DOUBLE)
+       |    / ($numSources * 2.0 * 1000000000.0) AS betweenness
+       |FROM deg dg LEFT JOIN bw b ON b.id = dg.id
+       |ORDER BY dg.id""".stripMargin
+  }
+
+  /** Shared forward/backward Brandes replay (sources, BFS dists, σ by
+    * level, fixed-point δ by level) — consumed by [[btwUnrolled]] and
+    * [[edgeBtwUnrolled]]. */
+  private def btwCore(maxDepth: Int, numSources: Int, seed: Long): String = {
     val fwd = (1 to maxDepth).map { l =>
       s""", sgl$l AS MATERIALIZED (
          |  SELECT d.s, d.v, $l AS dist, sum(p.sigma) AS sigma
@@ -1347,8 +1395,6 @@ object SparkEntry {
          |  GROUP BY cur.s, cur.v)
          |""".stripMargin
     }.mkString
-    val allDl = (0 to maxDepth).map(l => s"SELECT s, v, dmicro FROM dl$l")
-      .mkString(" UNION ALL ")
     "WITH RECURSIVE " + GraphCte.stripPrefix("WITH ") +
     s""", srcs AS MATERIALIZED (
        |  SELECT id AS s FROM deg
@@ -1366,15 +1412,7 @@ object SparkEntry {
     s""", dl$maxDepth AS MATERIALIZED (
        |  SELECT s, v, CAST(0 AS BIGINT) AS dmicro
        |  FROM sg$maxDepth WHERE dist = $maxDepth)
-       |""".stripMargin + bwd +
-    s""", bw AS (
-       |  SELECT v AS id, CAST(sum(dmicro) AS BIGINT) AS depmicro
-       |  FROM ($allDl) WHERE s <> v GROUP BY v)
-       |SELECT dg.id,
-       |  CAST(coalesce(b.depmicro, 0) * (SELECT count(*) FROM deg) AS DOUBLE)
-       |    / ($numSources * 2.0 * 1000000000.0) AS betweenness
-       |FROM deg dg LEFT JOIN bw b ON b.id = dg.id
-       |ORDER BY dg.id""".stripMargin
+       |""".stripMargin + bwd
   }
 
   /** DuckDB-runnable oracle SQL, column names aligned with the Spark side. */
@@ -1571,6 +1609,7 @@ object SparkEntry {
     "d_semantic_dedup" -> semDedupUnrolled(3, 0.35),
     "e_knn_graph" -> knnGraphUnrolled(3, 5),
     "g_betweenness" -> btwUnrolled(12, 8, 42L),
+    "g_edge_betweenness" -> edgeBtwUnrolled(12, 8, 42L),
     // payload = utf-8 bytes of text, so md5(payload ++ k) ==
     // md5(text || k); the float cast + double norm mirror decodeStub
     "m_multimodal_meta" ->

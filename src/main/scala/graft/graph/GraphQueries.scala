@@ -396,6 +396,14 @@ object GraphQueries {
     GxBetweenness.run(GraphBuilder.coPurchase(spark, dir), numSources = 8)
       .orderBy("id")
 
+  /** Edge betweenness (Girvan–Newman criterion) — see
+    * [[GxBetweenness.edgeRun]]. Same seeded Brandes estimator as
+    * [[betweenness]]; the non-trivial top of the ranking is the
+    * graph's sparsest cut candidates. */
+  def edgeBetweenness(spark: SparkSession, dir: String): DataFrame =
+    GxBetweenness.edgeRun(GraphBuilder.coPurchase(spark, dir), numSources = 8)
+      .orderBy("src", "dst")
+
   /** FLAGSHIP: community-partitioned parallel random-walk sample. */
   def communitySample(spark: SparkSession, dir: String): DataFrame =
     CommunitySample.sample(spark, GraphBuilder.coPurchase(spark, dir))

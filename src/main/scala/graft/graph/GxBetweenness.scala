@@ -35,7 +35,20 @@ object GxBetweenness {
     run(g, numSources = n.toInt, seed = seed)
   }
 
-  def run(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame = {
+  def run(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame =
+    sweep(g, numSources, seed, edgeOut = false)
+
+  /** EDGE betweenness (nx.edge_betweenness_centrality / the
+    * Girvan–Newman splitting criterion), same seeded Brandes estimator:
+    * the backward sweep's per-edge term σv/σw·(1+δw) IS the edge
+    * dependency, so the edge variant collects exactly what the vertex
+    * accumulation already routes — one extra triplets pass per level,
+    * same fixed-point micro-longs, same n/k extrapolation. */
+  def edgeRun(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame =
+    sweep(g, numSources, seed, edgeOut = true)
+
+  private def sweep(g: Graph, numSources: Int, seed: Long,
+                    edgeOut: Boolean): DataFrame = {
     val Inf = Int.MaxValue // local: closures must not capture the module
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -131,9 +144,47 @@ object GxBetweenness {
     var delta: VertexRDD[Array[Long]] =
       forward.vertices.mapValues(_ => new Array[Long](sources.size)).cache()
     delta.count()
+    // per-edge dependency accumulator (edge mode only): the level-l
+    // term for edge (v at l−1, w at l) is the SAME micro-long the
+    // vertex path sends — collected keyed by the canonical edge.
+    // One persisted RDD per level (materialized before bg unpersists),
+    // unioned once at the end — not a re-persisted chain.
+    val edgeLevels =
+      scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.rdd.RDD[((Long, Long), Long)]]
     for (level <- maxDist to 1 by -1) {
       val bg = forward.outerJoinVertices(delta)((_, ds, d) =>
         (ds, d.getOrElse(new Array[Long](sources.size)))).cache()
+      if (edgeOut) {
+        val lvl = level // avoid capturing the loop var reference
+        val nSlots = sources.size
+        val levelEdges = bg.triplets.flatMap { t =>
+          def tot(vAttr: (DS, Array[Long]), wAttr: (DS, Array[Long])): Long = {
+            val (vds, _) = vAttr
+            val (wds, wdelta) = wAttr
+            var s = 0L
+            var i = 0
+            while (i < nSlots) {
+              if (wds.dist(i) == lvl && vds.dist(i) == lvl - 1 && wds.sigma(i) > 0)
+                s += math.floor(
+                  vds.sigma(i) / wds.sigma(i) * (1.0e9 + wdelta(i)) + 0.5).toLong
+              i += 1
+            }
+            s
+          }
+          val c = tot(t.srcAttr, t.dstAttr) + tot(t.dstAttr, t.srcAttr)
+          if (c != 0L)
+            Iterator(((math.min(t.srcId, t.dstId),
+              math.max(t.srcId, t.dstId)), c))
+          else Iterator.empty
+        }
+        // materialize NOW: levelEdges reads bg, which is unpersisted at
+        // the end of this iteration
+        val persisted = levelEdges
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted.count()
+        edgeLevels += persisted
+      }
       val contribs = bg.aggregateMessages[Array[Long]](
         t => {
           // successor w (dist level) contributes to predecessor v
@@ -185,6 +236,29 @@ object GxBetweenness {
       prev.unpersist(blocking = false)
       // vertices only — bg shares the forward graph's cached edges
       bg.unpersistVertices(blocking = false)
+    }
+
+    if (edgeOut) {
+      val all =
+        if (edgeLevels.isEmpty)
+          spark.sparkContext.emptyRDD[((Long, Long), Long)]
+        else spark.sparkContext.union(edgeLevels.toSeq)
+      val eb = all.reduceByKey(_ + _)
+        .map { case ((lo, hi), m) => (lo, hi, m) }
+        .toDF("src", "dst", "depmicro")
+      // canonicalize defensively: co-purchase edges are src<dst by
+      // construction, but Graph accepts any orientation
+      val out = g.edges
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .join(eb, Seq("src", "dst"), "left")
+        .na.fill(0L, Seq("depmicro"))
+        .select(col("src"), col("dst"),
+          ((col("depmicro") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
+            .as("edge_betweenness"))
+      val materialized = graft.Materialize.table(out)
+      edgeLevels.foreach(_.unpersist(blocking = false))
+      return materialized
     }
 
     val srcArr = sources.toArray

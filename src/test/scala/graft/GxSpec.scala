@@ -257,6 +257,63 @@ class GxSpec extends AnyFunSuite {
     }
   }
 
+  test("edge betweenness matches brute-force Brandes edge dependencies") {
+    // driver-side reference: per-source edge dependency
+    // σv/σw·(1+δw) for tree edges (v,w) of the BFS DAG, pairs halved
+    def bruteEdges(edges: Seq[(Long, Long)]): Map[(Long, Long), Double] = {
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keySet.toSeq.sorted
+      val eb = scala.collection.mutable.Map[(Long, Long), Double]()
+        .withDefaultValue(0.0)
+      for (s <- nodes) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0).withDefaultValue(0.0)
+        val order = scala.collection.mutable.ArrayBuffer[Long]()
+        val queue = scala.collection.mutable.Queue(s)
+        while (queue.nonEmpty) {
+          val v = queue.dequeue(); order += v
+          for (w <- adj(v).toSeq.sorted) {
+            if (!dist.contains(w)) { dist(w) = dist(v) + 1; queue += w }
+            if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+          }
+        }
+        val delta = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for (w <- order.reverse; v <- adj(w) if dist.contains(v) &&
+            dist(v) == dist(w) - 1) {
+          val c = sigma(v) / sigma(w) * (1.0 + delta(w))
+          delta(v) += c
+          eb((math.min(v, w), math.max(v, w))) += c
+        }
+      }
+      eb.map { case (k, v) => k -> v / 2.0 }.toMap.withDefaultValue(0.0)
+    }
+    // P3 chain (hand: both edges 2.0), star K1,3 (all 3.0), kite+tail
+    val p3 = Seq((1L, 2L), (2L, 3L))
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+    val kite = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    for (edges <- Seq(p3, star, kite)) {
+      val e = edges.toDF("src", "dst")
+      val gr = graph.Graph(graph.GraphBuilder.vertices(e), e)
+      val want = bruteEdges(edges)
+      val got = graph.GxBetweenness
+        .edgeRun(gr, numSources = want.keySet.flatMap(p => Seq(p._1, p._2)).size)
+        .as[(Long, Long, Double)].collect()
+      got.foreach { case (s, d, b) =>
+        val w = want((math.min(s, d), math.max(s, d)))
+        assert(math.abs(b - w) <= 1e-6, s"edge ($s,$d): $b vs $w")
+      }
+    }
+    // hand pins (independent of the brute): P3 edges both 2.0
+    val e = p3.toDF("src", "dst")
+    val gr = graph.Graph(graph.GraphBuilder.vertices(e), e)
+    val got = graph.GxBetweenness.edgeRun(gr, numSources = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 2.0 && got((2L, 3L)) == 2.0)
+  }
+
   test("svdPlusPlus learns a rating graph: RMSE bounded, factors finite") {
     // bipartite users 1-3 rating items 101-103 in [1,5]; enough signal
     // that 10 gradient sweeps beat the trivial predictor by a wide margin
