@@ -91,6 +91,7 @@ object SparkEntry {
     "q_value_percentiles" -> (Relational.qValuePercentiles _),
     "q_customers_no_orders" -> (Relational.qCustomersNoOrders _),
     "g_weighted_degree" -> (GraphQueries.weightedDegree _),
+    "g_weighted_clustering" -> (GraphQueries.weightedClustering _),
     "g_pagerank_weighted" -> (GraphQueries.weightedPageRank _),
     "d_token_count" -> (TextAnalysis.tokenCounts _),
     "d_quality_score" -> (TextAnalysis.qualityScores _),
@@ -3436,6 +3437,36 @@ object SparkEntry {
         |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     // CAST: DuckDB sum(BIGINT) widens to HUGEINT, which the driver's
     // hasher renders differently from Spark's long — cast back to BIGINT
+    "g_weighted_clustering" -> (GraphCte +
+      """, we AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |tc AS (
+        |  SELECT t.a AS id, t.a AS sx, t.b AS sy FROM tri t
+        |  UNION ALL SELECT t.b, t.a, t.b FROM tri t
+        |  UNION ALL SELECT t.a, t.a, t.c FROM tri t
+        |  UNION ALL SELECT t.c, t.a, t.c FROM tri t
+        |  UNION ALL SELECT t.b, t.b, t.c FROM tri t
+        |  UNION ALL SELECT t.c, t.b, t.c FROM tri t),
+        |tw AS (
+        |  SELECT tc.id, CAST(sum(w.weight) AS BIGINT) AS tri_w2
+        |  FROM tc JOIN we w ON w.src = tc.sx AND w.dst = tc.sy
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT id, CAST(sum(weight) AS BIGINT) AS strength FROM (
+        |    SELECT src AS id, weight FROM we
+        |    UNION ALL SELECT dst, weight FROM we)
+        |  GROUP BY 1)
+        |SELECT d.id, d.degree, st.strength,
+        |  CASE WHEN d.degree >= 2 THEN
+        |    round((coalesce(tw.tri_w2, 0) / 2.0)
+        |      / (st.strength * (d.degree - 1)), 6)
+        |  ELSE 0.0 END AS weighted_clustering
+        |FROM deg d JOIN st ON st.id = d.id
+        |LEFT JOIN tw ON tw.id = d.id
+        |ORDER BY d.id""".stripMargin),
     "g_weighted_degree" ->
       """WITH we AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight

@@ -346,6 +346,47 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** Weighted clustering coefficient (Barrat et al. 2004):
+    * c_w(u) = 1/(s_u·(k_u−1)) · Σ_{triangles at u} (w_uv + w_uw)/2.
+    * Barrat (arithmetic mean) rather than Onnela (geometric): integer
+    * co-purchase weights make every intermediate an EXACT long — per
+    * triangle each edge's weight lands on both its endpoints, so the
+    * numerator is one explode + one sum over the persisted triangle
+    * stream, halved once at the end; cube roots (Onnela) would ride
+    * non-correctly-rounded pow() across engines. ONE weight join keyed
+    * by canonical edge, co-partitioned. */
+  def weightedClustering(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val we = GraphBuilder.weightedEdges(spark, dir)
+    // 3 canonical edges per triangle, one row each
+    val triEdges = g.triangleEnumeration.select(
+        explode(array(
+          // lo/hi are DEGREE-ordered; the weight table is id-canonical
+          struct(least(col("lo"), col("hi")).as("src"),
+            greatest(col("lo"), col("hi")).as("dst")),
+          struct(least(col("lo"), col("w")).as("src"),
+            greatest(col("lo"), col("w")).as("dst")),
+          struct(least(col("hi"), col("w")).as("src"),
+            greatest(col("hi"), col("w")).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .join(we, Seq("src", "dst"))
+    val triW = triEdges
+      .select(explode(array(col("src"), col("dst"))).as("id"), col("weight"))
+      .groupBy("id").agg(sum("weight").as("tri_w2"))
+    val strength = we.select(col("src").as("id"), col("weight"))
+      .union(we.select(col("dst").as("id"), col("weight")))
+      .groupBy("id").agg(sum("weight").as("strength"))
+    g.degrees.join(strength, Seq("id"))
+      .join(triW, Seq("id"), "left")
+      .na.fill(0L, Seq("tri_w2"))
+      .select(col("id"), col("degree"), col("strength"),
+        when(col("degree") >= 2,
+          round((col("tri_w2") / 2.0) /
+            (col("strength") * (col("degree") - 1)), 6))
+          .otherwise(0.0).as("weighted_clustering"))
+      .orderBy("id")
+  }
+
   /** Louvain phase-1 communities (4 parity-alternating exact-integer
     * modularity-gain move rounds) over the weighted co-purchase graph. */
   // g_louvain exposes the phase-1 labels and g_louvain2 starts from the

@@ -295,6 +295,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got == sum / 2)
   }
 
+  test("weighted clustering matches a driver-side Barrat recompute") {
+    val got = graft.graph.GraphQueries
+      .weightedClustering(spark, SparkTestSession.sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val we = graft.graph.GraphBuilder
+      .weightedEdges(spark, SparkTestSession.sf)
+      .as[(Long, Long, Long)].collect()
+    val wMap = we.map { case (s, d, w) => (s, d) -> w }.toMap
+    def wgt(a: Long, b: Long): Long =
+      wMap.getOrElse((math.min(a, b), math.max(a, b)), 0L)
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    we.foreach { case (s, d, _) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.Set.empty) += d
+      adj.getOrElseUpdate(d, scala.collection.mutable.Set.empty) += s
+    }
+    got.foreach { case (id, deg, strength, cw) =>
+      assert(deg == adj(id).size.toLong)
+      assert(strength == adj(id).toSeq.map(v => wgt(id, v)).sum)
+      val ns = adj(id).toSeq
+      var num2 = 0L // 2 × Σ (w_uv + w_uw)/2 = Σ (w_uv + w_uw)
+      for (i <- ns.indices; j <- (i + 1) until ns.size
+           if adj(ns(i)).contains(ns(j)))
+        num2 += wgt(id, ns(i)) + wgt(id, ns(j))
+      val want =
+        if (deg < 2) 0.0
+        else BigDecimal((num2 / 2.0) / (strength * (deg - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cw == want, s"vertex $id: $cw vs $want")
+    }
+  }
+
   test("conductance on a hand-labeled two-cluster graph") {
     // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
