@@ -71,6 +71,7 @@ object SparkEntry {
     "e_centroid_assign" -> (Ann.centroidAssign _),
     "e_cluster_entropy" -> (Ann.clusterEntropy _),
     "e_ivf_recall" -> ((s, d) => Ann.ivfRecall(s, d)),
+    "e_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
     "e_embedding_covariance" -> (Ann.embeddingCovariance _),
     "e_pca_power" -> (Ann.pcaPower(_, _)),
     "g_core_sizes" -> (GraphQueries.coreSizes _),
@@ -1194,7 +1195,15 @@ object SparkEntry {
     * `Ann.knnPq`): per-subspace Lloyd with 6-dp mean rounding,
     * L2 code assignment (d2 rounded 6 dp, ties → smaller code), then
     * the per-(query, subspace, code) LUT of 6-dp partial dots. */
-  private def pqUnrolled(iters: Int, m: Int, sub: Int): String = {
+  private def pqUnrolled(iters: Int, m: Int, sub: Int): String =
+    pqCore(iters, m, sub) +
+    """SELECT query_id, rank, neighbor_id FROM rr
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared PQ replay (micro-int subvector k-means, encode, LUT score,
+    * ranked `rr`) — consumed by [[pqUnrolled]] and
+    * [[pqRecallUnrolled]]. */
+  private def pqCore(iters: Int, m: Int, sub: Int): String = {
     val rounds = (1 to iters).map { k =>
       s""", pd$k AS (
          |  SELECT e.vec_id, e.m, c.code,
@@ -1273,9 +1282,33 @@ object SparkEntry {
        |      / (q.qnorm * sqrt(CAST(sc.rn2 AS DOUBLE))) DESC, sc.vec_id ASC)
        |    AS rank
        |  FROM sc JOIN qn q ON q.query_id = sc.query_id)
-       |SELECT query_id, rank, neighbor_id FROM rr
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |""".stripMargin
   }
+
+  /** PQ recall oracle: [[pqUnrolled]]'s ranking (the CTE prefix up to
+    * `rr`) joined against the exact cosine top-10 — same shape as the
+    * IVF recall oracle. */
+  private def pqRecallUnrolled(iters: Int, m: Int, sub: Int): String =
+    pqCore(iters, m, sub) +
+    """, bq AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < 20),
+      |bs AS (
+      |  SELECT bq.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(bq.q_emb, e.embedding) AS sim
+      |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+      |br AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM bs),
+      |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10),
+      |pqt AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+      |SELECT b.query_id,
+      |  CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+      |  round(count(p.neighbor_id) / 10.0, 4) AS recall_at_10
+      |FROM brt b LEFT JOIN pqt p USING (query_id, neighbor_id)
+      |GROUP BY 1 ORDER BY query_id""".stripMargin
 
   /** Unrolled BPE training (exactly `Bpe.train`): word-frequency dict
     * with marker-prefixed symbol strings, then per round count adjacent
@@ -1567,6 +1600,7 @@ object SparkEntry {
         |FROM brt b LEFT JOIN ivft i USING (query_id, neighbor_id)
         |GROUP BY 1 ORDER BY query_id""".stripMargin),
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
+    "e_pq_recall" -> pqRecallUnrolled(2, 4, 16),
     // nearest-centroid confusion: centroids = 6-dp label means pinned
     // through REAL; argmax cosine with clabel-DESC tie-break (the
     // max-struct convention)

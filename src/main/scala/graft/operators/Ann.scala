@@ -216,6 +216,22 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Recall@k of the PQ-compressed ranking against exact brute-force
+    * cosine — the companion report to [[ivfRecall]], closing the ANN
+    * evaluation pair (quantization loss vs partitioning loss). */
+  def pqRecall(spark: SparkSession, dir: String,
+               nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = knnPq(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val (emb, _, assigned) = ivfIndex(spark, dir)
     val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
