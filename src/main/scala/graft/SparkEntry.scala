@@ -169,6 +169,7 @@ object SparkEntry {
     "g_clique4" -> (GraphQueries.clique4 _),
     "g_square_count" -> (GraphQueries.squareCount _),
     "g_community_conductance" -> (GraphQueries.communityConductance _),
+    "g_community_assortativity" -> (GraphQueries.communityAssortativity _),
     "g_dyad_census" -> (GraphQueries.dyadCensus _),
     "g_triad_census" ->
       ((s: SparkSession, d: String) => graph.TriadCensus.census(s, d)),
@@ -2627,6 +2628,31 @@ object SparkEntry {
         |      / least(v.volume, tot.vt - v.volume) END, 6) AS conductance
         |FROM vol v LEFT JOIN cut c USING (community)
         |CROSS JOIN tot ORDER BY v.community""".stripMargin),
+    "g_community_assortativity" -> (GraphCte + lpaUnrolled(5) +
+      """, lab AS (
+        |  SELECT id, dense_rank() OVER (ORDER BY label) - 1 AS community
+        |  FROM l5),
+        |ec AS (
+        |  SELECT la.community AS ca, lb.community AS cb
+        |  FROM e JOIN lab la ON la.id = e.src
+        |  JOIN lab lb ON lb.id = e.dst),
+        |ia AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN ca = cb THEN 2 END), 0)
+        |    AS BIGINT) AS intra2, CAST(count(*) AS BIGINT) AS m
+        |  FROM ec),
+        |mg AS (
+        |  SELECT CAST(sum(a * a) AS BIGINT) AS sum_a2 FROM (
+        |    SELECT c, CAST(count(*) AS BIGINT) AS a FROM (
+        |      SELECT ca AS c FROM ec UNION ALL SELECT cb FROM ec)
+        |    GROUP BY c))
+        |SELECT CAST(ia.m * 2 AS BIGINT) AS endpoints,
+        |  ia.intra2 AS intra_endpoints, mg.sum_a2,
+        |  CASE WHEN (ia.m * 2) * (ia.m * 2) - mg.sum_a2 = 0 THEN 0.0
+        |    ELSE round(
+        |      CAST((ia.m * 2) * ia.intra2 - mg.sum_a2 AS DOUBLE)
+        |      / ((ia.m * 2) * (ia.m * 2) - mg.sum_a2), 6) END
+        |    AS assortativity
+        |FROM ia, mg""".stripMargin),
     "g_community_sample" -> (SampleCte +
       "SELECT DISTINCT community, cur AS id FROM walk ORDER BY community, id"),
     "g_sample_export_dot" -> (SampleCte +

@@ -887,6 +887,43 @@ object GraphQueries {
       .orderBy("community")
   }
 
+  /** Attribute (community) assortativity coefficient
+    * (nx.attribute_assortativity_coefficient over the LPA labels):
+    * r = (Σᵢ eᵢᵢ − Σᵢ aᵢ·bᵢ) / (1 − Σᵢ aᵢ·bᵢ) on the edge-endpoint
+    * mixing matrix — how strongly edges stay inside communities,
+    * normalized against chance. Exact longs until the final division:
+    * with M = 2|E| directed endpoints, r = (M·Σ2eᵢᵢᵈ − Σ(aᵢᵈ)²) /
+    * (M² − Σ(aᵢᵈ)²) where eᵢᵢᵈ counts ordered intra-community edges
+    * and aᵢᵈ the ordered endpoint counts (the symmetric matrix makes
+    * aᵢ = bᵢ). One edge→label join + two tiny aggregates. */
+  def communityAssortativity(spark: SparkSession, dir: String): DataFrame =
+    attributeAssortativity(GraphBuilder.coPurchase(spark, dir),
+      GraphBuilder.communities(spark,
+        GraphBuilder.coPurchase(spark, dir)))
+
+  /** Assortativity core over any (id, community) labeling. */
+  def attributeAssortativity(g: Graph, labels: DataFrame): DataFrame = {
+    val withC = g.edges.select("src", "dst")
+      .join(labels.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(labels.select(col("id").as("dst"), col("community").as("cb")), "dst")
+    // ordered (both directions): intra count and per-community endpoint count
+    val intra = withC.agg(
+      (sum(when(col("ca") === col("cb"), 2L).otherwise(0L))).as("intra2"),
+      count(lit(1)).as("m"))
+    val margin = withC
+      .select(explode(array(col("ca"), col("cb"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("a"))
+      .agg(sum(col("a") * col("a")).as("sum_a2"))
+    val den = (col("m") * 2) * (col("m") * 2) - col("sum_a2")
+    intra.crossJoin(margin)
+      .select((col("m") * 2).as("endpoints"), col("intra2").as("intra_endpoints"),
+        col("sum_a2"),
+        // single-community degenerate case: denominator 0 ⇒ define r=0
+        when(den === 0, lit(0.0)).otherwise(
+          round(((col("m") * 2) * col("intra2") - col("sum_a2"))
+            .cast("double") / den, 6)).as("assortativity"))
+  }
+
   /** Global 4-cycle count — see [[Graph.squareCount]]. */
   def squareCount(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.coPurchase(spark, dir).squareCount

@@ -345,6 +345,31 @@ class GraphSpec extends AnyFunSuite {
     assert(g2 == Seq((0L, 6L, 0L, 14L, 0.0)))
   }
 
+  test("attribute assortativity on hand-labeled graphs") {
+    // two triangles + bridge (the conductance fixture): M=14 ordered
+    // endpoints, intra2=12, A_0=A_1=7 -> r=(14*12-98)/(196-98)=70/98
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val g = Graph(GraphBuilder.vertices(e), e)
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "community")
+    val r = graft.graph.GraphQueries.attributeAssortativity(g, labels)
+      .head().getDouble(3)
+    assert(r == BigDecimal(70.0 / 98.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // single community: degenerate, defined 0
+    val one = labels.withColumn("community", lit(0L))
+    assert(graft.graph.GraphQueries.attributeAssortativity(g, one)
+      .head().getDouble(3) == 0.0)
+    // perfectly disassortative: bipartite star, all edges cross
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val gs = Graph(GraphBuilder.vertices(star), star)
+    val bip = Seq((10L, 0L), (1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "community")
+    // M=6, intra2=0, A_0=3, A_1=3 -> r=(0-18)/(36-18) = -1
+    assert(graft.graph.GraphQueries.attributeAssortativity(gs, bip)
+      .head().getDouble(3) == -1.0)
+  }
+
   test("dyadCensus partitions C(n,2) into mutual/asym/null") {
     // directed edges: 1↔2 mutual, 1→3 asym, 3↔4... build via a temp
     // dir is heavyweight — test the pure pair algebra on the real
