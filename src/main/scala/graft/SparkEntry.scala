@@ -218,6 +218,8 @@ object SparkEntry {
     "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
     "q_late_shipments" -> (Relational.qLateShipments _),
     "q22_idle_customers" -> (Relational.q22IdleCustomers _),
+    "g_anf" -> (GraphQueries.anf _),
+    "g_salsa" -> (GraphQueries.salsa _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -773,6 +775,62 @@ object SparkEntry {
          |""".stripMargin
     }.mkString(
       ", h0 AS MATERIALIZED (SELECT id, degree AS c FROM deg)\n", "", "")
+
+  /** Unrolled ANF Flajolet-Martin fixpoint (exactly [[graft.graph.Gx.anf]]):
+    * sketch j of vertex v starts as the lowest-set-bit mask of the
+    * md5-derived 28-bit hash of "anf:j:v"; each round OR-aggregates
+    * over sym∪self. `rr` carries the per-round EXACT integer statistic
+    * Σ lowestZeroBitMask — bit-identical to the engine's long sum. */
+  private def anfUnrolled(rounds: Int, sketches: Int): String = {
+    val body = (1 to rounds).map { i =>
+      s""", a$i AS MATERIALIZED (
+         |  SELECT s.src AS id, p.j, bit_or(p.mask) AS mask
+         |  FROM symp s JOIN a${i - 1} p ON p.id = s.dst
+         |  GROUP BY 1, 2)
+         |""".stripMargin
+    }.mkString
+    val totals = (0 to rounds).map { i =>
+      s"SELECT $i AS t, CAST(sum((mask + 1) & (~mask)) AS BIGINT) AS mask_total FROM a$i"
+    }.mkString("\n  UNION ALL ")
+    s""", js AS (SELECT unnest(range(0, $sketches)) AS j)
+       |, a0h AS (
+       |  SELECT d.id, js.j,
+       |    ('0x' || substr(md5('anf:' || js.j || ':' || d.id), 1, 7))
+       |      ::BIGINT AS h
+       |  FROM deg d CROSS JOIN js)
+       |, a0 AS MATERIALIZED (
+       |  SELECT id, j,
+       |    CASE WHEN h = 0 THEN 268435456 ELSE h & (-h) END AS mask
+       |  FROM a0h)
+       |, symp AS (SELECT src, dst FROM sym
+       |    UNION ALL SELECT id, id FROM deg)
+       |$body, rr AS (
+       |  $totals)
+       |""".stripMargin
+  }
+
+  /** Min-label CC over the SALSA bipartite support graph (built from
+    * the [[DirectedCte]] `de`/`dv` tables): hub copy 2v, authority
+    * copy 2v+1. Plain label propagation needs diameter-many rounds —
+    * the sf0.01 bipartite graph converges by ~35; 56 leaves margin
+    * across testdata regenerations. Final table: `bcc(id, lbl)`. */
+  private def salsaCcUnrolled(rounds: Int): String = {
+    val body = (1 to rounds).map { i =>
+      s""", b$i AS MATERIALIZED (
+         |  SELECT s.src AS id, min(n.lbl) AS lbl
+         |  FROM bsp s JOIN b${i - 1} n ON n.id = s.dst
+         |  GROUP BY s.src)
+         |""".stripMargin
+    }.mkString
+    s""", be AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM de)
+       |, bvv AS (SELECT src AS id FROM be UNION SELECT dst FROM be)
+       |, bsp AS (SELECT src, dst FROM be
+       |    UNION ALL SELECT dst AS src, src AS dst FROM be
+       |    UNION ALL SELECT id, id FROM bvv)
+       |, b0 AS (SELECT id, id AS lbl FROM bvv)
+       |$body, bcc AS (SELECT id, lbl FROM b$rounds)
+       |""".stripMargin
+  }
 
   /** Unrolled k-truss peel (exactly `Metrics.kTruss`): per round,
     * enumerate each triangle once on the canonical surviving edges,
@@ -2382,6 +2440,37 @@ object SparkEntry {
       """SELECT a.id, round(a.q / 1000000.0, 6) AS auth,
         |  round(h.q / 1000000.0, 6) AS hub
         |FROM a8 a JOIN h8 h ON h.id = a.id ORDER BY a.id""".stripMargin),
+    // SALSA closed form: min-label CC over the bipartite support graph
+    // (hub copy 2v / authority copy 2v+1), then component-weighted
+    // degree ratios — all-integer inputs, one rounded division per score
+    "g_salsa" -> (DirectedCte + salsaCcUnrolled(56) +
+      """, ind AS (SELECT dst AS v, count(*) AS ind FROM de GROUP BY 1)
+        |, outd AS (SELECT src AS v, count(*) AS outd FROM de GROUP BY 1)
+        |, acc AS (SELECT (id - 1) // 2 AS v, lbl AS comp FROM bcc
+        |          WHERE id % 2 = 1)
+        |, hcc AS (SELECT id // 2 AS v, lbl AS comp FROM bcc
+        |          WHERE id % 2 = 0)
+        |, aagg AS (SELECT a.comp, sum(i.ind) AS sind, count(*) AS na
+        |           FROM acc a JOIN ind i ON i.v = a.v GROUP BY 1)
+        |, hagg AS (SELECT h.comp, sum(o.outd) AS soutd, count(*) AS nh
+        |           FROM hcc h JOIN outd o ON o.v = h.v GROUP BY 1)
+        |, ta AS (SELECT count(*) AS n FROM acc)
+        |, th AS (SELECT count(*) AS n FROM hcc)
+        |, ascore AS (
+        |  SELECT a.v, round((g.na * CAST(i.ind AS DOUBLE)) /
+        |      ((SELECT n FROM ta) * CAST(g.sind AS DOUBLE)), 6) AS auth
+        |  FROM acc a JOIN ind i ON i.v = a.v
+        |  JOIN aagg g ON g.comp = a.comp)
+        |, hscore AS (
+        |  SELECT h.v, round((g.nh * CAST(o.outd AS DOUBLE)) /
+        |      ((SELECT n FROM th) * CAST(g.soutd AS DOUBLE)), 6) AS hub
+        |  FROM hcc h JOIN outd o ON o.v = h.v
+        |  JOIN hagg g ON g.comp = h.comp)
+        |SELECT d.id, coalesce(a.auth, 0.0) AS auth,
+        |  coalesce(h.hub, 0.0) AS hub
+        |FROM dv d LEFT JOIN ascore a ON a.v = d.id
+        |LEFT JOIN hscore h ON h.v = d.id
+        |ORDER BY d.id""".stripMargin),
     "g_degree_centrality" -> (GraphCte +
       ", nv AS (SELECT count(*) AS c FROM deg)\n" +
       """SELECT id, round(degree / ((SELECT c FROM nv) - 1.0), 6)
@@ -3729,6 +3818,12 @@ object SparkEntry {
         |  (SELECT count(*) FROM stri) AS sampled_triangles,
         |  CAST((SELECT count(*) FROM stri) * 64 AS BIGINT)
         |    AS est_triangles""".stripMargin),
+    // ANF/FM sketch replayed exactly: the round statistic is an exact
+    // integer sum, so only the final division touches floats
+    "g_anf" -> (GraphCte + anfUnrolled(8, 8) +
+      """SELECT t, mask_total,
+        |  round(mask_total / (8 * 0.77351), 2) AS reached_est
+        |FROM rr ORDER BY t""".stripMargin),
     // the oracle asserts the tolerance flag TRUE (the same gating move
     // as q_approx_distinct_users): a drifting GK sketch hash-mismatches
     "q_approx_percentiles" ->

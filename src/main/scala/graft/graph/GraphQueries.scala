@@ -590,6 +590,16 @@ object GraphQueries {
   def diameter(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.diameter(GraphBuilder.coPurchase(spark, dir))
 
+  /** ANF neighborhood-function sketch — see [[Gx.anf]]. Emits
+    * (t, mask_total, reached_est): the exact integer round statistic
+    * plus the FM estimate of #pairs within distance t. The scale
+    * answer to "what is the effective diameter / average distance of
+    * a 100 TB-derived graph": constant-width per-vertex sketches and
+    * one OR-merge traversal per round, where every exact alternative
+    * is all-pairs BFS. */
+  def anf(spark: SparkSession, dir: String): DataFrame =
+    Gx.anf(GraphBuilder.coPurchase(spark, dir))
+
   /** Open-wedge counts per center vertex via the motif pattern API
     * (GraphFrames `g.find`, the reference library's signature query
     * surface): paths a→b→c with a ≠ c and NO closing a—c edge. The
@@ -824,6 +834,12 @@ object GraphQueries {
     * see [[Hits.hits]]. */
   def hits(spark: SparkSession, dir: String): DataFrame =
     Hits.hits(Scc.lineSequenceEdges(spark, dir)).orderBy("id")
+
+  /** SALSA authorities/hubs on the directed purchase-sequence graph —
+    * closed-form stationary scores (one CC + two aggregations, no
+    * power iteration), see [[Hits.salsa]]. */
+  def salsa(spark: SparkSession, dir: String): DataFrame =
+    Hits.salsa(Scc.lineSequenceEdges(spark, dir))
 
   /** Normalized degree centrality — see [[Metrics.degreeCentrality]]. */
   def degreeCentrality(spark: SparkSession, dir: String): DataFrame =

@@ -838,6 +838,85 @@ object Gx {
     (df, rmse)
   }
 
+  /** ANF / HyperANF-style neighborhood function (Palmer-Gibbons-
+    * Faloutsos ANF; Boldi-Rosa-Vigna HyperANF) — N(t) = #pairs (u,v)
+    * with d(u,v) ≤ t, estimated by per-vertex Flajolet-Martin bitmask
+    * sketches OR-merged along edges for `rounds` supersteps. This is
+    * THE web-scale effective-diameter/avg-distance algorithm: exact
+    * neighborhood functions need all-pairs BFS (|V|² state), while the
+    * sketch is `sketches` ints per vertex and each round is one
+    * traversal with map-side elementwise-OR merge — message width is
+    * constant, hub-safe by construction.
+    *
+    * Fully deterministic and engine-portable: sketch j of vertex v
+    * sets bit ρ(h) where h = first 7 hex digits of md5("anf:j:v") —
+    * in SQL, `('0x' || substr(md5('anf:'||j||':'||v), 1, 7))::BIGINT`
+    * and ρ's mask is `h & -h` (h=0 ⇒ 2²⁸). The per-round statistic is
+    * Σ_{v,j} lowestZeroBitMask(M_t(v,j)) — an EXACT integer, so the
+    * distributed sum is order-independent and the DuckDB oracle
+    * replays the whole fixpoint bit-for-bit; the single float (the
+    * 2^R/0.77351 FM estimate, summed) divides that integer once.
+    *
+    * Scale: state is |V|·k ints; rounds ≤ effective diameter (log-ish
+    * on social graphs); each round one aggregateMessages over the
+    * cached volume-partitioned edges. At 100 TB this is exactly the
+    * HyperANF plan (they use HLL registers; FM bitmasks keep the
+    * merge a single OR and the oracle replayable). */
+  def anf(g: Graph, rounds: Int = 8, sketches: Int = 8): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val k = sketches
+    def initMasks(id: Long): Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(k) { j =>
+        val d = md.digest(s"anf:$j:$id".getBytes("UTF-8"))
+        val h = ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+          ((d(2) & 0xFFL) << 4) | ((d(3) & 0xFFL) >>> 4)
+        if (h == 0L) 1 << 28 else (h & -h).toInt
+      }
+    }
+    // Σ over sketches of the lowest-zero-bit mask — exact long, the
+    // deterministic per-vertex contribution to the round statistic.
+    def lzSum(m: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < m.length) { s += ((m(i) + 1) & ~m(i)).toLong; i += 1 }
+      s
+    }
+    def orMerge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      // fresh array: `a`/`b` may BE vertex-attribute arrays (sendToDst
+      // passes srcAttr by reference) — never mutate them.
+      val r = new Array[Int](a.length)
+      var i = 0
+      while (i < a.length) { r(i) = a(i) | b(i); i += 1 }
+      r
+    }
+    val xg = of(g)
+    var cur: XGraph[Array[Int], Int] =
+      xg.mapVertices((id, _) => initMasks(id))
+    cur.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = Array.ofDim[Long](rounds + 1)
+    totals(0) = cur.vertices.map { case (_, m) => lzSum(m) }
+      .fold(0L)(_ + _)
+    var t = 1
+    while (t <= rounds) {
+      val msgs = cur.aggregateMessages[Array[Int]](
+        ctx => { ctx.sendToDst(ctx.srcAttr); ctx.sendToSrc(ctx.dstAttr) },
+        orMerge)
+      val next = cur.joinVertices(msgs)((_, old, m) => orMerge(old, m))
+      next.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+      totals(t) = next.vertices.map { case (_, m) => lzSum(m) }
+        .fold(0L)(_ + _)
+      cur.vertices.unpersist(blocking = false)
+      cur = next
+      t += 1
+    }
+    cur.vertices.unpersist(blocking = false)
+    (0 to rounds).map(i => (i, totals(i))).toDF("t", "mask_total")
+      .withColumn("reached_est",
+        round(col("mask_total") / (k * 0.77351), 2))
+      .orderBy("t")
+  }
+
   /** Double-sweep diameter lower bound, exact
     * [[Iterative.diameterEstimate]] semantics: BFS from the max-degree
     * vertex, then BFS from the farthest vertex found (ties: min id). */

@@ -81,4 +81,69 @@ object Hits {
       .select(col("id"), round(col("auth") / 1e6, 6).as("auth"),
         round(col("hub") / 1e6, 6).as("hub"))
   }
+
+  /** SALSA (Lempel–Moran, TOIS 2001) — the stochastic cousin of HITS:
+    * authority scores are the stationary distribution of the
+    * backward-then-forward random walk on the bipartite support graph
+    * (hub copies on one side, authority copies on the other).
+    *
+    * NO power iteration: on each connected component of that bipartite
+    * graph the chain's stationary distribution is in CLOSED FORM —
+    * π(a) ∝ indeg(a) within the component — and the paper's meta-chain
+    * weights each component by its share of authority-side nodes:
+    *   auth(a) = (n_a(comp)/N_a) · indeg(a)/Σ_{comp} indeg,
+    * hub symmetrically with outdeg. So where HITS pays 2·iters message
+    * rounds, SALSA is ONE connected-components run (O(log n) rounds on
+    * GraphX) plus two degree aggregations — at 100 TB this is the
+    * entire plan, and the closed form is exact, not an estimate.
+    *
+    * Determinism: degrees, component ids (min vertex id) and node
+    * counts are exact integers; each score is one double division of
+    * exact-integer-valued doubles, rounded to 6 dp — engine-portable,
+    * replayed by the unrolled min-label CC oracle.
+    *
+    * Vertex v's hub copy is 2v, its authority copy 2v+1 (a vertex may
+    * hold both roles in different components — SALSA keeps the roles
+    * independent by construction). Vertices with no in-edges score
+    * auth 0; no out-edges, hub 0. */
+  def salsa(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    val de = edgesDf.select("src", "dst")
+    val be = de.select((col("src") * 2).as("src"),
+      (col("dst") * 2 + 1).as("dst"))
+    val bg = Graph(GraphBuilder.vertices(be), be)
+    val cc = Gx.connectedComponents(bg) // (id, component = min member id)
+    val ind = de.groupBy(col("dst").as("v")).agg(count(lit(1)).as("ind"))
+    val outd = de.groupBy(col("src").as("v")).agg(count(lit(1)).as("outd"))
+    val acc = cc.filter(col("id") % 2 === 1)
+      .select(expr("(id - 1) div 2").as("v"), col("component"))
+    val hcc = cc.filter(col("id") % 2 === 0)
+      .select(expr("id div 2").as("v"), col("component"))
+    // every authority copy has >= 1 in-edge by construction (it exists
+    // because an edge points at it) — inner joins lose nothing
+    val aj = acc.join(ind, "v")
+    val hj = hcc.join(outd, "v")
+    val aagg = aj.groupBy("component")
+      .agg(sum("ind").as("sind"), count(lit(1)).as("na"))
+    val hagg = hj.groupBy("component")
+      .agg(sum("outd").as("soutd"), count(lit(1)).as("nh"))
+    // bounded driver scalars (the two side totals), like landmark picks
+    val ta = aj.count()
+    val th = hj.count()
+    // double PRODUCTS (not long products) on both engines: every factor
+    // is an exact integer < 2^53, so the doubles are exact and the plan
+    // never overflows at scale the way na·ind as int64 would
+    val ascore = aj.join(aagg, "component").select(col("v").as("id"),
+      round((col("na") * col("ind").cast("double")) /
+        (lit(ta) * col("sind").cast("double")), 6).as("auth"))
+    val hscore = hj.join(hagg, "component").select(col("v").as("id"),
+      round((col("nh") * col("outd").cast("double")) /
+        (lit(th) * col("soutd").cast("double")), 6).as("hub"))
+    val dv = de.select(col("src").as("id"))
+      .union(de.select(col("dst").as("id"))).distinct()
+    dv.join(ascore, Seq("id"), "left")
+      .join(hscore, Seq("id"), "left")
+      .na.fill(0.0, Seq("auth", "hub"))
+      .orderBy("id")
+  }
 }

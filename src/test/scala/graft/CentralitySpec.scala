@@ -99,6 +99,47 @@ class CentralitySpec extends AnyFunSuite {
     }
   }
 
+  test("salsa closed form == stationary limit of the explicit SALSA walk") {
+    val rnd = new Random(7)
+    val dedges = (1 to 60).map { _ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val in = dedges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val out = dedges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val authNodes = dedges.map(_._2).distinct
+    val hubNodes = dedges.map(_._1).distinct
+    // authority chain: from authority w, backward along a uniform
+    // in-edge to hub u, forward along a uniform out-edge of u. Init
+    // uniform over authorities — per-component mass then equals the
+    // meta-chain's n_a(comp)/N_a weighting, so the limit IS the
+    // closed form (self-transitions w→w make every component aperiodic)
+    var a = authNodes.map(_ -> 1.0 / authNodes.size).toMap
+    for (_ <- 1 to 400) {
+      val next = collection.mutable.Map(authNodes.map(_ -> 0.0): _*)
+      for (w <- authNodes; u <- in(w); v <- out(u))
+        next(v) += a(w) / in(w).size / out(u).size
+      a = next.toMap
+    }
+    var h = hubNodes.map(_ -> 1.0 / hubNodes.size).toMap
+    for (_ <- 1 to 400) {
+      val next = collection.mutable.Map(hubNodes.map(_ -> 0.0): _*)
+      for (u <- hubNodes; w <- out(u); v <- in(w))
+        next(v) += h(u) / out(u).size / in(w).size
+      h = next.toMap
+    }
+    val got = Hits.salsa(dedges.toDF("src", "dst"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, au, hu) => id -> (au, hu) }.toMap
+    assert(got.keySet == (authNodes ++ hubNodes).toSet)
+    for (v <- got.keySet) {
+      assert(math.abs(got(v)._1 - a.getOrElse(v, 0.0)) < 1e-5, s"auth $v")
+      assert(math.abs(got(v)._2 - h.getOrElse(v, 0.0)) < 1e-5, s"hub $v")
+    }
+    // scores are distributions: each side sums to 1 (up to 6-dp rounding)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-3)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-3)
+  }
+
   test("standardRanks slots equal the independent single-run loops") {
     val g = graphOf(randomEdges)
     val hubs = Seq(3L, 7L)

@@ -339,4 +339,51 @@ class GxSpec extends AnyFunSuite {
     assert(d == Set((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2),
       (10L, 10L, 0), (10L, 11L, 1)))
   }
+
+  test("ANF sketch == OR-over-t-ball local replay (toys + real graph)") {
+    // the invariant the distributed fixpoint must satisfy: after t
+    // rounds, sketch j of v is the OR of the INIT masks of every u
+    // with d(u,v) <= t — so replaying balls via local BFS pins the
+    // whole iteration exactly, not just statistically
+    def initMask(j: Int, id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"anf:$j:$id".getBytes("UTF-8"))
+      val h = ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+        ((d(2) & 0xFFL) << 4) | ((d(3) & 0xFFL) >>> 4)
+      if (h == 0L) 1 << 28 else (h & -h).toInt
+    }
+    def check(edges: Seq[(Long, Long)], rounds: Int): Unit = {
+      val e = edges.toDF("src", "dst")
+      val gg = Graph(GraphBuilder.vertices(e), e)
+      val adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2) }
+      val ids = adj.keys.toSeq
+      def ball(s: Long, t: Int): Set[Long] = {
+        var cur = Set(s); var frontier = Set(s); var d = 0
+        while (d < t && frontier.nonEmpty) {
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)) -- cur
+          cur ++= frontier; d += 1
+        }
+        cur
+      }
+      val want = (0 to rounds).map { t =>
+        t -> ids.map { v =>
+          val b = ball(v, t)
+          (0 until 8).map { j =>
+            val m = b.map(u => initMask(j, u)).reduce(_ | _)
+            ((m + 1) & ~m).toLong
+          }.sum
+        }.sum
+      }.toMap
+      val got = Gx.anf(gg, rounds).select("t", "mask_total")
+        .as[(Int, Long)].collect().toMap
+      assert(got == want, s"anf mismatch: $got vs $want")
+    }
+    // path P5 (balls grow one hop per round) + a disconnected pair
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)), 5)
+    // star: saturates in 2 rounds; extra rounds must be no-ops
+    check(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), 4)
+    // the real sf0.001 co-purchase graph
+    check(g.edges.as[(Long, Long)].collect().toSeq, 4)
+  }
 }
