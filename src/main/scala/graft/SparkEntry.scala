@@ -72,6 +72,11 @@ object SparkEntry {
     "e_cluster_entropy" -> (Ann.clusterEntropy _),
     "e_ivf_recall" -> ((s, d) => Ann.ivfRecall(s, d)),
     "e_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
+    // sim dropped like e_knn_brute: ranking is engine-comparable
+    "e_knn_sq" -> ((s, d) =>
+      Ann.knnSq(s, d).select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
+    "e_sq_recall" -> ((s, d) => Ann.sqRecall(s, d)),
     "e_embedding_covariance" -> (Ann.embeddingCovariance _),
     "e_pca_power" -> (Ann.pcaPower(_, _)),
     "g_core_sizes" -> (GraphQueries.coreSizes _),
@@ -808,6 +813,43 @@ object SparkEntry {
        |  $totals)
        |""".stripMargin
   }
+
+  /** SQ8 shared CTEs (exactly `Ann.sqDecoded` + `Ann.knnSq`): per-dim
+    * [min,max] → 8-bit linear codes → dequantized REAL corpus `dvec`
+    * → cosine ranking `sqr`; `q` is the shared query slice. */
+  private def sqCtes: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, unnest(embedding) AS x,
+      |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      |st AS MATERIALIZED (
+      |  SELECT i, min(x) AS mn, max(x) AS mx FROM ev GROUP BY i),
+      |cd AS (
+      |  SELECT e.vec_id, e.i,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |         ELSE CAST(round((e.x - s.mn) * 255.0 / (s.mx - s.mn))
+      |              AS INT) END AS code
+      |  FROM ev e JOIN st s ON s.i = e.i),
+      |dq AS (
+      |  SELECT c.vec_id, c.i,
+      |    CAST(round(s.mn + c.code * (s.mx - s.mn) / 255.0, 6) AS REAL)
+      |      AS d
+      |  FROM cd c JOIN st s ON s.i = c.i),
+      |dvec AS MATERIALIZED (
+      |  SELECT vec_id, list(d ORDER BY i) AS dv FROM dq GROUP BY vec_id),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < 20),
+      |sqs AS (
+      |  SELECT q.query_id, d.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.q_emb, d.dv) AS sim
+      |  FROM dvec d CROSS JOIN q WHERE d.vec_id <> q.query_id),
+      |sqr AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sqs)
+      |""".stripMargin
 
   /** Min-label CC over the SALSA bipartite support graph (built from
     * the [[DirectedCte]] `de`/`dv` tables): hub copy 2v, authority
@@ -1660,6 +1702,28 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY query_id""".stripMargin),
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
     "e_pq_recall" -> pqRecallUnrolled(2, 4, 16),
+    // SQ8: per-dim [min,max] linear codes, dequantized values 6-dp
+    // rounded and pinned through REAL — exactly Ann.sqDecoded
+    "e_knn_sq" -> (sqCtes +
+      """SELECT query_id, rank, neighbor_id
+        |FROM sqr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "e_sq_recall" -> (sqCtes +
+      """, bs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |br AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM bs),
+        |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10),
+        |sqt AS (SELECT query_id, neighbor_id FROM sqr WHERE rank <= 10)
+        |SELECT b.query_id,
+        |  CAST(count(s.neighbor_id) AS BIGINT) AS n_hits,
+        |  round(count(s.neighbor_id) / 10.0, 4) AS recall_at_10
+        |FROM brt b LEFT JOIN sqt s USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY query_id""".stripMargin),
     // nearest-centroid confusion: centroids = 6-dp label means pinned
     // through REAL; argmax cosine with clabel-DESC tie-break (the
     // max-struct convention)

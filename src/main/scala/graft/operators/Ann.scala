@@ -232,6 +232,73 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** SQ8 scalar quantization: each dimension linearly quantized to an
+    * 8-bit code against the corpus per-dim [min, max] — the standard
+    * 4×-memory-reduction ANN trick (FAISS ScalarQuantizer): at scale
+    * the 1-byte-per-dim code table replaces the float corpus in the
+    * scan, like the PQ code table but with per-dim fidelity instead of
+    * subspace centroids. Returns the DEQUANTIZED corpus
+    * (vec_id, dvec: array<float>) — what an SQ index scores against.
+    *
+    * Portability: min/max are order-free exact; codes and dequantized
+    * values are single double expressions of them, 6-dp-rounded and
+    * pinned through float (the centroid move) — the SQL oracle replays
+    * them exactly. The per-dim stats are ONE tiny broadcast row; the
+    * transform is map-side over the corpus scan. */
+  def sqDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val st = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+    val b = broadcast(st.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+        s => s.getField("mn").cast("double")).as("mns"),
+      transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+        s => s.getField("mx").cast("double")).as("mxs")))
+    emb.crossJoin(b).select(col("vec_id"),
+      transform(col("embedding"), (x, i) => {
+        val mn = get(col("mns"), i)
+        val mx = get(col("mxs"), i)
+        val code = when(mx === mn, lit(0)).otherwise(
+          round((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("int"))
+        round(mn + code.cast("double") * (mx - mn) / 255.0, 6).cast("float")
+      }).as("dvec"))
+  }
+
+  /** Brute-force cosine top-k over the SQ8-dequantized corpus — the
+    * scoring path of an SQ index (same shape as [[knnBrute]]; the
+    * native compiled cosine stays the hot loop). */
+  def knnSq(spark: SparkSession, dir: String,
+            nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(queriesOf(emb, nQueries))
+    sqDecoded(spark, dir).crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("dvec")).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        round(col("nn.score"), 6).as("sim"))
+  }
+
+  /** recall@k of SQ8 quantized search vs exact brute force — completes
+    * the quantization evaluation pair (PQ subspace codes vs SQ per-dim
+    * codes) the way [[pqRecall]]/ivfRecall do for their indexes. */
+  def sqRecall(spark: SparkSession, dir: String,
+               nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val sq = knnSq(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(sq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val (emb, _, assigned) = ivfIndex(spark, dir)
     val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")

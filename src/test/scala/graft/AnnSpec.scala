@@ -186,6 +186,39 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("sqDecoded: 8-bit quantization error bounded by half a step per dim") {
+    val emb = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val dims = emb.values.head.length
+    val mn = (0 until dims).map(i => emb.values.map(_(i)).min)
+    val mx = (0 until dims).map(i => emb.values.map(_(i)).max)
+    val dec = Ann.sqDecoded(spark, sf)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(dec.keySet == emb.keySet)
+    for ((id, v) <- emb; i <- 0 until dims) {
+      val step = (mx(i) - mn(i)) / 255.0
+      // half a quantization step + the 6-dp rounding of the decode
+      assert(math.abs(dec(id)(i) - v(i)) <= step / 2 + 1e-5,
+        s"vec $id dim $i: ${dec(id)(i)} vs ${v(i)}")
+      assert(dec(id)(i) >= mn(i) - 1e-5 && dec(id)(i) <= mx(i) + 1e-5)
+    }
+  }
+
+  test("knnSq: high recall vs brute (8-bit per-dim is near-lossless)") {
+    val brute = Ann.knnBrute(spark, sf, nQueries = 10, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Ann.knnSq(spark, sf, nQueries = 10, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect sq).size.toDouble / brute.size
+    // SQ8 keeps per-dim fidelity — expect far better than PQ's 0.2 floor
+    assert(recall >= 0.7, s"SQ recall $recall too low")
+    val rep = Ann.sqRecall(spark, sf, nQueries = 10, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(rep.length == 10 && rep.forall { case (_, h, r) =>
+      h >= 0 && h <= 10 && r == h / 10.0 })
+  }
+
   test("silhouette matches a driver-side exact-integer recompute") {
     val got = Ann.silhouette(spark, sf)
       .as[(Int, Long, Double)].collect().toSeq
