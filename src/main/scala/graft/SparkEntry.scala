@@ -225,6 +225,7 @@ object SparkEntry {
     "q22_idle_customers" -> (Relational.q22IdleCustomers _),
     "g_anf" -> (GraphQueries.anf _),
     "g_salsa" -> (GraphQueries.salsa _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1879,6 +1880,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+        |    ELSE o_orderpriority END AS priority,
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+        |    ELSE o_orderstatus END AS status,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |  (o_orderpriority, o_orderstatus), ())
+        |ORDER BY gid, priority, status""".stripMargin,
     "d_ngram_novelty" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS ts

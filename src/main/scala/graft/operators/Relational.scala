@@ -560,6 +560,32 @@ object Relational {
     * {returnflag, linestatus} in ONE map-side-combined pass (4 grouping
     * sets; the ROLLUP twin is [[qRollupRevenue]]). Null-free subtotal
     * labels via grouping(), same as the rollup query. */
+  /** Explicit GROUPING SETS with grouping_id — the third member of the
+    * multi-granularity aggregation family (ROLLUP emits the prefix
+    * lattice, CUBE the full lattice; GROUPING SETS picks exactly the
+    * granularities wanted). One pass over orders: Spark expands the
+    * sets via a single Expand node feeding one hash aggregate — the
+    * same shuffle count as a plain GROUP BY, so the multi-granularity
+    * report is free of extra passes at any scale. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("tp"))
+      .createOrReplaceTempView("gs_src")
+    // SQL path like qCubeRevenue: grouping()/grouping_id() only bind
+    // inside the grouped query
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(pri) = 1 THEN 'ALL' ELSE pri END AS priority,
+        |  CASE WHEN grouping(st) = 1 THEN 'ALL' ELSE st END AS status,
+        |  cast(grouping_id(pri, st) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  round(sum(tp), 2) AS total_price
+        |FROM gs_src
+        |GROUP BY GROUPING SETS ((pri), (st), (pri, st), ())
+        |ORDER BY gid, priority, status""".stripMargin)
+  }
+
   def qCubeRevenue(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).lineitem
       .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),

@@ -169,4 +169,22 @@ class RelationalSpec extends AnyFunSuite {
       assert(lift == want && w >= 3)
     }
   }
+
+  test("grouping sets: each granularity's counts sum to the grand total") {
+    val rows = Relational.qGroupingSets(spark, sf)
+      .select("priority", "status", "gid", "n_orders")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = rows.filter(r => r._3 == 3L).map(_._4)
+    assert(total.length == 1) // exactly one () grand-total row
+    // every requested granularity partitions the order set
+    for (gid <- Seq(0L, 1L, 2L)) {
+      val part = rows.filter(_._3 == gid)
+      assert(part.nonEmpty, s"gid $gid missing")
+      assert(part.map(_._4).sum == total.head, s"gid $gid doesn't partition")
+    }
+    // gid bit semantics: 1 = status grouped out, 2 = priority grouped out
+    assert(rows.filter(_._3 == 1L).forall(r => r._2 == "ALL" && r._1 != "ALL"))
+    assert(rows.filter(_._3 == 2L).forall(r => r._1 == "ALL" && r._2 != "ALL"))
+  }
 }
