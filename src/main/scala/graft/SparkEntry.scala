@@ -226,6 +226,7 @@ object SparkEntry {
     "g_anf" -> (GraphQueries.anf _),
     "g_salsa" -> (GraphQueries.salsa _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "g_percolation" -> (GraphQueries.percolation _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -812,6 +813,40 @@ object SparkEntry {
        |    UNION ALL SELECT id, id FROM deg)
        |$body, rr AS (
        |  $totals)
+       |""".stripMargin
+  }
+
+  /** One percolation level's CTEs (exactly `GraphQueries.percolation`
+    * at keep-probability p%): md5-coin edge sample, min-label CC
+    * (sampled subgraphs fragment — sf0.01 converges by 8 rounds at
+    * every level; callers pass margin), one aggregate row `p{p}r`.
+    * Isolates = |deg| − Σ sizes, counted as size-1 components. */
+  private def percCtes(p: Int, rounds: Int): String = {
+    val pre = s"p$p"
+    val body = (1 to rounds).map { i =>
+      s""", ${pre}c$i AS MATERIALIZED (
+         |  SELECT s.src AS id, min(n.lbl) AS lbl
+         |  FROM ${pre}s s JOIN ${pre}c${i - 1} n ON n.id = s.dst
+         |  GROUP BY s.src)
+         |""".stripMargin
+    }.mkString
+    s""", ${pre}e AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |  WHERE ('0x' || substr(md5('perc:' || src || ':' || dst), 1, 7))
+       |    ::BIGINT % 100 < $p)
+       |, ${pre}v AS (SELECT src AS id FROM ${pre}e
+       |    UNION SELECT dst FROM ${pre}e)
+       |, ${pre}s AS (SELECT src, dst FROM ${pre}e
+       |    UNION ALL SELECT dst AS src, src AS dst FROM ${pre}e
+       |    UNION ALL SELECT id, id FROM ${pre}v)
+       |, ${pre}c0 AS (SELECT id, id AS lbl FROM ${pre}v)
+       |$body, ${pre}r AS (
+       |  SELECT $p AS p_pct,
+       |    (SELECT count(*) FROM ${pre}e) AS n_edges_kept,
+       |    CAST(count(*) + (SELECT count(*) FROM deg)
+       |      - CAST(sum(sz) AS BIGINT) AS BIGINT) AS n_components,
+       |    max(sz) AS giant_size
+       |  FROM (SELECT lbl, count(*) AS sz FROM ${pre}c$rounds GROUP BY 1))
        |""".stripMargin
   }
 
@@ -3897,6 +3932,11 @@ object SparkEntry {
         |  (SELECT count(*) FROM stri) AS sampled_triangles,
         |  CAST((SELECT count(*) FROM stri) * 64 AS BIGINT)
         |    AS est_triangles""".stripMargin),
+    // md5-coin edge sampling replays exactly; CC per level unrolled
+    "g_percolation" -> (GraphCte + percCtes(25, 24) + percCtes(50, 24) +
+      percCtes(75, 24) +
+      """SELECT * FROM p25r UNION ALL SELECT * FROM p50r
+        |UNION ALL SELECT * FROM p75r ORDER BY p_pct""".stripMargin),
     // ANF/FM sketch replayed exactly: the round statistic is an exact
     // integer sum, so only the final division touches floats
     "g_anf" -> (GraphCte + anfUnrolled(8, 8) +

@@ -590,6 +590,37 @@ object GraphQueries {
   def diameter(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.diameter(GraphBuilder.coPurchase(spark, dir))
 
+  /** Bond-percolation robustness: keep each edge with probability p
+    * (p = 25/50/75%), recompute connected components, report how the
+    * graph fragments — the standard resilience-under-random-failure
+    * curve (does a giant component survive losing half the edges?).
+    *
+    * The "random" coin is the portable md5 of the canonical edge (the
+    * DOULION sampling move), so the sampled graphs — and therefore
+    * every count — replay exactly in any engine. Isolated-by-sampling
+    * vertices count as size-1 components (the original vertex set is
+    * the universe, nx-style). Scale: three filtered CC runs (GraphX,
+    * O(log n) rounds each) over map-side-filtered edge sets; the
+    * per-p result is ONE row of aggregates. */
+  def percolation(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val nv = g.vertexCount
+    val frames = Seq(25, 50, 75).map { p =>
+      val coin = conv(substring(md5(concat_ws(":", lit("perc"), col("src"),
+        col("dst"))), 1, 7), 16, 10).cast("long") % 100
+      val se = g.edges.select("src", "dst").filter(coin < p)
+      val cc = Gx.connectedComponents(Graph(GraphBuilder.vertices(se), se))
+      val ne = se.count()
+      cc.groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("nec"), max("sz").as("giant"),
+          sum("sz").as("nend"))
+        .select(lit(p).as("p_pct"), lit(ne).as("n_edges_kept"),
+          (col("nec") + lit(nv) - col("nend")).as("n_components"),
+          col("giant").as("giant_size"))
+    }
+    frames.reduce(_ union _).orderBy("p_pct")
+  }
+
   /** ANF neighborhood-function sketch — see [[Gx.anf]]. Emits
     * (t, mask_total, reached_est): the exact integer round statistic
     * plus the FM estimate of #pairs within distance t. The scale

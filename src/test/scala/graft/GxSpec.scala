@@ -340,6 +340,32 @@ class GxSpec extends AnyFunSuite {
       (10L, 10L, 0), (10L, 11L, 1)))
   }
 
+  test("percolation rows == local union-find replay with the same coin") {
+    def coin(src: Long, dst: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"perc:$src:$dst".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val edges = g.edges.as[(Long, Long)].collect().toSeq
+    val allVs = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val got = graph.GraphQueries.percolation(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = Seq(25, 50, 75).map { p =>
+      val kept = edges.filter { case (s, d) => coin(s, d) < p }
+      val parent = collection.mutable.Map(allVs.map(v => v -> v): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      kept.foreach { case (s, d) => parent(find(s)) = find(d) }
+      val comps = allVs.groupBy(find)
+      (p, kept.size.toLong, comps.size.toLong,
+        comps.values.map(_.size).max.toLong)
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
   test("ANF sketch == OR-over-t-ball local replay (toys + real graph)") {
     // the invariant the distributed fixpoint must satisfy: after t
     // rounds, sketch j of v is the OR of the INIT masks of every u
