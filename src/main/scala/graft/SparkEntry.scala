@@ -227,6 +227,8 @@ object SparkEntry {
     "g_salsa" -> (GraphQueries.salsa _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "g_percolation" -> (GraphQueries.percolation _),
+    "g_powerlaw_alpha" -> ((s, d) => GraphQueries.powerlawAlpha(s, d)),
+    "g_clustering_null" -> (GraphQueries.clusteringVsNull _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1689,6 +1691,30 @@ object SparkEntry {
       """SELECT round(avg(CASE WHEN degree >= 2
         |  THEN 2.0 * triangles / (degree * (degree - 1))
         |  ELSE 0.0 END), 6) AS avg_clustering FROM tvd""".stripMargin),
+    // CSN discrete-MLE tail exponent; ln terms 1e-6-quantized to longs
+    "g_powerlaw_alpha" -> (GraphCte +
+      """SELECT 5 AS k_min, count(*) AS n_tail,
+        |  round(1.0 + count(*) * 1e6 /
+        |    CAST(sum(CAST(round(ln(degree / 4.5) * 1e6) AS BIGINT))
+        |      AS BIGINT), 6) AS alpha
+        |FROM deg WHERE degree >= 5""".stripMargin),
+    // observed avg clustering vs Newman's configuration-model null
+    "g_clustering_null" -> (GraphCte +
+      """, mom AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(degree) AS DOUBLE) / count(*) AS m1,
+        |    CAST(sum(degree * degree) AS DOUBLE) / count(*) AS m2
+        |  FROM deg),
+        |nl AS (
+        |  SELECT (m2 - m1) * (m2 - m1) / (n * m1 * m1 * m1) AS nullcc
+        |  FROM mom),
+        |ob AS (
+        |  SELECT round(avg(CASE WHEN degree >= 2
+        |    THEN 2.0 * triangles / (degree * (degree - 1))
+        |    ELSE 0.0 END), 6) AS avg_clustering FROM tvd)
+        |SELECT ob.avg_clustering, round(nl.nullcc, 6) AS null_clustering,
+        |  round(ob.avg_clustering / nl.nullcc, 6) AS ratio
+        |FROM ob, nl""".stripMargin),
     "g_transitivity" -> (GraphCte +
       """SELECT round(3.0 * (SELECT sum(triangles) / 3.0 FROM tvd)
         |  / (SELECT sum(degree * (degree - 1) / 2) FROM deg), 6)

@@ -590,6 +590,50 @@ object GraphQueries {
   def diameter(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.diameter(GraphBuilder.coPurchase(spark, dir))
 
+  /** Power-law degree-exponent MLE (Clauset–Shalizi–Newman 2009): for
+    * the degree tail k ≥ kMin, α = 1 + n / Σ ln(k_i / (kMin − ½)) —
+    * the discrete-MLE approximation. kMin is fixed (the CSN KS-scan
+    * that picks it is a model-selection loop, not a data-scale
+    * problem). Scale: one aggregation over the degree table; the ln
+    * terms are 1e-6-quantized to exact longs before the order-free
+    * sum (the word-entropy portability move), so the distributed sum
+    * is deterministic and the oracle replays it. */
+  def powerlawAlpha(spark: SparkSession, dir: String,
+                    kMin: Int = 5): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    g.degrees.filter(col("degree") >= kMin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(round(log(col("degree") / (kMin - 0.5)) * 1e6)
+          .cast("long")).as("s"))
+      .select(lit(kMin).as("k_min"), col("n_tail"),
+        round(lit(1.0) + col("n_tail") * 1e6 / col("s"), 6).as("alpha"))
+  }
+
+  /** Observed average clustering vs the configuration-model null
+    * expectation C_null = (⟨k²⟩ − ⟨k⟩)² / (n·⟨k⟩³) (Newman): the
+    * ratio says how much triadic closure exceeds what degree
+    * heterogeneity alone produces — THE test that a graph is actually
+    * clustered. Degree moments are exact integer sums; the observed
+    * value rides the session triangle stream. */
+  def clusteringVsNull(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val obs = g.averageClustering(GraphBuilder.triangles(g))
+    val m = g.degrees.agg(count(lit(1)).as("n"),
+      sum(col("degree")).as("s1"),
+      sum(col("degree") * col("degree")).as("s2"))
+      .select(col("n"),
+        (col("s1").cast("double") / col("n")).as("m1"),
+        (col("s2").cast("double") / col("n")).as("m2"))
+      .select(col("n"),
+        ((col("m2") - col("m1")) * (col("m2") - col("m1")) /
+          (col("n") * col("m1") * col("m1") * col("m1")))
+          .as("nullcc"))
+    obs.crossJoin(m)
+      .select(col("avg_clustering"), round(col("nullcc"), 6)
+          .as("null_clustering"),
+        round(col("avg_clustering") / col("nullcc"), 6).as("ratio"))
+  }
+
   /** Bond-percolation robustness: keep each edge with probability p
     * (p = 25/50/75%), recompute connected components, report how the
     * graph fragments — the standard resilience-under-random-failure

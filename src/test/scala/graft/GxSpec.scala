@@ -340,6 +340,28 @@ class GxSpec extends AnyFunSuite {
       (10L, 10L, 0), (10L, 11L, 1)))
   }
 
+  test("powerlaw alpha and clustering-null match local replays") {
+    val degs = g.degrees.select("degree").as[Long].collect()
+    val tail = degs.filter(_ >= 5)
+    val s = tail.map(k => math.round(math.log(k / 4.5) * 1e6)).sum
+    val wantAlpha = BigDecimal(1.0 + tail.length * 1e6 / s)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotA = graph.GraphQueries.powerlawAlpha(spark, sf).head()
+    assert(gotA.getInt(0) == 5 && gotA.getLong(1) == tail.length)
+    assert(gotA.getDouble(2) == wantAlpha)
+
+    val n = degs.length.toDouble
+    val m1 = degs.sum / n
+    val m2 = degs.map(k => k * k).sum / n
+    val nullcc = (m2 - m1) * (m2 - m1) / (n * m1 * m1 * m1)
+    val gotC = graph.GraphQueries.clusteringVsNull(spark, sf).head()
+    val obs = g.averageClustering(graph.GraphBuilder.triangles(g))
+      .head().getDouble(0)
+    assert(gotC.getDouble(0) == obs)
+    assert(math.abs(gotC.getDouble(1) - nullcc) < 1e-6)
+    assert(math.abs(gotC.getDouble(2) - obs / nullcc) < 1e-5)
+  }
+
   test("percolation rows == local union-find replay with the same coin") {
     def coin(src: Long, dst: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
