@@ -229,6 +229,7 @@ object SparkEntry {
     "g_percolation" -> (GraphQueries.percolation _),
     "g_powerlaw_alpha" -> ((s, d) => GraphQueries.powerlawAlpha(s, d)),
     "g_clustering_null" -> (GraphQueries.clusteringVsNull _),
+    "g_community_nmi" -> (GraphQueries.communityNmi _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -497,6 +498,37 @@ object SparkEntry {
 
   private def louvainUnrolled(rounds: Int): String =
     louvainUnrolledOver(rounds, "l", "wsym", "st", "mm")
+
+  /** Full two-level Louvain pipeline (phase-1 `l4`, contracted
+    * supergraph, phase-2 `t4`) — shared by g_louvain2 and the NMI
+    * agreement query. */
+  private lazy val Louvain2Ctes: String = LouvainCte + louvainUnrolled(4) +
+    """, sup AS MATERIALIZED (SELECT DISTINCT comm AS id FROM l4),
+      |e2 AS MATERIALIZED (
+      |  SELECT least(a.comm, b.comm) AS src,
+      |    greatest(a.comm, b.comm) AS dst,
+      |    CAST(sum(w.weight) AS BIGINT) AS weight
+      |  FROM we w JOIN l4 a ON a.id = w.src JOIN l4 b ON b.id = w.dst
+      |  WHERE a.comm <> b.comm GROUP BY 1, 2),
+      |wsym2 AS MATERIALIZED (
+      |  SELECT src, dst, weight FROM e2
+      |  UNION ALL SELECT dst, src, weight FROM e2),
+      |sw AS MATERIALIZED (
+      |  SELECT s.id, CAST(coalesce(x.selfw, 0) AS BIGINT) AS selfw
+      |  FROM sup s LEFT JOIN (
+      |    SELECT a.comm AS id, sum(w.weight) AS selfw
+      |    FROM we w JOIN l4 a ON a.id = w.src JOIN l4 b ON b.id = w.dst
+      |    WHERE a.comm = b.comm GROUP BY 1) x USING (id)),
+      |st2 AS MATERIALIZED (
+      |  SELECT s.id, CAST(coalesce(k.ke, 0) + 2 * s.selfw AS BIGINT) AS k
+      |  FROM sw s LEFT JOIN (
+      |    SELECT src AS id, sum(weight) AS ke FROM wsym2 GROUP BY 1) k
+      |    USING (id)),
+      |mm2 AS (SELECT CAST(
+      |  (SELECT coalesce(sum(weight), 0) FROM e2) +
+      |  (SELECT coalesce(sum(selfw), 0) FROM sw) AS BIGINT) AS m)
+      |""".stripMargin +
+    louvainUnrolledOver(4, "t", "wsym2", "st2", "mm2")
 
   /** The Louvain move-round unroll over parameterized CTE names, so the
     * same SQL rule replays phase 1 (`l`, `wsym`, `st`, `mm`) and the
@@ -3821,6 +3853,43 @@ object SparkEntry {
     // Louvain phase-1: 4 parity-alternating exact-integer gain rounds
     "g_louvain" -> (LouvainCte + louvainUnrolled(4) +
       "SELECT id, CAST(comm AS BIGINT) AS community FROM l4 ORDER BY id"),
+    // NMI between phase-1 and two-level Louvain: both levels come from
+    // the shared Louvain2Ctes pipeline; every MI/entropy term
+    // micro-quantized to an exact long before the order-free sum
+    "g_community_nmi" -> (Louvain2Ctes +
+      """, lvv AS (SELECT id, comm AS a FROM l4)
+        |, lpb AS (SELECT v.id, t.comm AS b
+        |          FROM l4 v JOIN t4 t ON t.id = v.comm)
+        |, ctg AS MATERIALIZED (
+        |  SELECT a, b, count(*) AS nij
+        |  FROM lvv JOIN lpb USING (id) GROUP BY 1, 2)
+        |, nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ctg)
+        |, maa AS (SELECT a, CAST(sum(nij) AS BIGINT) AS na
+        |          FROM ctg GROUP BY 1)
+        |, mbb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nb
+        |          FROM ctg GROUP BY 1)
+        |, mim AS (
+        |  SELECT CAST(sum(CAST(round((c.nij / (SELECT n FROM nn)) *
+        |      ln((c.nij * (SELECT n FROM nn)) / (maa.na * mbb.nb)) *
+        |      1000000) AS BIGINT)) AS BIGINT) AS mi_l
+        |  FROM ctg c JOIN maa USING (a) JOIN mbb USING (b))
+        |, ham AS (
+        |  SELECT CAST(sum(CAST(round((na / (SELECT n FROM nn)) *
+        |      ln(na / (SELECT n FROM nn)) * 1000000) AS BIGINT))
+        |    AS BIGINT) AS ha_l FROM maa)
+        |, hbm AS (
+        |  SELECT CAST(sum(CAST(round((nb / (SELECT n FROM nn)) *
+        |      ln(nb / (SELECT n FROM nn)) * 1000000) AS BIGINT))
+        |    AS BIGINT) AS hb_l FROM mbb)
+        |SELECT (SELECT n FROM nn) AS n_vertices,
+        |  round(mi_l / 1000000.0, 6) AS mi,
+        |  round(ha_l / -1000000.0, 6) AS h_a,
+        |  round(hb_l / -1000000.0, 6) AS h_b,
+        |  CASE WHEN ha_l = 0 OR hb_l = 0 THEN 0.0
+        |    ELSE round((mi_l / 1000000.0) /
+        |      sqrt((ha_l / -1000000.0) * (hb_l / -1000000.0)), 6)
+        |  END AS nmi
+        |FROM mim, ham, hbm""".stripMargin),
     "g_community_graph" -> (LouvainCte + louvainUnrolled(4) +
       """, lbl AS MATERIALIZED (SELECT id, comm FROM l4)
         |SELECT least(x.comm, y.comm) AS ca,
@@ -3833,45 +3902,7 @@ object SparkEntry {
     // supernodes (inter weights summed; intra weight = self-loop,
     // entering strength 2× and m but never kvin), phase-2 unroll over
     // the supergraph, map coarse labels down
-    "g_louvain2" -> ("""WITH we AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2),
-        |wsym AS MATERIALIZED (
-        |  SELECT src, dst, weight FROM we
-        |  UNION ALL SELECT dst, src, weight FROM we),
-        |st AS MATERIALIZED (
-        |  SELECT src AS id, CAST(sum(weight) AS BIGINT) AS k
-        |  FROM wsym GROUP BY 1),
-        |mm AS (SELECT CAST(sum(weight) AS BIGINT) AS m FROM we)
-        |""".stripMargin + louvainUnrolled(4) +
-      """, sup AS MATERIALIZED (SELECT DISTINCT comm AS id FROM l4),
-        |e2 AS MATERIALIZED (
-        |  SELECT least(a.comm, b.comm) AS src,
-        |    greatest(a.comm, b.comm) AS dst,
-        |    CAST(sum(w.weight) AS BIGINT) AS weight
-        |  FROM we w JOIN l4 a ON a.id = w.src JOIN l4 b ON b.id = w.dst
-        |  WHERE a.comm <> b.comm GROUP BY 1, 2),
-        |wsym2 AS MATERIALIZED (
-        |  SELECT src, dst, weight FROM e2
-        |  UNION ALL SELECT dst, src, weight FROM e2),
-        |sw AS MATERIALIZED (
-        |  SELECT s.id, CAST(coalesce(x.selfw, 0) AS BIGINT) AS selfw
-        |  FROM sup s LEFT JOIN (
-        |    SELECT a.comm AS id, sum(w.weight) AS selfw
-        |    FROM we w JOIN l4 a ON a.id = w.src JOIN l4 b ON b.id = w.dst
-        |    WHERE a.comm = b.comm GROUP BY 1) x USING (id)),
-        |st2 AS MATERIALIZED (
-        |  SELECT s.id, CAST(coalesce(k.ke, 0) + 2 * s.selfw AS BIGINT) AS k
-        |  FROM sw s LEFT JOIN (
-        |    SELECT src AS id, sum(weight) AS ke FROM wsym2 GROUP BY 1) k
-        |    USING (id)),
-        |mm2 AS (SELECT CAST(
-        |  (SELECT coalesce(sum(weight), 0) FROM e2) +
-        |  (SELECT coalesce(sum(selfw), 0) FROM sw) AS BIGINT) AS m)
-        |""".stripMargin +
-      louvainUnrolledOver(4, "t", "wsym2", "st2", "mm2") +
+    "g_louvain2" -> (Louvain2Ctes +
       """SELECT v.id, CAST(t.comm AS BIGINT) AS community
         |FROM l4 v JOIN t4 t ON t.id = v.comm ORDER BY v.id""".stripMargin),
     // weighted SSSP: 30 synchronous Bellman-Ford relaxation rounds from

@@ -590,6 +590,55 @@ object GraphQueries {
   def diameter(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.diameter(GraphBuilder.coPurchase(spark, dir))
 
+  /** Normalized mutual information between the phase-1 and two-level
+    * Louvain labelings — the standard clustering-agreement score
+    * (NMI = MI / √(H_A·H_B)), here measuring how much the contraction
+    * level coarsens the communities. (LPA is the degenerate partner
+    * on this graph — it converges to ONE label at sf0.01, H = 0.)
+    * Both labelings ride their session caches; the only new work is
+    * ONE (a,b)-keyed contingency aggregate (≤ #communities² rows) +
+    * its marginals. Every MI/entropy term is 1e-6-quantized to an
+    * exact long before the order-free sum (the cluster-entropy
+    * portability move), so the whole statistic replays in SQL. */
+  def communityNmi(spark: SparkSession, dir: String): DataFrame =
+    nmiOf(spark,
+      louvain(spark, dir).select(col("id"), col("community").as("a")),
+      louvain2(spark, dir).select(col("id"), col("community").as("b")))
+
+  /** NMI core over two labelings (id, a) / (id, b) — see
+    * [[communityNmi]] for semantics and portability. */
+  def nmiOf(spark: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    val n = a.count()
+    val ct = a.join(b, "id").groupBy("a", "b").agg(count(lit(1)).as("nij"))
+    val ma = ct.groupBy("a").agg(sum("nij").as("na"))
+    val mb = ct.groupBy("b").agg(sum("nij").as("nb"))
+    val nd = lit(n.toDouble)
+    val miL = ct.join(ma, "a").join(mb, "b")
+      .select(round((col("nij") / nd) *
+        log((col("nij") * lit(n)) / (col("na") * col("nb"))) * 1e6)
+        .cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    val haL = ma.select(round((col("na") / nd) * log(col("na") / nd) * 1e6)
+      .cast("long").as("t")).agg(sum("t")).head().getLong(0)
+    val hbL = mb.select(round((col("nb") / nd) * log(col("nb") / nd) * 1e6)
+      .cast("long").as("t")).agg(sum("t")).head().getLong(0)
+    import spark.implicits._
+    // exact micro-long scalars in, one-row Spark projection out — the
+    // final floats are single divisions of exact integers both engines
+    // compute identically
+    Seq((n, miL, haL, hbL)).toDF("n_vertices", "mi_l", "ha_l", "hb_l")
+      .select(col("n_vertices"),
+        round(col("mi_l") / 1e6, 6).as("mi"),
+        round(col("ha_l") / lit(-1e6), 6).as("h_a"),
+        round(col("hb_l") / lit(-1e6), 6).as("h_b"),
+        // a single-community side has H = 0 — NMI is defined 0 there
+        // (no information to share), matching the oracle's CASE
+        when(col("ha_l") === 0 || col("hb_l") === 0, lit(0.0))
+          .otherwise(round((col("mi_l") / 1e6) /
+            sqrt((col("ha_l") / lit(-1e6)) * (col("hb_l") / lit(-1e6))),
+            6)).as("nmi"))
+  }
+
   /** Power-law degree-exponent MLE (Clauset–Shalizi–Newman 2009): for
     * the degree tail k ≥ kMin, α = 1 + n / Σ ln(k_i / (kMin − ½)) —
     * the discrete-MLE approximation. kMin is fixed (the CSN KS-scan

@@ -340,6 +340,29 @@ class GxSpec extends AnyFunSuite {
       (10L, 10L, 0), (10L, 11L, 1)))
   }
 
+  test("NMI: 1 on identical labelings, relabel-invariant, 0 on constant") {
+    import org.apache.spark.sql.functions.col
+    def lab(pairs: (Long, Long)*) = pairs.toDF("id", "community")
+    val x = lab(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 2L)
+    def nmi(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame): Double =
+      graph.GraphQueries.nmiOf(spark,
+        a.select(col("id"), col("community").as("a")),
+        b.select(col("id"), col("community").as("b")))
+        .head().getDouble(4)
+    assert(nmi(x, x) == 1.0)
+    // bijective relabeling changes nothing
+    val y = lab(1L -> 7L, 2L -> 7L, 3L -> 5L, 4L -> 5L, 5L -> 9L, 6L -> 9L)
+    assert(nmi(x, y) == 1.0)
+    // a constant labeling carries no information: defined 0
+    val c = lab((1L to 6L).map(_ -> 0L): _*)
+    assert(nmi(x, c) == 0.0)
+    // refining one cluster keeps NMI strictly between 0 and 1
+    val r = lab(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 2L)
+    val v = nmi(x, r)
+    assert(v > 0.5 && v < 1.0, s"refinement NMI $v")
+  }
+
   test("powerlaw alpha and clustering-null match local replays") {
     val degs = g.degrees.select("degree").as[Long].collect()
     val tail = degs.filter(_ >= 5)
