@@ -230,6 +230,7 @@ object SparkEntry {
     "g_powerlaw_alpha" -> ((s, d) => GraphQueries.powerlawAlpha(s, d)),
     "g_clustering_null" -> (GraphQueries.clusteringVsNull _),
     "g_community_nmi" -> (GraphQueries.communityNmi _),
+    "g_link_temporal_eval" -> ((s, d) => GraphQueries.linkTemporalEval(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2316,6 +2317,46 @@ object SparkEntry {
         |  GROUP BY wd.u, wd.v)
         |SELECT src, dst, common_cnt, aa_score FROM sc
         |ORDER BY aa_score DESC, src, dst LIMIT 50""".stripMargin),
+    // Liben-Nowell-Kleinberg temporal protocol: AA trained strictly
+    // before the split, scored on edges that arrived after it
+    "g_link_temporal_eval" ->
+      """WITH fs AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    min(o.o_orderdate) AS fd
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  JOIN orders o ON o.o_orderkey = a.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |ee AS (SELECT src, dst FROM fs WHERE fd < TIMESTAMP '1996-01-01'),
+        |le AS (SELECT src, dst FROM fs WHERE fd >= TIMESTAMP '1996-01-01'),
+        |esym AS (SELECT src, dst FROM ee
+        |         UNION ALL SELECT dst, src FROM ee),
+        |edeg AS (SELECT src AS id, count(*) AS degree FROM esym
+        |         GROUP BY 1),
+        |sv AS (SELECT p_partkey AS id FROM part WHERE p_size <= 10),
+        |se AS (SELECT s.src, s.dst FROM esym s
+        |       JOIN sv a ON a.id = s.src JOIN sv b ON b.id = s.dst),
+        |sc AS MATERIALIZED (
+        |  SELECT wd.u, wd.v, round(sum(1.0 / ln(d.degree)), 6) AS aa
+        |  FROM (SELECT s1.src AS w, s1.dst AS u, s2.dst AS v
+        |        FROM se s1 JOIN se s2 ON s2.src = s1.src
+        |          AND s1.dst < s2.dst) wd
+        |  JOIN edeg d ON d.id = wd.w
+        |  LEFT JOIN ee ON ee.src = wd.u AND ee.dst = wd.v
+        |  WHERE ee.src IS NULL
+        |  GROUP BY wd.u, wd.v),
+        |t50 AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (ORDER BY aa DESC, u, v)
+        |      AS rk FROM sc) WHERE rk <= 50)
+        |SELECT 50 AS k,
+        |  (SELECT count(*) FROM sc) AS n_candidates,
+        |  (SELECT count(*) FROM le) AS n_late_new,
+        |  count(l.src) AS hits,
+        |  round(count(l.src) / (50 * 1.0), 4) AS precision_at_k,
+        |  round((SELECT count(*) FROM sc s
+        |         JOIN le ON le.src = s.u AND le.dst = s.v) /
+        |    ((SELECT count(*) FROM sc) * 1.0), 6) AS random_baseline
+        |FROM t50 LEFT JOIN le l ON l.src = t50.u AND l.dst = t50.v""".stripMargin,
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
         |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

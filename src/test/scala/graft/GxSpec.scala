@@ -340,6 +340,18 @@ class GxSpec extends AnyFunSuite {
       (10L, 10L, 0), (10L, 11L, 1)))
   }
 
+  test("temporal link eval: counts consistent, precision matches hits/k") {
+    val r = graph.GraphQueries.linkTemporalEval(spark, sf).head()
+    val (k, nc, nl, hits) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(k == 50 && nc >= 0 && nl >= 0)
+    assert(hits >= 0 && hits <= math.min(k.toLong, nl))
+    assert(r.getDouble(4) == BigDecimal(hits / 50.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val base = r.getDouble(5)
+    assert(base >= 0.0 && base <= 1.0)
+  }
+
   test("NMI: 1 on identical labelings, relabel-invariant, 0 on constant") {
     import org.apache.spark.sql.functions.col
     def lab(pairs: (Long, Long)*) = pairs.toDF("id", "community")
