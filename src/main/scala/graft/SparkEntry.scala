@@ -231,6 +231,8 @@ object SparkEntry {
     "g_clustering_null" -> (GraphQueries.clusteringVsNull _),
     "g_community_nmi" -> (GraphQueries.communityNmi _),
     "g_link_temporal_eval" -> ((s, d) => GraphQueries.linkTemporalEval(s, d)),
+    "q_props_json" -> (Relational.qPropsJson _),
+    "q_decayed_activity" -> (Relational.qDecayedActivity _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2317,6 +2319,25 @@ object SparkEntry {
         |  GROUP BY wd.u, wd.v)
         |SELECT src, dst, common_cnt, aa_score FROM sc
         |ORDER BY aa_score DESC, src, dst LIMIT 50""".stripMargin),
+    // half-life decayed counters: micro-quantized terms, order-free sum
+    "q_decayed_activity" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(round(value * pow(2.0,
+        |      -(((SELECT m FROM mx) - epoch_ms(ts)) / 86400000.0) / 7.0)
+        |    * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 4)
+        |    AS decayed_value,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  round(sum(CAST(json_extract(props, '$.k') AS BIGINT)) /
+        |    (count(*) * 1.0), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Liben-Nowell-Kleinberg temporal protocol: AA trained strictly
     // before the split, scored on edges that arrived after it
     "g_link_temporal_eval" ->

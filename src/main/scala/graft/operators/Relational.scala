@@ -560,6 +560,46 @@ object Relational {
     * {returnflag, linestatus} in ONE map-side-combined pass (4 grouping
     * sets; the ROLLUP twin is [[qRollupRevenue]]). Null-free subtotal
     * labels via grouping(), same as the rollup query. */
+  /** Exponential-decay (half-life) weighted activity per event type:
+    * score = Σ value·2^(−age/7d), age measured from the stream's max
+    * timestamp — the recency-weighted counter semantics behind
+    * trending/engagement scores (a decayed counter needs no window
+    * state: it is ONE map-side expression + aggregate at any scale).
+    * Each decayed term is 1e-6-quantized to an exact long before the
+    * order-free sum, so the float never depends on partition order. */
+  def qDecayedActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mx = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val age = (lit(mx) - unix_millis(col("ts"))) / 86400000.0
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * pow(lit(2.0), -age / 7.0) * 1e6)
+          .cast("long")) / 1e6, 4).as("decayed_value"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Semi-structured extraction: the events `props` column is a JSON
+    * string; parse it ONCE per row with the schema-typed `from_json`
+    * (codegen'd Jackson parse into an unsafe struct — no UDF, stays
+    * inside whole-stage codegen) and aggregate the extracted field.
+    * The scan reads only (event_type, props); the parse is map-side;
+    * integer sums are exact. This is the JSON-column pattern a 100 TB
+    * event pipeline lives on — parse at the edge of the scan, never
+    * carry strings through a shuffle. */
+  def qPropsJson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val ev = Tables(spark, dir).events
+    val k = from_json(col("props"), new StructType().add("k", LongType))
+      .getField("k")
+    ev.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        round(sum("k") / (count(lit(1)) * 1.0), 4).as("avg_k"))
+      .orderBy("event_type")
+  }
+
   /** Explicit GROUPING SETS with grouping_id — the third member of the
     * multi-granularity aggregation family (ROLLUP emits the prefix
     * lattice, CUBE the full lattice; GROUPING SETS picks exactly the

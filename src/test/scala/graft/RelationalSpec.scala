@@ -170,6 +170,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("props json extraction matches a local parse") {
+    val ev = Tables(spark, sf).events
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0),
+        """"k":\s*(-?\d+)""".r.findFirstMatchIn(r.getString(1))
+          .get.group(1).toLong))
+    val want = ev.groupBy(_._1).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map(_._2).sum,
+        rs.map(_._2).min, rs.map(_._2).max)
+    }
+    val got = Relational.qPropsJson(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
+
+  test("decayed activity: decayed <= total, local replay agrees") {
+    val rows = Tables(spark, sf).events
+      .select(org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col("ts")).as("ms"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mx = rows.map(_._1).max
+    val want = rows.groupBy(_._2).map { case (t, rs) =>
+      val dl = rs.map { case (ms, _, v) =>
+        math.round(v * math.pow(2.0, -((mx - ms) / 86400000.0) / 7.0) * 1e6)
+      }.sum
+      t -> BigDecimal(dl / 1e6).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Relational.qDecayedActivity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    got.foreach { case (t, d, tot) =>
+      assert(d == want(t), s"$t: $d vs ${want(t)}")
+      assert(d <= tot + 1e-9, s"$t decayed $d > total $tot")
+    }
+  }
+
   test("grouping sets: each granularity's counts sum to the grand total") {
     val rows = Relational.qGroupingSets(spark, sf)
       .select("priority", "status", "gid", "n_orders")
