@@ -233,6 +233,7 @@ object SparkEntry {
     "g_link_temporal_eval" -> ((s, d) => GraphQueries.linkTemporalEval(s, d)),
     "q_props_json" -> (Relational.qPropsJson _),
     "q_decayed_activity" -> (Relational.qDecayedActivity _),
+    "d_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -850,6 +851,39 @@ object SparkEntry {
        |    UNION ALL SELECT id, id FROM deg)
        |$body, rr AS (
        |  $totals)
+       |""".stripMargin
+  }
+
+  /** One dedup-sweep level's CTEs (exactly `Dedup.dedupThresholdSweep`
+    * at est-Jaccard ≥ pct%): filtered pair graph off the shared `est`
+    * table, 16-round min-label CC, one aggregate row `t{pct}r`. */
+  private def dedupSweepCtes(pct: Int, rounds: Int): String = {
+    val pre = s"t$pct"
+    val tau = pct / 100.0
+    val body = (1 to rounds).map { i =>
+      s""", ${pre}c$i AS MATERIALIZED (
+         |  SELECT s.src AS id, min(n.lbl) AS lbl
+         |  FROM ${pre}s s JOIN ${pre}c${i - 1} n ON n.id = s.dst
+         |  GROUP BY s.src)
+         |""".stripMargin
+    }.mkString
+    s""", ${pre}e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM est WHERE est >= $tau)
+       |, ${pre}v AS (SELECT src AS id FROM ${pre}e
+       |    UNION SELECT dst FROM ${pre}e)
+       |, ${pre}s AS (SELECT src, dst FROM ${pre}e
+       |    UNION ALL SELECT dst AS src, src AS dst FROM ${pre}e
+       |    UNION ALL SELECT id, id FROM ${pre}v)
+       |, ${pre}c0 AS (SELECT id, id AS lbl FROM ${pre}v)
+       |$body, ${pre}r AS (
+       |  SELECT $pct AS threshold_pct,
+       |    (SELECT count(*) FROM ${pre}e) AS n_pairs,
+       |    CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(coalesce(sum(m), 0) AS BIGINT) AS n_dup_docs,
+       |    CAST((SELECT count(*) FROM documents) - coalesce(sum(m), 0)
+       |      + count(*) AS BIGINT) AS n_survivors
+       |  FROM (SELECT lbl, count(*) AS m FROM ${pre}c$rounds
+       |        GROUP BY lbl HAVING count(*) > 1))
        |""".stripMargin
   }
 
@@ -3293,6 +3327,12 @@ object SparkEntry {
         |JOIN norms nb ON nb.vec_id = p.b
         |WHERE p.dot / (na.nrm * nb.nrm) >= 0.35
         |ORDER BY a, b""".stripMargin,
+    // stricter levels are pure filters of the shared est table —
+    // banding fixed, the retention curve replays level by level
+    "d_threshold_sweep" -> (MinhashCte + dedupSweepCtes(80, 16) +
+      dedupSweepCtes(90, 16) + dedupSweepCtes(95, 16) +
+      """SELECT * FROM t80r UNION ALL SELECT * FROM t90r
+        |UNION ALL SELECT * FROM t95r ORDER BY threshold_pct""".stripMargin),
     "d_minhash_lsh_dups" -> (MinhashCte +
       """SELECT a, b, round(est, 4) AS est_jaccard FROM est
         |WHERE est >= 0.9 ORDER BY a, b""".stripMargin),

@@ -320,6 +320,39 @@ object Dedup {
       graft.Materialize.table(graft.graph.Gx.connectedComponents(g))
     })
 
+  /** Dedup threshold sweep — the tuning curve a pipeline reads before
+    * committing to a near-dup threshold: at est-Jaccard ≥ 80/90/95%,
+    * how many pairs survive, how many clusters form, and how many
+    * documents the corpus keeps. Banding is FIXED (8×16), so stricter
+    * levels are pure filters of the session-cached ≥0.8 candidate
+    * superset — the expensive signature+band join runs ONCE; each
+    * level adds only a filtered CC over its (tiny) pair graph.
+    * (4-dp est rounding cannot flip a level: the grid step 1/128 ≈
+    * .0078 dwarfs the 5e-5 rounding radius at every boundary.) */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.count()
+    val pairs = cachedMinhashPairs(dir, docs, 0.8)
+    val frames = Seq(80, 90, 95).map { pct =>
+      val pe = pairs.filter(col("est_jaccard") >= pct / 100.0)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nPairs = pe.count()
+      val parts = math.max(2L, nPairs / 250000L + 1L).toInt
+      val g = graft.graph.Graph(
+        graft.graph.GraphBuilder.vertices(pe), pe.repartition(parts))
+      graft.graph.Gx.connectedComponents(g)
+        .groupBy("component").agg(count(lit(1)).as("m"))
+        .filter(col("m") > 1)
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum("m"), lit(0L)).as("n_dup_docs"))
+        .select(lit(pct).as("threshold_pct"), lit(nPairs).as("n_pairs"),
+          col("n_clusters"), col("n_dup_docs"),
+          (lit(nDocs) - col("n_dup_docs") + col("n_clusters"))
+            .as("n_survivors"))
+    }
+    frames.reduce(_ union _).orderBy("threshold_pct")
+  }
+
   // ---------- substring-level dedup ----------
 
   /** Portable md5 hash of every w-token sliding window of each doc

@@ -449,4 +449,21 @@ class TextSpec extends AnyFunSuite {
     // projections are nondegenerate: not all dims collapse to zero
     assert(r.filter($"proj" =!= 0.0).count() > 0)
   }
+
+  test("dedup threshold sweep: monotone retention curve, counts consistent") {
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    val rows = graft.operators.Dedup.dedupThresholdSweep(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(80, 90, 95))
+    rows.foreach { case (_, nPairs, nCl, nDup, nSurv) =>
+      assert(nSurv == nDocs - nDup + nCl) // one survivor kept per cluster
+      assert(nDup == 0 || nDup > nCl)     // multi-member clusters only
+      assert(nPairs >= nCl.max(0))
+    }
+    // stricter thresholds: fewer pairs, fewer dups, more survivors
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._4 <= lo._4 && hi._5 >= lo._5)
+    }
+  }
 }
