@@ -367,4 +367,36 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.treeString
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("props json: typed from_json, no UDF, scan pruned to 2 columns") {
+    val df = Relational.qPropsJson(spark, sf)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "props"), s.head.requiredSchema.fieldNames.toSet)
+    val plan = df.queryExecution.executedPlan.treeString
+    assert(plan.contains("from_json"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+  }
+
+  test("sq decode: per-dim stats broadcast once, dequantize is map-side") {
+    val plan = graft.operators.Ann.sqDecoded(spark, sf)
+      .queryExecution.executedPlan
+    // ONE broadcast (the 1-row stats table); the corpus side of the
+    // decode must not shuffle — only the stats aggregation exchanges
+    assert(plan.treeString.contains("BroadcastNestedLoopJoin") ||
+      plan.treeString.contains("BroadcastExchange"), plan.treeString)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, plan.treeString)
+  }
+
+  test("decayed activity: terms combine map-side before one exchange") {
+    val plan = Relational.qDecayedActivity(spark, sf)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan)
+  }
 }
