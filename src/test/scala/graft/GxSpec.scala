@@ -340,6 +340,18 @@ class GxSpec extends AnyFunSuite {
       (10L, 10L, 0), (10L, 11L, 1)))
   }
 
+  test("effective diameter is consistent with the ANF table") {
+    val a = graph.GraphQueries.anf(spark, sf)
+      .select("t", "mask_total").as[(Int, Long)].collect().toMap
+    val fin = a.values.max
+    val want = a.filter { case (_, m) => m.toDouble >= 0.9 * fin }
+      .keys.min
+    val r = graph.GraphQueries.effectiveDiameter(spark, sf).head()
+    assert(r.getInt(0) == want && r.getLong(1) == fin)
+    // monotone: reach never shrinks with t
+    (0 until 8).foreach(t => assert(a(t) <= a(t + 1)))
+  }
+
   test("temporal link eval: counts consistent, precision matches hits/k") {
     val r = graph.GraphQueries.linkTemporalEval(spark, sf).head()
     val (k, nc, nl, hits) =
