@@ -235,6 +235,8 @@ object SparkEntry {
     "q_decayed_activity" -> (Relational.qDecayedActivity _),
     "d_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "g_effective_diameter" -> (GraphQueries.effectiveDiameter _),
+    "g_neighbor_features" -> (GraphQueries.neighborFeatures _),
+    "g_distance_histogram" -> (GraphQueries.distanceHistogram _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2820,6 +2822,31 @@ object SparkEntry {
         |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25)
         |SELECT landmark, v, min(dist) AS dist FROM bfs
         |GROUP BY landmark, v ORDER BY landmark, v""".stripMargin,
+    // SAGE-style 1-hop aggregate features; price sums in exact cents
+    "g_neighbor_features" -> (GraphCte +
+      """SELECT s.src AS id, count(*) AS n_nbrs,
+        |  round(CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT))
+        |    AS BIGINT) / (count(*) * 100.0), 4) AS avg_nbr_price,
+        |  max(p.p_retailprice) AS max_nbr_price
+        |FROM sym s JOIN part p ON p.p_partkey = s.dst
+        |GROUP BY s.src ORDER BY id""".stripMargin),
+    "g_distance_histogram" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+        |lm AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 8),
+        |bfs(landmark, v, dist) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT b.landmark, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.v WHERE b.dist < 25),
+        |md AS (SELECT landmark, v, min(dist) AS dist FROM bfs
+        |       GROUP BY 1, 2)
+        |SELECT dist, count(*) AS n_pairs FROM md
+        |GROUP BY dist ORDER BY dist""".stripMargin,
     "g_global_efficiency" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -807,6 +807,40 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** GraphSAGE-style neighborhood feature aggregation: per vertex, the
+    * mean and max of its neighbors' part retail price — the 1-hop
+    * aggregate feature a graph-ML pipeline exports per node (mean/max
+    * are SAGE's standard aggregators). One symmetrized join + one
+    * map-side-combined aggregate; the price sum runs in exact cents
+    * (2-dp money → exact longs), so the mean is partition-order-free.
+    * Generalizes to any vertex attribute column unchanged. */
+  def neighborFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val feat = Tables(spark, dir).part
+      .select(col("p_partkey").as("dst"), col("p_retailprice").as("f"))
+    g.symmetrized.join(feat, "dst")
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(round(col("f") * 100).cast("long")).as("cents"),
+        max(col("f")).as("max_nbr_price"))
+      .select(col("id"), col("n_nbrs"),
+        round(col("cents") / (col("n_nbrs") * 100.0), 4)
+          .as("avg_nbr_price"),
+        col("max_nbr_price"))
+      .orderBy("id")
+  }
+
+  /** Distance histogram from the session's 8 BFS landmarks: count of
+    * (landmark, vertex) pairs at each hop distance — the small-world
+    * check (mass concentrates at 3-6 hops) off the already-memoized
+    * landmark BFS; zero new traversals. */
+  def distanceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    GraphBuilder.landmarkBfs(g, 8)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
   /** Degree-correlation function knn(k) (Pastor-Satorras et al. 2001):
     * mean average-neighbor-degree over the vertices OF each degree k —
     * the one-row-per-degree summary whose slope is the assortativity

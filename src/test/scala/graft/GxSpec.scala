@@ -340,6 +340,35 @@ class GxSpec extends AnyFunSuite {
       (10L, 10L, 0), (10L, 11L, 1)))
   }
 
+  test("neighbor features match a local replay in exact cents") {
+    val prices = graft.Tables(spark, sf).part
+      .select("p_partkey", "p_retailprice").as[(Long, Double)]
+      .collect().toMap
+    val edges = g.edges.as[(Long, Long)].collect()
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val got = graph.GraphQueries.neighborFeatures(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == nbrs.keySet)
+    for ((v, ns) <- nbrs) {
+      val cents = ns.map(u => math.round(prices(u) * 100)).sum
+      val want = BigDecimal(cents / (ns.size * 100.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(v)._1 == ns.size && got(v)._2 == want &&
+        got(v)._3 == ns.map(prices).max, s"vertex $v")
+    }
+  }
+
+  test("distance histogram sums to the landmark-BFS pair count") {
+    val bfs = graph.GraphBuilder.landmarkBfs(g, 8)
+    val hist = graph.GraphQueries.distanceHistogram(spark, sf)
+      .as[(Int, Long)].collect()
+    assert(hist.map(_._2).sum == bfs.count())
+    // 8 landmarks at distance 0 from themselves
+    assert(hist.toMap.getOrElse(0, 0L) == 8L)
+  }
+
   test("effective diameter is consistent with the ANF table") {
     val a = graph.GraphQueries.anf(spark, sf)
       .select("t", "mask_total").as[(Int, Long)].collect().toMap
