@@ -155,6 +155,44 @@ object EventStreams {
                            session_end: Timestamp, n_events: Long,
                            sum_value: Double)
 
+  final case class DecayState(lastMs: Long, value: Double)
+  final case class DecayedScore(event_type: String, last_ms: Long,
+                                decayed_value: Double)
+
+  /** Streaming decayed counter (half-life 7 d) — the streaming twin of
+    * `Relational.qDecayedActivity`: per event type, maintain the
+    * recency-weighted score v(t) = Σ value·2^(−(t−tᵢ)/τ). The decay
+    * identity v(t₂) = v(t₁)·2^(−Δ/τ) folds ALL history into two
+    * numbers (last event time, current score), so state is O(keys) on
+    * an unbounded stream with no window buffering — the reason decayed
+    * counters, not sliding windows, back trending/engagement scores at
+    * scale. Late events fold in pre-decayed to the state's clock, so
+    * the final score equals the batch formula regardless of arrival
+    * order (spec-pinned). */
+  def decayedCounter(events: Dataset[Event],
+                     halfLifeMs: Long = 7L * 86400000L): Dataset[DecayedScore] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[DecayState, DecayedScore](
+        GroupStateTimeout.NoTimeout) {
+        (k: String, batch: Iterator[Event], state: GroupState[DecayState]) =>
+          def decay(ms: Long): Double =
+            math.pow(2.0, -ms.toDouble / halfLifeMs)
+          var s = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            s =
+              if (s.lastMs == Long.MinValue) DecayState(t, e.value)
+              else if (t >= s.lastMs)
+                DecayState(t, s.value * decay(t - s.lastMs) + e.value)
+              else // late arrival: fold in pre-decayed to the state clock
+                DecayState(s.lastMs, s.value + e.value * decay(s.lastMs - t))
+          }
+          state.update(s)
+          DecayedScore(k, s.lastMs, s.value)
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives for `gapMs` (event-time timeout keyed
     * to the watermark — state for quiet users is bounded and evicted). */

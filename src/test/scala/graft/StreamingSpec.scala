@@ -293,4 +293,33 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(streamed == Seq((10L, "click", 0L)))
   }
+
+  test("streaming decayed counter equals the batch formula, late-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val hl = 10 * 60 * 1000L // 10-minute half-life for a visible decay
+    // batch 1 in order; batch 2 includes a LATE event (ts before the
+    // state clock) — the fold must pre-decay it, not rewind
+    val evs = Seq(
+      Event(1, ts(0), 1, "click", 8.0),
+      Event(2, ts(10), 1, "click", 4.0), // one half-life after ev 1
+      Event(3, ts(20), 1, "click", 2.0),
+      Event(4, ts(5), 1, "click", 16.0)) // late
+    in.addData(evs(0), evs(1))
+    val q = EventStreams.decayedCounter(in.toDS(), halfLifeMs = hl)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decay_out").start()
+    q.processAllAvailable()
+    in.addData(evs(2), evs(3))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("decay_out")
+      .orderBy($"last_ms".desc).limit(1)
+      .as[(String, Long, Double)].collect().head
+    val maxMs = evs.map(_.ts.getTime).max
+    val want = evs.map(e =>
+      e.value * math.pow(2.0, -(maxMs - e.ts.getTime).toDouble / hl)).sum
+    assert(last._1 == "click" && last._2 == maxMs)
+    assert(math.abs(last._3 - want) < 1e-9,
+      s"streamed ${last._3} vs batch $want")
+  }
 }
