@@ -237,6 +237,7 @@ object SparkEntry {
     "g_effective_diameter" -> (GraphQueries.effectiveDiameter _),
     "g_neighbor_features" -> (GraphQueries.neighborFeatures _),
     "g_distance_histogram" -> (GraphQueries.distanceHistogram _),
+    "g_attack_robustness" -> (GraphQueries.attackRobustness _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -887,6 +888,44 @@ object SparkEntry {
        |      + count(*) AS BIGINT) AS n_survivors
        |  FROM (SELECT lbl, count(*) AS m FROM ${pre}c$rounds
        |        GROUP BY lbl HAVING count(*) > 1))
+       |""".stripMargin
+  }
+
+  /** One targeted-attack level's CTEs (exactly
+    * `GraphQueries.attackRobustness` at pct% hubs removed): rank by
+    * (degree DESC, id ASC), drop the top floor(|V|·pct/100), CC the
+    * induced subgraph, one aggregate row `a{pct}r`. Needs `rk` (the
+    * shared ranked degree table) emitted once by the caller. */
+  private def attackCtes(pct: Int, rounds: Int): String = {
+    val pre = s"a$pct"
+    val body = (1 to rounds).map { i =>
+      s""", ${pre}c$i AS MATERIALIZED (
+         |  SELECT s.src AS id, min(n.lbl) AS lbl
+         |  FROM ${pre}s s JOIN ${pre}c${i - 1} n ON n.id = s.dst
+         |  GROUP BY s.src)
+         |""".stripMargin
+    }.mkString
+    s""", ${pre}k AS MATERIALIZED (
+       |  SELECT id FROM rk
+       |  WHERE rnk > (SELECT count(*) FROM deg) * $pct // 100)
+       |, ${pre}e AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM e
+       |  JOIN ${pre}k x ON x.id = e.src JOIN ${pre}k y ON y.id = e.dst)
+       |, ${pre}v AS (SELECT src AS id FROM ${pre}e
+       |    UNION SELECT dst FROM ${pre}e)
+       |, ${pre}s AS (SELECT src, dst FROM ${pre}e
+       |    UNION ALL SELECT dst AS src, src AS dst FROM ${pre}e
+       |    UNION ALL SELECT id, id FROM ${pre}v)
+       |, ${pre}c0 AS (SELECT id, id AS lbl FROM ${pre}v)
+       |$body, ${pre}r AS (
+       |  SELECT $pct AS removed_pct,
+       |    (SELECT count(*) FROM ${pre}k) AS n_kept_vertices,
+       |    CAST(count(*) + (SELECT count(*) FROM ${pre}k)
+       |      - CAST(coalesce(sum(sz), 0) AS BIGINT) AS BIGINT)
+       |      AS n_components,
+       |    CAST(coalesce(max(sz), 1) AS BIGINT) AS giant_size
+       |  FROM (SELECT lbl, count(*) AS sz FROM ${pre}c$rounds
+       |        GROUP BY 1))
        |""".stripMargin
   }
 
@@ -4124,6 +4163,15 @@ object SparkEntry {
       percCtes(75, 24) +
       """SELECT * FROM p25r UNION ALL SELECT * FROM p50r
         |UNION ALL SELECT * FROM p75r ORDER BY p_pct""".stripMargin),
+    // the Albert-Barabasi-Jeong attack curve: deterministic hub rank
+    "g_attack_robustness" -> (GraphCte +
+      """, rk AS MATERIALIZED (
+        |  SELECT id, row_number() OVER (ORDER BY degree DESC, id ASC)
+        |    AS rnk FROM deg)
+        |""".stripMargin +
+      attackCtes(1, 32) + attackCtes(5, 32) + attackCtes(10, 32) +
+      """SELECT * FROM a1r UNION ALL SELECT * FROM a5r
+        |UNION ALL SELECT * FROM a10r ORDER BY removed_pct""".stripMargin),
     // ANF/FM sketch replayed exactly: the round statistic is an exact
     // integer sum, so only the final division touches floats
     "g_anf" -> (GraphCte + anfUnrolled(8, 8) +

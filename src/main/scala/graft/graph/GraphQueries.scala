@@ -714,6 +714,40 @@ object GraphQueries {
     frames.reduce(_ union _).orderBy("p_pct")
   }
 
+  /** Targeted-attack robustness — the complement of [[percolation]]:
+    * remove the top 1/5/10% highest-degree vertices (ties: lower id
+    * removed first) and recompute the giant component. Scale-free
+    * graphs are robust to the random failure percolation measures but
+    * FRAGILE to this attack (Albert–Barabási–Jeong 2000) — reporting
+    * both curves is the standard resilience analysis. Vertex ranking
+    * is one sort of the degree table; each level is a semi-join edge
+    * filter + CC; survivors outside the edge set count as size-1. */
+  def attackRobustness(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val nv = g.vertexCount
+    val ranked = g.degrees.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("degree").desc, col("id").asc)))
+    val frames = Seq(1, 5, 10).map { pct =>
+      val nRemove = nv * pct / 100 // integer floor, replayed in SQL
+      val keep = ranked.filter(col("rk") > nRemove).select("id")
+      val se = g.edges.select("src", "dst")
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val cc = Gx.connectedComponents(Graph(GraphBuilder.vertices(se), se))
+      val nKept = nv - nRemove
+      cc.groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("nec"),
+          coalesce(max("sz"), lit(1L)).as("giant"),
+          coalesce(sum("sz"), lit(0L)).as("nend"))
+        .select(lit(pct).as("removed_pct"),
+          lit(nKept).as("n_kept_vertices"),
+          (col("nec") + lit(nKept) - col("nend")).as("n_components"),
+          col("giant").as("giant_size"))
+    }
+    frames.reduce(_ union _).orderBy("removed_pct")
+  }
+
   /** ANF neighborhood-function sketch — see [[Gx.anf]]. Emits
     * (t, mask_total, reached_est): the exact integer round statistic
     * plus the FM estimate of #pairs within distance t. The scale

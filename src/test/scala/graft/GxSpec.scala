@@ -438,6 +438,33 @@ class GxSpec extends AnyFunSuite {
     assert(math.abs(gotC.getDouble(2) - obs / nullcc) < 1e-5)
   }
 
+  test("attack robustness == local replay; attack beats random failure") {
+    val edges = g.edges.as[(Long, Long)].collect().toSeq
+    val degs = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .map { case (k, vs) => k -> vs.size }
+    val nv = degs.size.toLong
+    val got = graph.GraphQueries.attackRobustness(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = Seq(1, 5, 10).map { pct =>
+      val nRemove = (nv * pct / 100).toInt
+      val removed = degs.toSeq.sortBy { case (id, d) => (-d, id) }
+        .take(nRemove).map(_._1).toSet
+      val keptV = degs.keySet -- removed
+      val kept = edges.filter { case (s, d) =>
+        !removed(s) && !removed(d) }
+      val parent = collection.mutable.Map(keptV.toSeq.map(v => v -> v): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      kept.foreach { case (s, d) => parent(find(s)) = find(d) }
+      val comps = keptV.groupBy(find)
+      (pct, keptV.size.toLong, comps.size.toLong,
+        if (comps.isEmpty) 1L else comps.values.map(_.size).max.toLong)
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
   test("percolation rows == local union-find replay with the same coin") {
     def coin(src: Long, dst: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
