@@ -1049,13 +1049,16 @@ object GraphQueries {
                        splitDate: String = "1996-01-01"): DataFrame = {
     val t = graft.Tables(spark, dir)
     val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-    val fs = li.as("a").join(li.as("b"),
+    // persist the first-seen table: BOTH split sides and the anti-join
+    // read it — uncached, the full lineitem pair scan re-runs per
+    // consumer (measured ~2× the query's cost at sf0.1)
+    val fs = graft.Materialize.table(li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("a.l_orderkey") === col("o_orderkey"))
       .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(min(col("o_orderdate")).as("fd"))
+      .agg(min(col("o_orderdate")).as("fd")))
     val cut = lit(splitDate).cast("timestamp")
     val ee = fs.filter(col("fd") < cut).select("src", "dst")
     val le = fs.filter(col("fd") >= cut).select("src", "dst")
