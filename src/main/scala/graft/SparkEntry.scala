@@ -238,6 +238,7 @@ object SparkEntry {
     "g_neighbor_features" -> (GraphQueries.neighborFeatures _),
     "g_distance_histogram" -> (GraphQueries.distanceHistogram _),
     "g_attack_robustness" -> (GraphQueries.attackRobustness _),
+    "g_influence_cascade" -> ((s, d) => GraphQueries.influenceCascade(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -888,6 +889,35 @@ object SparkEntry {
        |      + count(*) AS BIGINT) AS n_survivors
        |  FROM (SELECT lbl, count(*) AS m FROM ${pre}c$rounds
        |        GROUP BY lbl HAVING count(*) > 1))
+       |""".stripMargin
+  }
+
+  /** Unrolled independent-cascade rounds (exactly
+    * `GraphQueries.influenceCascade`): seeds = top-4 degree hubs;
+    * round t activates unseen neighbors of round t−1's activations
+    * when the md5 coin of (infector, target, t) lands under p%. */
+  private def icUnrolled(rounds: Int, p: Int): String = {
+    val body = (1 to rounds).map { i =>
+      val f = if (i == 1) "ics" else s"icn${i - 1}"
+      s""", icn$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.dst AS id
+         |  FROM sym s JOIN $f f ON f.id = s.src
+         |  WHERE ('0x' || substr(md5('ic:' || s.src || ':' || s.dst ||
+         |      ':$i'), 1, 7))::BIGINT % 100 < $p
+         |    AND s.dst NOT IN (SELECT id FROM ici${i - 1}))
+         |, ici$i AS MATERIALIZED (
+         |  SELECT id FROM ici${i - 1} UNION SELECT id FROM icn$i)
+         |""".stripMargin
+    }.mkString
+    val rows = (1 to rounds).map { i =>
+      s"SELECT $i AS round, CAST(count(*) AS BIGINT) AS newly_activated FROM icn$i"
+    }.mkString("\n  UNION ALL ")
+    s""", ics AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 4)
+       |, ici0 AS (SELECT id FROM ics)
+       |$body, icr AS (
+       |  SELECT 0 AS round,
+       |    CAST((SELECT count(*) FROM ics) AS BIGINT) AS newly_activated
+       |  UNION ALL $rows)
        |""".stripMargin
   }
 
@@ -4163,6 +4193,13 @@ object SparkEntry {
       percCtes(75, 24) +
       """SELECT * FROM p25r UNION ALL SELECT * FROM p50r
         |UNION ALL SELECT * FROM p75r ORDER BY p_pct""".stripMargin),
+    // the IC cascade's coin IS the randomness — the spread replays
+    "g_influence_cascade" -> (GraphCte + icUnrolled(6, 20) +
+      """SELECT round, newly_activated,
+        |  CAST(sum(newly_activated) OVER (ORDER BY round
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_activated
+        |FROM icr ORDER BY round""".stripMargin),
     // the Albert-Barabasi-Jeong attack curve: deterministic hub rank
     "g_attack_robustness" -> (GraphCte +
       """, rk AS MATERIALIZED (

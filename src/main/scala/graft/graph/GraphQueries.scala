@@ -714,6 +714,53 @@ object GraphQueries {
     frames.reduce(_ union _).orderBy("p_pct")
   }
 
+  /** Independent-cascade influence spread (the Kempe–Kleinberg–Tardos
+    * IC model) from the top-4 degree hubs: each newly activated vertex
+    * gets ONE chance per neighbor, succeeding when the portable md5
+    * coin of (infector, target, round) lands under p = 20%. Reports
+    * newly-activated counts per round — the spread curve an influence-
+    * maximization pipeline evaluates seed sets with. Deterministic by
+    * construction (the coin is the randomness), so the whole cascade
+    * replays in SQL. Scale: each round is one frontier join against
+    * the symmetrized edges — frontier-sized, not graph-sized; rounds
+    * bounded by the cascade depth. */
+  def influenceCascade(spark: SparkSession, dir: String,
+                       rounds: Int = 6, pPct: Int = 20): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val sym = g.symmetrized
+    val seeds = Iterative.topDegreeLandmarks(g, 4)
+      .select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var infected = seeds
+    var frontier = seeds
+    val counts = Seq.newBuilder[(Int, Long)]
+    counts += ((0, seeds.count()))
+    var t = 1
+    while (t <= rounds) {
+      val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
+        col("dst"), lit(t))), 1, 7), 16, 10).cast("long") % 100
+      val newly = sym
+        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .filter(coin < pPct)
+        .select(col("dst").as("id")).distinct()
+        .join(infected, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts += ((t, newly.count()))
+      infected = infected.union(newly)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = newly
+      t += 1
+    }
+    import spark.implicits._
+    counts.result().toDF("round", "newly_activated")
+      .withColumn("cum_activated",
+        sum("newly_activated").over(org.apache.spark.sql.expressions
+          .Window.orderBy("round")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .orderBy("round")
+  }
+
   /** Targeted-attack robustness — the complement of [[percolation]]:
     * remove the top 1/5/10% highest-degree vertices (ties: lower id
     * removed first) and recompute the giant component. Scale-free

@@ -438,6 +438,33 @@ class GxSpec extends AnyFunSuite {
     assert(math.abs(gotC.getDouble(2) - obs / nullcc) < 1e-5)
   }
 
+  test("influence cascade == local simulation with the same coin") {
+    def coin(u: Long, v: Long, t: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ic:$u:$v:$t".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val edges = g.edges.as[(Long, Long)].collect().toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val degs = adj.map { case (k, vs) => k -> vs.size }
+    val seeds = degs.toSeq.sortBy { case (id, d) => (-d, id) }
+      .take(4).map(_._1)
+    var infected = seeds.toSet
+    var frontier = seeds.toSet
+    val want = collection.mutable.ArrayBuffer((0, seeds.size.toLong))
+    for (t <- 1 to 6) {
+      val newly = frontier.flatMap(u =>
+        adj(u).filter(v => coin(u, v, t) < 20)) -- infected
+      want += ((t, newly.size.toLong))
+      infected ++= newly; frontier = newly
+    }
+    val got = graph.GraphQueries.influenceCascade(spark, sf)
+      .select("round", "newly_activated").as[(Int, Long)].collect().toSeq
+    assert(got.sortBy(_._1) == want.toSeq, s"$got vs $want")
+  }
+
   test("attack robustness == local replay; attack beats random failure") {
     val edges = g.edges.as[(Long, Long)].collect().toSeq
     val degs = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
