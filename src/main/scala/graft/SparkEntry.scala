@@ -239,6 +239,7 @@ object SparkEntry {
     "g_distance_histogram" -> (GraphQueries.distanceHistogram _),
     "g_attack_robustness" -> (GraphQueries.attackRobustness _),
     "g_influence_cascade" -> ((s, d) => GraphQueries.influenceCascade(s, d)),
+    "m_paired_quality" -> ((s, d) => Multimodal.pairedQuality(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1973,6 +1974,43 @@ object SparkEntry {
     "g_edge_betweenness" -> edgeBtwUnrolled(12, 8, 42L),
     // payload = utf-8 bytes of text, so md5(payload ++ k) ==
     // md5(text || k); the float cast + double norm mirror decodeStub
+    // CLIP-style pairing coverage: stub features + text quality joined
+    // on doc_id, 4-dp values summed as exact 1e-4 integer units
+    "m_paired_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS REAL) AS fv
+        |  FROM documents CROSS JOIN range(8) t(k)),
+        |n AS (
+        |  SELECT doc_id,
+        |    round(sqrt(sum(CAST(fv AS DOUBLE) * CAST(fv AS DOUBLE))), 4)
+        |      AS fn
+        |  FROM f GROUP BY doc_id),
+        |qm AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 64.0, 1.0) * 0.5
+        |      + (n_alpha / n_chars) * 0.3
+        |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      length(text)::DOUBLE AS n_chars,
+        |      (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_alpha,
+        |      len(string_split_regex(text, '\s+'))::DOUBLE AS n_tokens,
+        |      len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in')))::DOUBLE AS n_stop
+        |    FROM documents)),
+        |j AS (
+        |  SELECT CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |    n.fn, qm.quality
+        |  FROM documents d JOIN n USING (doc_id) JOIN qm USING (doc_id))
+        |SELECT format, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT)
+        |    / (count(*) * 10000.0), 4) AS mean_quality,
+        |  round(CAST(sum(CAST(round(fn * 10000) AS BIGINT)) AS BIGINT)
+        |    / (count(*) * 10000.0), 4) AS mean_feature_norm
+        |FROM j GROUP BY format ORDER BY format""".stripMargin,
     "m_multimodal_meta" ->
       """WITH f AS (
         |  SELECT doc_id,

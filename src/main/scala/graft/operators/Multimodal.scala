@@ -79,6 +79,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Paired text-media quality report — the coverage check a
+    * CLIP-style pairing pipeline runs before training: per modality,
+    * how many text-media pairs exist and what the text quality and
+    * media feature mass of the paired set look like. One doc_id join
+    * of two row-local projections + one tiny aggregate; the 4-dp
+    * quality/norm values become exact 1e-4 integer units, so the
+    * means are partition-order-free. */
+  def pairedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScores(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    multimodalMeta(spark, dir)
+      .select(col("doc_id"), col("format"), col("feature_norm"))
+      .join(q, "doc_id")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("quality") * 10000).cast("long")).as("qs"),
+        sum(round(col("feature_norm") * 10000).cast("long")).as("ns"))
+      .select(col("format"), col("n_pairs"),
+        round(col("qs") / (col("n_pairs") * 10000.0), 4).as("mean_quality"),
+        round(col("ns") / (col("n_pairs") * 10000.0), 4)
+          .as("mean_feature_norm"))
+      .orderBy("format")
+  }
+
   /** Frame sampling over the binary payload: a 64-byte slice every 128
     * bytes (the video-frame / audio-chunk extraction shape — a real
     * decoder slices at I-frame boundaries instead; the Spark-side

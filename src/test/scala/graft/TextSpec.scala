@@ -450,6 +450,21 @@ class TextSpec extends AnyFunSuite {
     assert(r.filter($"proj" =!= 0.0).count() > 0)
   }
 
+  test("paired quality covers every doc once, means bounded by extremes") {
+    val docs = graft.Tables(spark, sf).documents.count()
+    val rows = graft.operators.Multimodal.pairedQuality(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("audio", "image", "video"))
+    assert(rows.map(_._2).sum == docs) // every doc pairs exactly once
+    val q = graft.operators.TextAnalysis.qualityScores(spark, sf)
+      .select("quality").collect().map(_.getDouble(0))
+    rows.foreach { case (_, _, mq, mn) =>
+      assert(mq >= q.min - 1e-9 && mq <= q.max + 1e-9)
+      assert(mn > 0.0 && mn < math.sqrt(8.0)) // 8 features in [0,1)
+    }
+  }
+
   test("dedup threshold sweep: monotone retention curve, counts consistent") {
     val nDocs = graft.Tables(spark, sf).documents.count()
     val rows = graft.operators.Dedup.dedupThresholdSweep(spark, sf)
