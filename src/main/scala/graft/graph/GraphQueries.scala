@@ -728,9 +728,14 @@ object GraphQueries {
                        rounds: Int = 6, pPct: Int = 20): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     val sym = g.symmetrized
-    val seeds = Iterative.topDegreeLandmarks(g, 4)
-      .select(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every round's output is flattened to a LogicalRDD leaf
+    // (Materialize.table): round t's plan nests rounds 1..t-1 via the
+    // anti-join AND the union, and Catalyst re-walks that shared DAG
+    // as a TREE per action — the un-flattened loop measured 443 s at
+    // sf0.1 (pure planning; ~10 s of executor work), the same failure
+    // mode the session-memo flattening fixed in early round 7
+    val seeds = graft.Materialize.table(
+      Iterative.topDegreeLandmarks(g, 4).select(col("id")))
     var infected = seeds
     var frontier = seeds
     val counts = Seq.newBuilder[(Int, Long)]
@@ -739,15 +744,13 @@ object GraphQueries {
     while (t <= rounds) {
       val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
         col("dst"), lit(t))), 1, 7), 16, 10).cast("long") % 100
-      val newly = sym
+      val newly = graft.Materialize.table(sym
         .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .filter(coin < pPct)
         .select(col("dst").as("id")).distinct()
-        .join(infected, Seq("id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .join(infected, Seq("id"), "left_anti"))
       counts += ((t, newly.count()))
-      infected = infected.union(newly)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      infected = graft.Materialize.table(infected.union(newly))
       frontier = newly
       t += 1
     }
