@@ -404,9 +404,15 @@ object GraphQueries {
   /** Full two-level Louvain (Blondel's loop: phase-1 moves, contract,
     * phase-2 moves on the supergraph) over the weighted co-purchase
     * graph — same exact-integer gain rule both levels. */
+  // phase 2 gained a second consumer (g_community_nmi) in late r7 —
+  // memoize the contracted move loop like phase 1, one build per dir
+  private val louvain2Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def louvain2(spark: SparkSession, dir: String): DataFrame =
-    Iterative.louvainTwoLevelFrom(GraphBuilder.weightedEdges(spark, dir),
-      louvainPhase1(spark, dir))
+    louvain2Cache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+      graft.Materialize.table(Iterative.louvainTwoLevelFrom(
+        GraphBuilder.weightedEdges(spark, dir),
+        louvainPhase1(spark, dir))))
       .orderBy("id")
 
   /** Rank-offset speculative greedy coloring of the co-purchase graph.
