@@ -240,6 +240,7 @@ object SparkEntry {
     "g_attack_robustness" -> (GraphQueries.attackRobustness _),
     "g_influence_cascade" -> ((s, d) => GraphQueries.influenceCascade(s, d)),
     "m_paired_quality" -> ((s, d) => Multimodal.pairedQuality(s, d)),
+    "q_heavy_hitters" -> ((s, d) => Relational.qHeavyHitters(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2463,6 +2464,13 @@ object SparkEntry {
         |  GROUP BY wd.u, wd.v)
         |SELECT src, dst, common_cnt, aa_score FROM sc
         |ORDER BY aa_score DESC, src, dst LIMIT 50""".stripMargin),
+    // the MG soundness theorem forces the flag TRUE — a buggy sketch
+    // hash-mismatches (same gate as the HLL/GK approx queries)
+    "q_heavy_hitters" ->
+      """SELECT l_partkey AS item, count(*) AS exact_cnt,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_cnt DESC, item ASC LIMIT 10""".stripMargin,
     // half-life decayed counters: micro-quantized terms, order-free sum
     "q_decayed_activity" ->
       """WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events)

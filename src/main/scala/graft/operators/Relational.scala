@@ -560,6 +560,74 @@ object Relational {
     * {returnflag, linestatus} in ONE map-side-combined pass (4 grouping
     * sets; the ROLLUP twin is [[qRollupRevenue]]). Null-free subtotal
     * labels via grouping(), same as the rollup query. */
+  /** Misra–Gries heavy hitters over lineitem part frequencies — the
+    * third classic sketch next to HLL (q_approx_distinct_users) and GK
+    * (q_approx_percentiles). Per-partition MG summaries (`counters`
+    * slots, the genuine per-partition imperative case → mapPartitions)
+    * merge associatively via treeReduce with truncation to the top
+    * `counters` (Agarwal et al., mergeable summaries); `dec` tracks
+    * every decrement unit, giving the sound deterministic bound
+    * est(x) ≤ exact(x) ≤ est(x) + dec for EVERY item regardless of
+    * partitioning. The emitted shape is the driver-gatable one (the
+    * approx-sketch convention): exact top-k + a within_bound flag the
+    * theorem forces TRUE — a buggy sketch hash-mismatches. At 100 TB
+    * the summary is counters-sized per partition and the merge is a
+    * log-depth tree; the exact side is one map-side-combined count. */
+  /** Distributed mergeable MG sketch: per-partition summaries +
+    * truncating treeReduce. Returns (estimates, decrement units);
+    * soundness: est(x) ≤ exact(x) ≤ est(x) + dec for every item. */
+  private[graft] def mgSketch(items: org.apache.spark.rdd.RDD[Long],
+                              counters: Int): (Map[Long, Long], Long) = {
+    type MG = (Map[Long, Long], Long)
+    def truncate(m: Map[Long, Long], dec: Long): MG =
+      if (m.size <= counters) (m, dec)
+      else {
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(counters)
+        val kept = m.flatMap { case (x, c) =>
+          if (c - cut > 0) Some(x -> (c - cut)) else None }
+        (kept, dec + cut)
+      }
+    items.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      var dec = 0L
+      it.foreach { x =>
+        if (m.contains(x)) m(x) += 1L
+        else if (m.size < counters) m(x) = 1L
+        else { // classic MG step: decrement all, drop zeros, skip x
+          dec += 1L
+          m.keysIterator.toArray.foreach { y =>
+            if (m(y) == 1L) m.remove(y) else m(y) -= 1L
+          }
+        }
+      }
+      Iterator.single((m.toMap, dec)): Iterator[MG]
+    }.treeReduce { (a, b) =>
+      val merged = (a._1.keySet ++ b._1.keySet).map(x =>
+        x -> (a._1.getOrElse(x, 0L) + b._1.getOrElse(x, 0L))).toMap
+      truncate(merged, a._2 + b._2)
+    }
+  }
+
+  def qHeavyHitters(spark: SparkSession, dir: String,
+                    k: Int = 10, counters: Int = 64): DataFrame = {
+    import spark.implicits._
+    val items = Tables(spark, dir).lineitem.select(col("l_partkey"))
+      .as[Long].rdd
+    val (est, dec) = mgSketch(items, counters)
+    // no UDF: the counters-sized summary becomes a broadcast join side
+    val estDf = est.toSeq.toDF("item", "est")
+    val topk = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item").asc).limit(k)
+    topk.join(broadcast(estDf), Seq("item"), "left")
+      .na.fill(0L, Seq("est"))
+      .select(col("item"), col("exact_cnt"),
+        (col("est") <= col("exact_cnt") &&
+          col("exact_cnt") - col("est") <= lit(dec)).as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("item").asc)
+  }
+
   /** Exponential-decay (half-life) weighted activity per event type:
     * score = Σ value·2^(−age/7d), age measured from the stream's max
     * timestamp — the recency-weighted counter semantics behind

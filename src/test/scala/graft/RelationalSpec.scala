@@ -170,6 +170,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("MG sketch: sound bounds everywhere, finds true hitters on skew") {
+    // zipf-ish stream: item 1 = 40%, item 2 = 20%, tail of 500 others
+    val stream = (Seq.fill(4000)(1L) ++ Seq.fill(2000)(2L) ++
+      (0 until 4000).map(i => 100L + i % 500)).toArray
+    // deterministic interleave so hitters aren't clustered in one run
+    val shuffled = stream.zipWithIndex
+      .sortBy { case (v, i) => (i * 2654435761L) % 1000003L }.map(_._1)
+    val exact = shuffled.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val rdd = spark.sparkContext.parallelize(shuffled.toSeq, 8)
+    val (est, dec) = Relational.mgSketch(rdd, counters = 64)
+    // soundness: never overcounts, undercount bounded by dec — for
+    // EVERY item, present in the summary or not
+    for ((x, c) <- exact) {
+      val e = est.getOrElse(x, 0L)
+      assert(e <= c && c - e <= dec, s"item $x: est $e exact $c dec $dec")
+    }
+    // the two true heavy hitters survive the merge and dominate
+    assert(est.contains(1L) && est.contains(2L))
+    assert(est(1L) > est.values.filter(_ != est(1L)).maxOption.getOrElse(0L)
+      || est(1L) >= est(2L))
+    val flags = Relational.qHeavyHitters(spark, sf)
+      .select("within_bound").collect().map(_.getBoolean(0))
+    assert(flags.length == 10 && flags.forall(identity))
+  }
+
   test("props json extraction matches a local parse") {
     val ev = Tables(spark, sf).events
       .select("event_type", "props").collect()
