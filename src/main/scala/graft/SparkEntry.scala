@@ -241,6 +241,7 @@ object SparkEntry {
     "g_influence_cascade" -> ((s, d) => GraphQueries.influenceCascade(s, d)),
     "m_paired_quality" -> ((s, d) => Multimodal.pairedQuality(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.qHeavyHitters(s, d)),
+    "g_densification" -> (GraphQueries.densification _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2198,6 +2199,49 @@ object SparkEntry {
         |  round(sum(fert_u) / count(*) / 1e6, 6) AS fertility,
         |  round(sum(cpt_u) / count(*) / 1e6, 6) AS chars_per_token
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // Leskovec densification exponent: exact-integer micro-ln
+    // regression over the monthly cumulative (n, e) curve
+    "g_densification" ->
+      """WITH pe AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    date_trunc('month', o.o_orderdate) AS m
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  JOIN orders o ON o.o_orderkey = a.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |fs AS MATERIALIZED (
+        |  SELECT src, dst, min(m) AS em FROM pe GROUP BY 1, 2),
+        |vf AS (
+        |  SELECT id, min(em) AS vm FROM (
+        |    SELECT src AS id, em FROM fs
+        |    UNION ALL SELECT dst, em FROM fs) GROUP BY 1),
+        |vmo AS (SELECT vm AS month, count(*) AS nv FROM vf GROUP BY 1),
+        |emo AS (SELECT em AS month, count(*) AS ne FROM fs GROUP BY 1),
+        |cum AS (
+        |  SELECT month,
+        |    CAST(sum(coalesce(v.nv, 0)) OVER (ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS vcum,
+        |    CAST(sum(e.ne) OVER (ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS ecum
+        |  FROM emo e LEFT JOIN vmo v USING (month)),
+        |xy AS (
+        |  SELECT CAST(round(ln(vcum) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(ecum) * 1000000) AS BIGINT) AS y,
+        |    vcum, ecum
+        |  FROM cum),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    max(vcum) AS final_vertices, max(ecum) AS final_edges
+        |  FROM xy)
+        |SELECT n AS n_months, final_vertices, final_edges,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (n * sxx - sx * sx), 4) AS densification_exponent
+        |FROM ag""".stripMargin,
     "g_edge_arrival" ->
       """WITH pe AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst,

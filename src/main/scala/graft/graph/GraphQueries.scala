@@ -984,6 +984,53 @@ object GraphQueries {
       .orderBy("month")
   }
 
+  /** Densification law (Leskovec–Kleinberg–Faloutsos): growing graphs
+    * obey e(t) ∝ n(t)^a with a ∈ (1,2) — edges grow superlinearly in
+    * vertices. Reports the fitted exponent: cumulative vertex/edge
+    * counts per arrival month (first co-purchase date), then the
+    * least-squares slope of ln e on ln n. The regression runs on
+    * 1e-6-quantized ln values with EXACT integer sums (n·Σxy − Σx·Σy
+    * over longs — safe to ~300 months before needing a wider type),
+    * so the slope is partition-order-free and SQL-replayable. Monthly
+    * table is tiny at any SF (bounded by calendar span, not data). */
+  def densification(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val fs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .join(t.orders.select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("m")),
+        col("a.l_orderkey") === col("o_orderkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(min(col("m")).as("em"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vm = fs.select(col("src").as("id"), col("em"))
+      .union(fs.select(col("dst").as("id"), col("em")))
+      .groupBy("id").agg(min("em").as("vm"))
+      .groupBy(col("vm").as("month")).agg(count(lit(1)).as("nv"))
+    val emo = fs.groupBy(col("em").as("month"))
+      .agg(count(lit(1)).as("ne"))
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = emo.join(vm, Seq("month"), "left").na.fill(0L, Seq("nv"))
+      .select(col("month"), sum("nv").over(w).as("vcum"),
+        sum("ne").over(w).as("ecum"))
+      .select(round(log(col("vcum")) * 1e6).cast("long").as("x"),
+        round(log(col("ecum")) * 1e6).cast("long").as("y"),
+        col("vcum"), col("ecum"))
+    cum.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        max("vcum").as("final_vertices"), max("ecum").as("final_edges"))
+      .select(col("n").as("n_months"), col("final_vertices"),
+        col("final_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("densification_exponent"))
+  }
+
   /** In/out degrees of the directed purchase-sequence graph
     * (GraphFrames `inDegrees` / `outDegrees` parity — the undirected
     * co-purchase graph can't distinguish them). */

@@ -438,6 +438,45 @@ class GxSpec extends AnyFunSuite {
     assert(math.abs(gotC.getDouble(2) - obs / nullcc) < 1e-5)
   }
 
+  test("densification exponent matches a local ln-regression replay") {
+    val r = graph.GraphQueries.densification(spark, sf).head()
+    val (n, fv, fe) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0 && fv > 0 && fe > 0)
+    // replay: rebuild the monthly cumulative curve from raw tables
+    val li = graft.Tables(spark, sf).lineitem
+      .select("l_orderkey", "l_partkey")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val om = graft.Tables(spark, sf).orders
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("long").as("m"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val byOrder = li.groupBy(_._1)
+    val fs = collection.mutable.Map.empty[(Long, Long), Long]
+    for ((o, rows) <- byOrder; a <- rows.map(_._2); b <- rows.map(_._2)
+         if a < b) {
+      val k = (a, b)
+      fs(k) = fs.get(k).map(math.min(_, om(o))).getOrElse(om(o))
+    }
+    val vf = fs.toSeq.flatMap { case ((a, b), m) => Seq(a -> m, b -> m) }
+      .groupBy(_._1).map { case (_, ms) => ms.map(_._2).min }
+    val months = fs.values.toSeq.distinct.sorted
+    val xs = months.map { m =>
+      val vc = vf.count(_ <= m).toLong
+      val ec = fs.values.count(_ <= m).toLong
+      (math.round(math.log(vc.toDouble) * 1e6),
+        math.round(math.log(ec.toDouble) * 1e6))
+    }
+    val nn = xs.length.toLong
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val want = BigDecimal((nn * sxy - sx * sy).toDouble /
+      (nn * sxx - sx * sx))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(n == nn && fe == fs.size)
+    assert(r.getDouble(3) == want, s"${r.getDouble(3)} vs $want")
+  }
+
   test("influence cascade == local simulation with the same coin") {
     def coin(u: Long, v: Long, t: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
