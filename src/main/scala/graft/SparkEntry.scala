@@ -242,6 +242,8 @@ object SparkEntry {
     "m_paired_quality" -> ((s, d) => Multimodal.pairedQuality(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.qHeavyHitters(s, d)),
     "g_densification" -> (GraphQueries.densification _),
+    "d_readability" -> (TextAnalysis.readability _),
+    "q_interarrival" -> (Relational.qInterarrival _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -2508,6 +2510,40 @@ object SparkEntry {
         |  GROUP BY wd.u, wd.v)
         |SELECT src, dst, common_cnt, aa_score FROM sc
         |ORDER BY aa_score DESC, src, dst LIMIT 50""".stripMargin),
+    // Flesch with vowel-group syllables — entirely row-local
+    "d_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (len(string_split_regex(text, '\s+'))
+        |        / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |          AS DOUBLE))
+        |    - 84.6 * (len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |        / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)), 4)
+        |    AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // CV of per-(user,type) gaps from exact integer moments
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id, event_type
+        |       ORDER BY ts, event_id)) // 1000 AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(gap * gap) AS BIGINT) AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  round(sg / (n_gaps * 1.0), 4) AS mean_gap_s,
+        |  round(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / sg, 4)
+        |    AS cv_gap
+        |FROM m ORDER BY event_type""".stripMargin,
     // the MG soundness theorem forces the flag TRUE — a buggy sketch
     // hash-mismatches (same gate as the HLL/GK approx queries)
     "q_heavy_hitters" ->

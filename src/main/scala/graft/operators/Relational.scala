@@ -560,6 +560,32 @@ object Relational {
     * {returnflag, linestatus} in ONE map-side-combined pass (4 grouping
     * sets; the ROLLUP twin is [[qRollupRevenue]]). Null-free subtotal
     * labels via grouping(), same as the rollup query. */
+  /** Inter-arrival statistics per event type: mean gap and coefficient
+    * of variation of the per-(user, type) event gaps — CV ≈ 1 is the
+    * Poisson/exponential signature, CV >> 1 burstiness (Barabási's
+    * human-dynamics test). Gaps are whole seconds (exact longs); mean
+    * and CV come from the exact (n, Σg, Σg²) moments in one map-side-
+    * combined aggregate, each a single rounded division — no float
+    * ever enters a distributed sum. */
+  def qInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val deltaMs = unix_millis(col("ts")) -
+      lag(unix_millis(col("ts")), 1).over(w)
+    Tables(spark, dir).events
+      .select(col("event_type"), deltaMs.as("delta_ms"))
+      .filter(col("delta_ms").isNotNull)
+      .select(col("event_type"), expr("delta_ms div 1000").as("gap"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sg") / (col("n_gaps") * 1.0), 4).as("mean_gap_s"),
+        round(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+          .cast("double")) / col("sg"), 4).as("cv_gap"))
+      .orderBy("event_type")
+  }
+
   /** Misra–Gries heavy hitters over lineitem part frequencies — the
     * third classic sketch next to HLL (q_approx_distinct_users) and GK
     * (q_approx_percentiles). Per-partition MG summaries (`counters`

@@ -50,6 +50,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Flesch reading-ease per document — the classic readability signal
+    * next to the length/ratio quality scores: 206.835 − 1.015·(w/s) −
+    * 84.6·(syll/w), with syllables ≈ vowel groups (the standard cheap
+    * heuristic) and sentences = punctuation runs clamped ≥ 1. Entirely
+    * row-local (three regexp counts per row, no shuffle), so the
+    * score is deterministic at any partitioning and scan-speed at any
+    * corpus size. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), "\\s+")).cast("long")
+    val sentences =
+      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+    val syllables =
+      regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+    Tables(spark, dir).documents.select(col("doc_id"),
+      words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / words), 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   private val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),

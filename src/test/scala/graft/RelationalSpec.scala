@@ -170,6 +170,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("interarrival stats match a local replay from collected events") {
+    val evs = Tables(spark, sf).events
+      .select(org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col("ts")).as("ms"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = evs.groupBy(e => (e._3, e._4)).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._1, e._2)).sliding(2).collect {
+        case Array(a, b) => (a._4, (b._1 - a._1) / 1000)
+      }
+    }
+    val want = gaps.groupBy(_._1).map { case (t, gs) =>
+      val n = gs.length.toLong
+      val sg = gs.map(_._2).sum
+      val sg2 = gs.map(g => g._2 * g._2).sum
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> (n, r4(sg.toDouble / n),
+        r4(math.sqrt((n * sg2 - sg * sg).toDouble) / sg))
+    }
+    val got = Relational.qInterarrival(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("MG sketch: sound bounds everywhere, finds true hitters on skew") {
     // zipf-ish stream: item 1 = 40%, item 2 = 20%, tail of 500 others
     val stream = (Seq.fill(4000)(1L) ++ Seq.fill(2000)(2L) ++

@@ -450,6 +450,25 @@ class TextSpec extends AnyFunSuite {
     assert(r.filter($"proj" =!= 0.0).count() > 0)
   }
 
+  test("readability matches a local regex replay per document") {
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = graft.operators.TextAnalysis.readability(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    for ((id, text) <- docs) {
+      val w = text.split("\\s+", -1).length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(text).size, 1).toLong
+      val sy = "[aeiouyAEIOUY]+".r.findAllIn(text).size.toLong
+      val flesch = BigDecimal(206.835 - 1.015 * (w.toDouble / s)
+        - 84.6 * (sy.toDouble / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((w, s, sy, flesch)), s"doc $id: ${got(id)}")
+    }
+  }
+
   test("paired quality covers every doc once, means bounded by extremes") {
     val docs = graft.Tables(spark, sf).documents.count()
     val rows = graft.operators.Multimodal.pairedQuality(spark, sf)
