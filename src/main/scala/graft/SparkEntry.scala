@@ -2541,8 +2541,9 @@ object SparkEntry {
         |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_gaps,
         |  round(sg / (n_gaps * 1.0), 4) AS mean_gap_s,
-        |  round(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / sg, 4)
-        |    AS cv_gap
+        |  round(sqrt(greatest(
+        |    CAST(n_gaps AS DOUBLE) * sg2 - CAST(sg AS DOUBLE) * sg,
+        |    0.0)) / sg, 4) AS cv_gap
         |FROM m ORDER BY event_type""".stripMargin,
     // the MG soundness theorem forces the flag TRUE — a buggy sketch
     // hash-mismatches (same gate as the HLL/GK approx queries)

@@ -581,8 +581,15 @@ object Relational {
         sum(col("gap") * col("gap")).as("sg2"))
       .select(col("event_type"), col("n_gaps"),
         round(col("sg") / (col("n_gaps") * 1.0), 4).as("mean_gap_s"),
-        round(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
-          .cast("double")) / col("sg"), 4).as("cv_gap"))
+        // moments to DOUBLE before multiplying: n·Σg² and (Σg)² pass
+        // 2⁶³ at sf0.1 as longs (ANSI overflow). The doubles round
+        // identically on both engines (same IEEE op sequence), and a
+        // 1-ulp variance error is invisible at 4 dp; greatest(,0)
+        // guards the zero-variance rounding corner.
+        round(sqrt(greatest(
+          col("n_gaps").cast("double") * col("sg2") -
+            col("sg").cast("double") * col("sg"), lit(0.0))) /
+          col("sg"), 4).as("cv_gap"))
       .orderBy("event_type")
   }
 

@@ -191,7 +191,8 @@ class RelationalSpec extends AnyFunSuite {
       def r4(x: Double) = BigDecimal(x)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       t -> (n, r4(sg.toDouble / n),
-        r4(math.sqrt((n * sg2 - sg * sg).toDouble) / sg))
+        r4(math.sqrt(math.max(
+          n.toDouble * sg2 - sg.toDouble * sg, 0.0)) / sg))
     }
     val got = Relational.qInterarrival(spark, sf).collect()
       .map(r => r.getString(0) ->
