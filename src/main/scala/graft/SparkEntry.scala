@@ -244,6 +244,7 @@ object SparkEntry {
     "g_densification" -> (GraphQueries.densification _),
     "d_readability" -> (TextAnalysis.readability _),
     "q_interarrival" -> (Relational.qInterarrival _),
+    "g_seed_comparison" -> ((s, d) => GraphQueries.seedComparison(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -901,27 +902,36 @@ object SparkEntry {
     * `GraphQueries.influenceCascade`): seeds = top-4 degree hubs;
     * round t activates unseen neighbors of round t−1's activations
     * when the md5 coin of (infector, target, t) lands under p%. */
-  private def icUnrolled(rounds: Int, p: Int): String = {
+  private def icUnrolled(rounds: Int, p: Int): String =
+    icUnrolledOver("ic", rounds, p,
+      "SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 4")
+
+  /** IC unroll over a parameterized prefix + seed query — the SAME
+    * coin regardless of seeds (common random numbers), so two seed
+    * sets replayed in one statement form a paired comparison. */
+  private def icUnrolledOver(pre: String, rounds: Int, p: Int,
+                             seedsSql: String): String = {
     val body = (1 to rounds).map { i =>
-      val f = if (i == 1) "ics" else s"icn${i - 1}"
-      s""", icn$i AS MATERIALIZED (
+      val f = if (i == 1) s"${pre}s" else s"${pre}n${i - 1}"
+      s""", ${pre}n$i AS MATERIALIZED (
          |  SELECT DISTINCT s.dst AS id
          |  FROM sym s JOIN $f f ON f.id = s.src
          |  WHERE ('0x' || substr(md5('ic:' || s.src || ':' || s.dst ||
          |      ':$i'), 1, 7))::BIGINT % 100 < $p
-         |    AND s.dst NOT IN (SELECT id FROM ici${i - 1}))
-         |, ici$i AS MATERIALIZED (
-         |  SELECT id FROM ici${i - 1} UNION SELECT id FROM icn$i)
+         |    AND s.dst NOT IN (SELECT id FROM ${pre}i${i - 1}))
+         |, ${pre}i$i AS MATERIALIZED (
+         |  SELECT id FROM ${pre}i${i - 1} UNION SELECT id FROM ${pre}n$i)
          |""".stripMargin
     }.mkString
     val rows = (1 to rounds).map { i =>
-      s"SELECT $i AS round, CAST(count(*) AS BIGINT) AS newly_activated FROM icn$i"
+      s"SELECT $i AS round, CAST(count(*) AS BIGINT) AS newly_activated FROM ${pre}n$i"
     }.mkString("\n  UNION ALL ")
-    s""", ics AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 4)
-       |, ici0 AS (SELECT id FROM ics)
-       |$body, icr AS (
+    s""", ${pre}s AS ($seedsSql)
+       |, ${pre}i0 AS (SELECT id FROM ${pre}s)
+       |$body, ${pre}r AS (
        |  SELECT 0 AS round,
-       |    CAST((SELECT count(*) FROM ics) AS BIGINT) AS newly_activated
+       |    CAST((SELECT count(*) FROM ${pre}s) AS BIGINT)
+       |      AS newly_activated
        |  UNION ALL $rows)
        |""".stripMargin
   }
@@ -4327,6 +4337,17 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_activated
         |FROM icr ORDER BY round""".stripMargin),
+    // paired cascade (same coin) from hub vs md5-uniform random seeds
+    "g_seed_comparison" -> (GraphCte +
+      icUnrolledOver("sd", 6, 2,
+        "SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 4") +
+      icUnrolledOver("sp", 6, 2,
+        "SELECT id FROM deg ORDER BY md5('seed:' || id), id LIMIT 4") +
+      """SELECT 'hub' AS seed_set,
+        |  CAST((SELECT count(*) FROM sdi6) AS BIGINT) AS total_activated
+        |UNION ALL SELECT 'random',
+        |  CAST((SELECT count(*) FROM spi6) AS BIGINT)
+        |ORDER BY seed_set""".stripMargin),
     // the Albert-Barabasi-Jeong attack curve: deterministic hub rank
     "g_attack_robustness" -> (GraphCte +
       """, rk AS MATERIALIZED (

@@ -730,22 +730,22 @@ object GraphQueries {
     * replays in SQL. Scale: each round is one frontier join against
     * the symmetrized edges — frontier-sized, not graph-sized; rounds
     * bounded by the cascade depth. */
-  def influenceCascade(spark: SparkSession, dir: String,
-                       rounds: Int = 6, pPct: Int = 20): DataFrame = {
-    val g = GraphBuilder.coPurchase(spark, dir)
-    val sym = g.symmetrized
-    // every round's output is flattened to a LogicalRDD leaf
-    // (Materialize.table): round t's plan nests rounds 1..t-1 via the
-    // anti-join AND the union, and Catalyst re-walks that shared DAG
-    // as a TREE per action — the un-flattened loop measured 443 s at
-    // sf0.1 (pure planning; ~10 s of executor work), the same failure
-    // mode the session-memo flattening fixed in early round 7
-    val seeds = graft.Materialize.table(
-      Iterative.topDegreeLandmarks(g, 4).select(col("id")))
-    var infected = seeds
-    var frontier = seeds
+  /** Shared IC loop: per-round newly-activated counts from a seed set.
+    * Every round's output is flattened to a LogicalRDD leaf
+    * (Materialize.table): round t's plan nests rounds 1..t-1 via the
+    * anti-join AND the union, and Catalyst re-walks that shared DAG
+    * as a TREE per action — the un-flattened loop measured 443 s at
+    * sf0.1 (pure planning; ~10 s of executor work), the same failure
+    * mode the session-memo flattening fixed in early round 7. The
+    * coin is keyed (infector, target, round) only — NOT the seed set —
+    * so different seed sets face the same edge randomness (common
+    * random numbers: a paired, variance-free comparison). */
+  private def cascadeCounts(sym: DataFrame, seeds: DataFrame,
+                            rounds: Int, pPct: Int): Seq[(Int, Long)] = {
+    var infected = graft.Materialize.table(seeds)
+    var frontier = infected
     val counts = Seq.newBuilder[(Int, Long)]
-    counts += ((0, seeds.count()))
+    counts += ((0, infected.count()))
     var t = 1
     while (t <= rounds) {
       val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
@@ -760,14 +760,48 @@ object GraphQueries {
       frontier = newly
       t += 1
     }
+    counts.result()
+  }
+
+  def influenceCascade(spark: SparkSession, dir: String,
+                       rounds: Int = 6, pPct: Int = 20): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val counts = cascadeCounts(g.symmetrized,
+      Iterative.topDegreeLandmarks(g, 4).select(col("id")), rounds, pPct)
     import spark.implicits._
-    counts.result().toDF("round", "newly_activated")
+    counts.toDF("round", "newly_activated")
       .withColumn("cum_activated",
         sum("newly_activated").over(org.apache.spark.sql.expressions
           .Window.orderBy("round")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
       .orderBy("round")
+  }
+
+  /** Influence-maximization seed comparison (Kempe–Kleinberg–Tardos'
+    * benchmark question): the SAME cascade — same coin, common random
+    * numbers, so the comparison is paired and variance-free — from
+    * top-4 HUB seeds vs 4 md5-uniform RANDOM seeds. Hub seeding
+    * should beat random (it does: 939 vs 754 at sf0.01); note
+    * pagerank-vs-degree is DEGENERATE here (identical top-4 — PR ≈
+    * degree on undirected graphs), which is itself the classic
+    * finding. p = 2% (vs the spread curve's 20%): the sub-critical
+    * regime is where seed choice matters — at 20% ANY seed set
+    * saturates this graph. Output: one exact total per seed set. */
+  def seedComparison(spark: SparkSession, dir: String,
+                     rounds: Int = 6, pPct: Int = 2): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val sym = g.symmetrized
+    val hubSeeds = Iterative.topDegreeLandmarks(g, 4).select(col("id"))
+    val rndSeeds = g.degrees
+      .orderBy(md5(concat(lit("seed:"), col("id"))), col("id")).limit(4)
+      .select(col("id"))
+    val hTot = cascadeCounts(sym, hubSeeds, rounds, pPct).map(_._2).sum
+    val rTot = cascadeCounts(sym, rndSeeds, rounds, pPct).map(_._2).sum
+    import spark.implicits._
+    Seq(("hub", hTot), ("random", rTot))
+      .toDF("seed_set", "total_activated")
+      .orderBy("seed_set")
   }
 
   /** Targeted-attack robustness — the complement of [[percolation]]:

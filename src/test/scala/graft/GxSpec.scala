@@ -504,6 +504,40 @@ class GxSpec extends AnyFunSuite {
     assert(got.sortBy(_._1) == want.toSeq, s"$got vs $want")
   }
 
+  test("seed comparison == paired local simulations (hub and random)") {
+    def coin(u: Long, v: Long, t: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ic:$u:$v:$t".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val edges = g.edges.as[(Long, Long)].collect().toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val degs = adj.map { case (k, vs) => k -> vs.size }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val hubSeeds = degs.toSeq.sortBy { case (id, d) => (-d, id) }
+      .take(4).map(_._1)
+    val rndSeeds = degs.keys.toSeq
+      .sortBy(id => (md5hex(s"seed:$id"), id)).take(4)
+    def simulate(seeds: Seq[Long]): Long = {
+      var infected = seeds.toSet
+      var frontier = seeds.toSet
+      for (t <- 1 to 6) {
+        val newly = frontier.flatMap(u =>
+          adj(u).filter(v => coin(u, v, t) < 2)) -- infected
+        infected ++= newly; frontier = newly
+      }
+      infected.size.toLong
+    }
+    val got = graph.GraphQueries.seedComparison(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hub" -> simulate(hubSeeds),
+      "random" -> simulate(rndSeeds)), s"$got")
+  }
+
   test("attack robustness == local replay; attack beats random failure") {
     val edges = g.edges.as[(Long, Long)].collect().toSeq
     val degs = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
