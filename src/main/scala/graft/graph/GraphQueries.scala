@@ -755,9 +755,19 @@ object GraphQueries {
         .filter(coin < pPct)
         .select(col("dst").as("id")).distinct()
         .join(infected, Seq("id"), "left_anti"))
-      counts += ((t, newly.count()))
-      infected = graft.Materialize.table(infected.union(newly))
-      frontier = newly
+      val n = newly.count()
+      counts += ((t, n))
+      if (n == 0) {
+        // extinct: the remaining rounds are identically zero — emit
+        // them without scheduling 2 jobs per dead round (a saturated
+        // 20% cascade spends half its rounds extinct; the paired 2%
+        // comparison runs TWO cascades, doubling the waste)
+        ((t + 1) to rounds).foreach(r => counts += ((r, 0L)))
+        t = rounds
+      } else {
+        infected = graft.Materialize.table(infected.union(newly))
+        frontier = newly
+      }
       t += 1
     }
     counts.result()
