@@ -1972,10 +1972,13 @@ object SparkEntry {
     // covariance: identical 1e-3 input quantization, exact integer
     // moments (HUGEINT here, long/BigInt in CoMoments), one shared
     // division order — see CoMoments scaladoc
+    // cov_micro is an exact BIGINT of 1e-6 units: DOUBLE output flaked
+    // on DuckDB's round() emitting -0.0 where Spark emits +0.0 on
+    // 3 near-zero covariances; integers carry no signed zero.
     "e_embedding_covariance" -> (CovCte +
       """SELECT p.i, p.j,
-        |  round((si.n * p.sxy - si.sx * sj.sx)
-        |    / (si.n * si.n) / 1000000.0, 6) AS cov
+        |  CAST(round((si.n * p.sxy - si.sx * sj.sx)
+        |    / CAST(si.n * si.n AS DOUBLE)) AS BIGINT) AS cov_micro
         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
         |ORDER BY p.i, p.j""".stripMargin),
     "e_pca_power" -> (CovCte + pcaPowerUnrolled(8) +
@@ -2192,7 +2195,7 @@ object SparkEntry {
         |  FROM orders GROUP BY 1)
         |SELECT quarter, revenue,
         |  round(100.0 * (revenue - lag(revenue) OVER (ORDER BY quarter))
-        |    / lag(revenue) OVER (ORDER BY quarter), 4) AS qoq_pct
+        |    / lag(revenue) OVER (ORDER BY quarter), 4) + 0.0 AS qoq_pct
         |FROM q ORDER BY quarter""".stripMargin,
     "d_tokenizer_fertility" ->
       """WITH r AS (
@@ -2252,7 +2255,7 @@ object SparkEntry {
         |  FROM xy)
         |SELECT n AS n_months, final_vertices, final_edges,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (n * sxx - sx * sx), 4) AS densification_exponent
+        |    (n * sxx - sx * sx), 4) + 0.0 AS densification_exponent
         |FROM ag""".stripMargin,
     "g_edge_arrival" ->
       """WITH pe AS (
@@ -2906,7 +2909,7 @@ object SparkEntry {
         |      AS BIGINT) AS sm
         |  FROM ab)
         |SELECT label, count(*) AS n_vecs,
-        |  round(CAST(sum(sm) AS BIGINT) / (count(*) * 1000000.0), 6)
+        |  round(CAST(sum(sm) AS BIGINT) / (count(*) * 1000000.0), 6) + 0.0
         |    AS silhouette
         |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_katz" -> (GraphCte + katzUnrolled(8) +
@@ -3133,7 +3136,7 @@ object SparkEntry {
         |  / ((SELECT count(*) FROM deg) * ((SELECT count(*) FROM deg) - 1)), 8)
         |  AS density""".stripMargin),
     "g_assortativity" -> (GraphCte +
-      """SELECT round(corr(d1.degree, d2.degree), 4) AS assortativity
+      """SELECT round(corr(d1.degree, d2.degree), 4) + 0.0 AS assortativity
         |FROM sym JOIN deg d1 ON sym.src = d1.id
         |         JOIN deg d2 ON sym.dst = d2.id""".stripMargin),
     "g_neighbor_jaccard" -> (GraphCte +
@@ -3241,7 +3244,7 @@ object SparkEntry {
         |  CASE WHEN (ia.m * 2) * (ia.m * 2) - mg.sum_a2 = 0 THEN 0.0
         |    ELSE round(
         |      CAST((ia.m * 2) * ia.intra2 - mg.sum_a2 AS DOUBLE)
-        |      / ((ia.m * 2) * (ia.m * 2) - mg.sum_a2), 6) END
+        |      / ((ia.m * 2) * (ia.m * 2) - mg.sum_a2), 6) + 0.0 END
         |    AS assortativity
         |FROM ia, mg""".stripMargin),
     "g_community_sample" -> (SampleCte +
@@ -4218,12 +4221,12 @@ object SparkEntry {
         |      ln(nb / (SELECT n FROM nn)) * 1000000) AS BIGINT))
         |    AS BIGINT) AS hb_l FROM mbb)
         |SELECT (SELECT n FROM nn) AS n_vertices,
-        |  round(mi_l / 1000000.0, 6) AS mi,
-        |  round(ha_l / -1000000.0, 6) AS h_a,
-        |  round(hb_l / -1000000.0, 6) AS h_b,
+        |  round(mi_l / 1000000.0, 6) + 0.0 AS mi,
+        |  round(ha_l / -1000000.0, 6) + 0.0 AS h_a,
+        |  round(hb_l / -1000000.0, 6) + 0.0 AS h_b,
         |  CASE WHEN ha_l = 0 OR hb_l = 0 THEN 0.0
         |    ELSE round((mi_l / 1000000.0) /
-        |      sqrt((ha_l / -1000000.0) * (hb_l / -1000000.0)), 6)
+        |      sqrt((ha_l / -1000000.0) * (hb_l / -1000000.0)), 6) + 0.0
         |  END AS nmi
         |FROM mim, ham, hbm""".stripMargin),
     "g_community_graph" -> (LouvainCte + louvainUnrolled(4) +

@@ -581,13 +581,17 @@ object Ann {
     * task keeps a d(d+1)/2-long sketch (~17 KB at d=64) and only the
     * sketches shuffle; no self-join, no pair explosion, corpus streams
     * once. Determinism: 1e-3-quantized exact-integer moments (see
-    * CoMoments scaladoc); output pinned at 6 dp. */
+    * CoMoments scaladoc); the output is the covariance in exact BIGINT
+    * 1e-6 micro-units (`cov_micro` = round(cov·1e6)) — integers carry
+    * no signed zero, so the value is hash-stable across engines (a
+    * rounded DOUBLE near zero flaked on DuckDB emitting `-0.0` where
+    * Spark emits `+0.0`; callers wanting the float divide by 1e6). */
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(graft.functions.CoMoments.coMoments(col("embedding")).as("cm"))
       .select(explode(col("cm")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"),
-        round(col("p.cov_micro") / 1e6, 6).as("cov"))
+        round(col("p.cov_micro")).cast("long").as("cov_micro"))
       .orderBy("i", "j")
 
   /** The integer micro-covariance matrix (round(cov·1e6)) as a local

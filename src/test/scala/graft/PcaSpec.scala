@@ -12,7 +12,7 @@ class PcaSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  private def bruteCov(vecs: Seq[Seq[Float]]): Map[(Int, Int), Double] = {
+  private def bruteCov(vecs: Seq[Seq[Float]]): Map[(Int, Int), Long] = {
     val n = vecs.size
     val d = vecs.head.size
     val q = vecs.map(_.map(v => math.round(v.toDouble * 1000)))
@@ -21,21 +21,21 @@ class PcaSpec extends AnyFunSuite {
       val sx = q.map(v => BigInt(v(i))).sum
       val sy = q.map(v => BigInt(v(j))).sum
       val covMicro = (BigInt(n) * sxy - sx * sy).toDouble / (n.toDouble * n)
-      (i, j) -> BigDecimal(covMicro / 1e6)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, j) -> BigDecimal(covMicro)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }).toMap
   }
 
   test("CoMoments covariance equals the brute-force moment computation") {
     val got = Ann.embeddingCovariance(spark, sf)
-      .as[(Int, Int, Double)].collect()
+      .as[(Int, Int, Long)].collect()
       .map { case (i, j, c) => (i, j) -> c }.toMap
     val vecs = Tables(spark, sf).embeddings
       .select($"embedding").as[Seq[Float]].collect().toSeq
     val want = bruteCov(vecs)
     assert(got.size == want.size)
     want.foreach { case (k, w) =>
-      assert(math.abs(got(k) - w) < 1e-9, s"cov$k: got ${got(k)} want $w")
+      assert(got(k) == w, s"cov$k: got ${got(k)} want $w")
     }
     // variances on the diagonal are non-negative
     got.collect { case ((i, j), c) if i == j => c }.foreach(v => assert(v >= 0))
@@ -92,7 +92,7 @@ class PcaSpec extends AnyFunSuite {
     }
     // trace = sum of eigenvalues
     val trace = Ann.embeddingCovariance(spark, sf)
-      .filter($"i" === $"j").agg(sum($"cov")).as[Double].head()
+      .filter($"i" === $"j").agg(sum($"cov_micro" / 1e6)).as[Double].head()
     assert(math.abs(vals.sum - trace) < 1e-3)
   }
 
