@@ -788,6 +788,69 @@ object GraphQueries {
       .orderBy("round")
   }
 
+  /** Paired IC cascades: ALL seed strategies advance through ONE
+    * frontier join per round, each carrying a per-strategy membership
+    * flag (the `Gx.standardRanks` array-state trick applied to
+    * cascades). The strategies share the coin by design (common random
+    * numbers — it is keyed (src, dst, round) only), so the per-set
+    * dynamics are EXACTLY those of [[cascadeCounts]] run separately:
+    * a dst activates in set s iff some infector in s's frontier wins
+    * the shared coin and s hasn't activated it yet. Folding k
+    * strategies into flag columns replaces k frontier joins + k
+    * materialize/count pairs per round with one of each — the top
+    * bench line halved when k = 2. Same per-round flattening
+    * discipline as [[cascadeCounts]] (un-flattened loop = 443 s of
+    * pure planning at sf0.1). */
+  private def pairedCascadeTotals(seedSets: Seq[(String, DataFrame)],
+                                  sym: DataFrame, rounds: Int,
+                                  pPct: Int): Seq[(String, Long)] = {
+    val fc = seedSets.indices.map(i => s"f$i")
+    val seeded = seedSets.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col("id") +: fc.map(c => lit(c == s"f$i").as(c)): _*)
+    }.reduce(_ union _)
+    def mergeFlags(df: DataFrame) = df.groupBy("id")
+      .agg(max(fc.head).as(fc.head), fc.tail.map(c => max(c).as(c)): _*)
+    var infected = graft.Materialize.table(mergeFlags(seeded))
+    var frontier = infected
+    val sums = fc.map(c => sum(col(c).cast("long")).as(c))
+    val totals = {
+      val r = infected.agg(sums.head, sums.tail: _*).head()
+      Array.tabulate(fc.size)(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    }
+    var t = 1
+    var live = true
+    while (t <= rounds && live) {
+      val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
+        col("dst"), lit(t))), 1, 7), 16, 10).cast("long") % 100
+      val cand = sym
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .filter(coin < pPct)
+        .groupBy(col("dst").as("id"))
+        .agg(max(fc.head).as(fc.head), fc.tail.map(c => max(c).as(c)): _*)
+      val prior = infected
+        .select(col("id") +: fc.map(c => col(c).as(s"i_$c")): _*)
+      val newly = graft.Materialize.table(cand
+        .join(prior, Seq("id"), "left")
+        .select(col("id") +: fc.map(c =>
+          (col(c) && !coalesce(col(s"i_$c"), lit(false))).as(c)): _*)
+        .filter(fc.map(col).reduce(_ || _)))
+      val r = newly.agg(sums.head, sums.tail: _*).head()
+      var any = false
+      fc.indices.foreach { i =>
+        val n = if (r.isNullAt(i)) 0L else r.getLong(i)
+        totals(i) += n
+        if (n > 0) any = true
+      }
+      if (!any) live = false // every strategy extinct: rest is zeros
+      else {
+        infected = graft.Materialize.table(mergeFlags(infected.union(newly)))
+        frontier = newly
+      }
+      t += 1
+    }
+    seedSets.map(_._1).zip(totals.toSeq)
+  }
+
   /** Influence-maximization seed comparison (Kempe–Kleinberg–Tardos'
     * benchmark question): the SAME cascade — same coin, common random
     * numbers, so the comparison is paired and variance-free — from
@@ -797,21 +860,21 @@ object GraphQueries {
     * degree on undirected graphs), which is itself the classic
     * finding. p = 2% (vs the spread curve's 20%): the sub-critical
     * regime is where seed choice matters — at 20% ANY seed set
-    * saturates this graph. Output: one exact total per seed set. */
+    * saturates this graph. Output: one exact total per seed set. Both
+    * cascades ride ONE paired loop ([[pairedCascadeTotals]]) — half
+    * the frontier joins and jobs of running them separately. */
   def seedComparison(spark: SparkSession, dir: String,
                      rounds: Int = 6, pPct: Int = 2): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    val sym = g.symmetrized
     val hubSeeds = Iterative.topDegreeLandmarks(g, 4).select(col("id"))
     val rndSeeds = g.degrees
       .orderBy(md5(concat(lit("seed:"), col("id"))), col("id")).limit(4)
       .select(col("id"))
-    val hTot = cascadeCounts(sym, hubSeeds, rounds, pPct).map(_._2).sum
-    val rTot = cascadeCounts(sym, rndSeeds, rounds, pPct).map(_._2).sum
+    val totals = pairedCascadeTotals(
+      Seq("hub" -> hubSeeds, "random" -> rndSeeds),
+      g.symmetrized, rounds, pPct)
     import spark.implicits._
-    Seq(("hub", hTot), ("random", rTot))
-      .toDF("seed_set", "total_activated")
-      .orderBy("seed_set")
+    totals.toDF("seed_set", "total_activated").orderBy("seed_set")
   }
 
   /** Targeted-attack robustness — the complement of [[percolation]]:
