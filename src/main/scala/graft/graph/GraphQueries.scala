@@ -888,12 +888,58 @@ object GraphQueries {
   def attackRobustness(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     val nv = g.vertexCount
-    val ranked = g.degrees.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("degree").desc, col("id").asc)))
+    // Two-phase threshold cut instead of a global row_number window
+    // (that window is a single-partition sort of ALL |V| vertices —
+    // the one ranking no 100×-scale plan can afford). Phase 1: the
+    // degree HISTOGRAM (≤ #distinct degree values, ~O(√|E|) rows on a
+    // scale-free graph) carries a descending cumulative count; the
+    // removal threshold degree D and the excess inside it fall out of
+    // one ≤3-row lookup per level. Phase 2: only the BOUNDARY class
+    // (degree == D) needs the id tie-break (lower ids removed first),
+    // and the excess-th smallest id is found by range-bucketing the
+    // class ids (≤4096 buckets) and sorting ONE bucket — so the keep
+    // set is a map-side filter (degree < D ∨ (degree == D ∧ id > T))
+    // and nothing |V|-sized is ever sorted or windowed.
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("degree").desc) // over the tiny histogram only
+    val cumHist = graft.Materialize.table(
+      g.degrees.groupBy("degree").agg(count(lit(1)).as("cnt"))
+        .select(col("degree"), col("cnt"),
+          (sum("cnt").over(wDesc) - col("cnt")).as("above")))
+    def boundaryIdThreshold(d: Long, excess: Long): Long = {
+      val cls = g.degrees.filter(col("degree") === d).select("id")
+      val st = cls.agg(max("id"), count(lit(1))).head()
+      val (maxId, nCls) = (st.getLong(0), st.getLong(1))
+      if (excess >= nCls) maxId
+      else {
+        val wdt = math.max(1L, maxId / 4096 + 1)
+        val bh = cls.groupBy(floor(col("id") / wdt).cast("long").as("b"))
+          .agg(count(lit(1)).as("c")).orderBy("b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))) // ≤4096 rows
+        var prior = 0L
+        var i = 0
+        while (prior + bh(i)._2 < excess) { prior += bh(i)._2; i += 1 }
+        val bStar = bh(i)._1
+        // one bucket-local top-k (~|class|/4096 rows): the excess-th
+        // smallest id overall is the (excess-prior)-th inside bStar
+        cls.filter(floor(col("id") / wdt).cast("long") === bStar)
+          .orderBy("id").limit((excess - prior).toInt)
+          .agg(max("id")).head().getLong(0)
+      }
+    }
     val frames = Seq(1, 5, 10).map { pct =>
       val nRemove = nv * pct / 100 // integer floor, replayed in SQL
-      val keep = ranked.filter(col("rk") > nRemove).select("id")
+      val keep =
+        if (nRemove == 0) g.degrees.select("id")
+        else {
+          val b = cumHist.filter(col("above") < nRemove &&
+              col("above") + col("cnt") >= nRemove)
+            .select(col("degree"), col("above")).head()
+          val (d, above) = (b.getLong(0), b.getLong(1))
+          val t = boundaryIdThreshold(d, nRemove - above)
+          g.degrees.filter(col("degree") < d ||
+            (col("degree") === d && col("id") > t)).select("id")
+        }
       val se = g.edges.select("src", "dst")
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")

@@ -399,4 +399,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       plan)
   }
+
+  test("attack robustness: no vertex-sized window — the ranking is a " +
+    "histogram threshold cut") {
+    // the r7 shape ranked ALL |V| vertices through row_number() over a
+    // global Window (one-task sort); the two-phase cut leaves no Window
+    // in the result plan at all (the only window runs over the tiny
+    // pre-materialized degree histogram, flattened away)
+    val plan = graft.graph.GraphQueries.attackRobustness(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("row_number"), plan)
+  }
 }
