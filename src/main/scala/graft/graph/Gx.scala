@@ -838,6 +838,102 @@ object Gx {
     (df, rmse)
   }
 
+  /** Power iteration clustering (Lin & Cohen, ICML 2010) — the last
+    * GraphFrames 0.8+ algorithm API without a graft counterpart
+    * (`graphframes.lib.PowerIterationClustering`, itself a thin veneer
+    * over Spark MLlib's PIC). Given a symmetric nonnegative affinity
+    * (src, dst, weight), run `iters` rounds of the truncated power
+    * iteration v ← D⁻¹Wv / ‖·‖₁ from the degree-proportional start
+    * v₀(i) = d(i)/Σd (MLlib's "degree" init), then cluster the 1-d
+    * embedding with k-means. The pseudo-eigenvector converges locally
+    * (within-cluster values collapse before the global eigenvector
+    * mixes), which is the whole trick — a handful of rounds separates
+    * planted clusters (spec-gated on a seeded SBM, PicSpec).
+    *
+    * Scale shape: identical to [[weightedPageRank]] — one cached
+    * volume-partitioned edge RDD, one aggregateMessages per round
+    * (messages sent BOTH directions: W is symmetric affinity), one
+    * O(1) driver scalar per round (the L1 norm). The k-means stage is
+    * 1-dimensional: centroids are k broadcast literals, assignment is
+    * a map-side argmin over a k-slot array expression, and each
+    * update is one k-row aggregate — no |V|-sized sort, window, or
+    * collect anywhere. Cluster ids are renumbered 0..k-1 by ascending
+    * centroid value so the labeling is deterministic. */
+  def powerIterationClustering(weightedEdges: DataFrame, k: Int,
+                               iters: Int = 16,
+                               kmeansIters: Int = 25): DataFrame = {
+    require(k >= 2, s"powerIterationClustering: k=$k must be >= 2")
+    val spark = weightedEdges.sparkSession
+    import spark.implicits._
+    val nEdges = weightedEdges.count()
+    val parts = math.max(2L, nEdges / 250000L + 1L).toInt
+    val ed = weightedEdges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (s, d, w) => Edge(s, d, w) }
+    val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
+    val base = XGraph.fromEdges(sized, 0.0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val wdeg: VertexRDD[Double] = base.aggregateMessages[Double](
+      ctx => { ctx.sendToDst(ctx.attr); ctx.sendToSrc(ctx.attr) },
+      _ + _)
+    // static degree graph; every round's state is ONE join from it
+    // (the standardRanks lineage rule)
+    val sg: XGraph[Double, Double] =
+      base.outerJoinVertices(wdeg)((_, _, s) => s.getOrElse(0.0)).cache()
+    val totalW = sg.vertices.values.sum()
+    var vg: XGraph[(Double, Double), Double] =
+      sg.mapVertices((_, d) => (d, d / totalW)).cache()
+    vg.vertices.count()
+    for (_ <- 1 to iters) {
+      val msgs = vg.aggregateMessages[Double](
+        ctx => {
+          ctx.sendToDst(ctx.srcAttr._2 * ctx.attr)
+          ctx.sendToSrc(ctx.dstAttr._2 * ctx.attr)
+        },
+        _ + _)
+      // v_raw = D⁻¹Wv; its L1 norm is the one driver scalar per round
+      val raw = sg.outerJoinVertices(msgs)((_, d, m) =>
+        (d, if (d > 0) m.getOrElse(0.0) / d else 0.0)).cache()
+      val l1 = raw.vertices.values.map { case (_, v) => math.abs(v) }.sum()
+      val prev = vg
+      vg = raw.mapVertices { case (_, (d, v)) => (d, v / l1) }.cache()
+      vg.vertices.count()
+      prev.unpersistVertices(blocking = false)
+      raw.unpersistVertices(blocking = false)
+    }
+    val emb = graft.Materialize.table(
+      vg.vertices.map { case (id, (_, v)) => (id, v) }.toDF("id", "v"))
+    vg.unpersistVertices(blocking = false)
+    // --- 1-d k-means over the embedding ------------------------------
+    val mm = emb.agg(min("v").as("lo"), max("v").as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    var cents = Array.tabulate(k)(i => lo + (i + 0.5) * (hi - lo) / k)
+    def clusterCol(cs: Array[Double]) = {
+      val dists = array(cs.map(c => abs(col("v") - lit(c))).toIndexedSeq: _*)
+      // first index of the min distance — deterministic tie-break
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    var stable = false
+    var it = 0
+    while (!stable && it < kmeansIters) {
+      val means = emb.groupBy(clusterCol(cents).as("cluster"))
+        .agg(avg("v").as("m")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val next = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
+      stable = cents.indices.forall(i => math.abs(next(i) - cents(i)) < 1e-12)
+      cents = next
+      it += 1
+    }
+    // renumber by ascending centroid so labels are deterministic
+    val order = cents.zipWithIndex.sortBy(_._1).map(_._2)
+      .zipWithIndex.sortBy(_._1).map(_._2)
+    val relabel = array(order.map(i => lit(i)).toIndexedSeq: _*)
+    emb.select(col("id"),
+      element_at(relabel, clusterCol(cents) + 1).as("cluster"))
+  }
+
   /** ANF / HyperANF-style neighborhood function (Palmer-Gibbons-
     * Faloutsos ANF; Boldi-Rosa-Vigna HyperANF) — N(t) = #pairs (u,v)
     * with d(u,v) ≤ t, estimated by per-vertex Flajolet-Martin bitmask
