@@ -697,13 +697,17 @@ object Gx {
     * Pregel ([[multiSourceBfs]]): per slice the vertex state is a
     * batch-wide Int array, so memory is O(n·batch), never O(n²); total
     * work is O(n/batch) quiescent Pregel runs = O(n·|E|) — the
-    * irreducible cost of exactness, which is WHY it is opt-in. The only
-    * driver-side materialization is the vertex-id list (8 bytes/vertex,
-    * same order as the estimators' landmark collect). */
+    * irreducible cost of exactness, which is WHY it is opt-in. The
+    * source ids STREAM to the driver partition-by-partition
+    * (`toLocalIterator` over the range-sorted id column): the driver
+    * holds one partition of ids plus the current batch, never the full
+    * |V|-long array. */
   def exactAllDistances(g: Graph, batchSize: Int = 512): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
-    val ids = g.vertices.select("id").orderBy("id").as[Long].collect()
+    import scala.jdk.CollectionConverters._
+    val ids = g.vertices.select("id").orderBy("id").as[Long]
+      .toLocalIterator().asScala
     ids.grouped(batchSize)
       .map(b => multiSourceBfs(g, b.toSeq))
       .reduce(_ union _)
