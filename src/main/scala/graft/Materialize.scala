@@ -22,4 +22,36 @@ object Materialize {
     cached.count()
     org.apache.spark.sql.graft.Bridge.flatten(cached)
   }
+
+  /** Query-LOCAL materialization scope, for intermediates that are
+    * read by several branches of ONE query and then never again —
+    * unlike the session-lived memo tables above, these must be freed
+    * when the query's result is computed, or every such query leaks
+    * cached blocks for the session lifetime.
+    *
+    * `table(df)` persists+counts+flattens like [[Materialize.table]]
+    * and remembers the handle; `seal(result)` (only valid for SMALL
+    * results — the single-row/top-k reports these queries end in)
+    * computes the result eagerly, unpersists every scoped handle, and
+    * returns the rows as a local relation with the original schema, so
+    * the caller's DataFrame no longer references the freed caches. */
+  final class Scoped(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
+    private val acquired =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    def table(df: DataFrame): DataFrame = {
+      val cached = df.persist(level)
+      cached.count()
+      acquired += cached
+      org.apache.spark.sql.graft.Bridge.flatten(cached)
+    }
+
+    def seal(result: DataFrame): DataFrame = {
+      val rows = result.collect()
+      acquired.foreach(_.unpersist(blocking = false))
+      acquired.clear()
+      result.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    }
+  }
 }

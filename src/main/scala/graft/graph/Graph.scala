@@ -304,18 +304,21 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
           .as("square_count"))
     } else {
       // 100 TB path: no broadcastable adjacency ⇒ materialize the
-      // wedge stream (u<w inline in the codegen join, 64-bit packed
-      // pair key) and aggregate it pre-partitioned WIDE — an explicit
-      // repartition keeps AQE from coalescing the mostly-unique-key
-      // aggregate into a handful of spilling partitions.
+      // wedge stream (u<w inline in the codegen join) and aggregate it
+      // pre-partitioned WIDE — an explicit repartition keeps AQE from
+      // coalescing the mostly-unique-key aggregate into a handful of
+      // spilling partitions. The endpoint pair is grouped as TWO
+      // columns, not an arithmetic u·2³²+w pack: packing overflows
+      // Long for ids ≥ 2³¹ and silently collides for ids ≥ 2³² —
+      // exactly the id range this large-graph branch exists for.
       val np = spark.sessionState.conf.numShufflePartitions * 8
       val sym = symmetrized
       val wedges = sym.select(col("src").as("v"), col("dst").as("u"))
         .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
         .filter(col("u") < col("w"))
-        .select((col("u") * lit(4294967296L) + col("w")).as("uw"))
-      wedges.repartition(np, col("uw"))
-        .groupBy("uw").agg(count(lit(1)).as("n"))
+        .select(col("u"), col("w"))
+      wedges.repartition(np, col("u"), col("w"))
+        .groupBy("u", "w").agg(count(lit(1)).as("n"))
         .agg((coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)) / 2)
           .cast("long").as("square_count"))
     }

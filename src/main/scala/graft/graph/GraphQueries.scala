@@ -170,7 +170,13 @@ object GraphQueries {
     val deg = se.select(col("src").as("id"))
       .union(se.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    val bdeg = broadcast(deg)
+    // same ≤500k-vertex gate as Graph's own kernels: a 1/mod edge
+    // sample of a big graph still has ~|V| distinct endpoints, so an
+    // unconditional broadcast would blow the limit exactly on the
+    // large graphs this estimator targets (g.vertexCount bounds the
+    // sampled vertex set from above — a free, conservative proxy)
+    val small = g.vertexCount <= 500000
+    val bdeg = if (small) broadcast(deg) else deg
     val oriented = se
       .join(bdeg.select(col("id").as("src"), col("degree").as("sdeg")), "src")
       .join(bdeg.select(col("id").as("dst"), col("degree").as("ddeg")), "dst")
@@ -181,8 +187,9 @@ object GraphQueries {
           .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
           .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-    val adj = broadcast(oriented.groupBy(col("lo").as("v"))
-      .agg(sort_array(collect_list(col("hi"))).as("nbrs")))
+    val adjPlain = oriented.groupBy(col("lo").as("v"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    val adj = if (small) broadcast(adjPlain) else adjPlain
     val sampled = oriented
       .join(adj.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adj.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
@@ -534,7 +541,7 @@ object GraphQueries {
       .crossJoin(g.degrees.agg(
         round(avg(col("degree")), 6).as("orig_avg_degree")))
       .head()
-    spark.range(1).select(
+    val result = spark.range(1).select(
       lit(stats.getLong(0)).as("sample_vertices"),
       lit(se.count()).as("sample_edges"),
       round(lit(stats.getLong(4).toDouble / stats.getLong(0)), 6)
@@ -546,6 +553,11 @@ object GraphQueries {
       lit(origRow.getDouble(2)).as("orig_avg_degree"),
       lit(origRow.getDouble(0)).as("orig_avg_clustering"),
       lit(origRow.getDouble(1)).as("orig_transitivity"))
+    // every consumer above was eager (head/count) and the result row is
+    // pure literals — free the query-local caches before returning
+    sampled.unpersist(blocking = false)
+    se.unpersist(blocking = false)
+    result
   }
 
   /** The top-4 degree hubs — the shared source set of the rank-family
@@ -1149,15 +1161,18 @@ object GraphQueries {
   def densification(spark: SparkSession, dir: String): DataFrame = {
     val t = graft.Tables(spark, dir)
     val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-    val fs = li.as("a").join(li.as("b"),
+    // query-local scope: the first-seen table feeds both the vertex-
+    // and edge-arrival branches, but nothing after this query — sealed
+    // (freed) once the 1-row regression report is computed
+    val scope = new graft.Materialize.Scoped
+    val fs = scope.table(li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .join(t.orders.select(col("o_orderkey"),
         date_trunc("month", col("o_orderdate")).as("m")),
         col("a.l_orderkey") === col("o_orderkey"))
       .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(min(col("m")).as("em"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(min(col("m")).as("em")))
     val vm = fs.select(col("src").as("id"), col("em"))
       .union(fs.select(col("dst").as("id"), col("em")))
       .groupBy("id").agg(min("em").as("vm"))
@@ -1172,16 +1187,17 @@ object GraphQueries {
       .select(round(log(col("vcum")) * 1e6).cast("long").as("x"),
         round(log(col("ecum")) * 1e6).cast("long").as("y"),
         col("vcum"), col("ecum"))
-    cum.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        max("vcum").as("final_vertices"), max("ecum").as("final_edges"))
-      .select(col("n").as("n_months"), col("final_vertices"),
-        col("final_edges"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          .cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4)
-          .as("densification_exponent"))
+    scope.seal(
+      cum.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          max("vcum").as("final_vertices"), max("ecum").as("final_edges"))
+        .select(col("n").as("n_months"), col("final_vertices"),
+          col("final_edges"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("densification_exponent")))
   }
 
   /** In/out degrees of the directed purchase-sequence graph
@@ -1305,10 +1321,13 @@ object GraphQueries {
                        splitDate: String = "1996-01-01"): DataFrame = {
     val t = graft.Tables(spark, dir)
     val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-    // persist the first-seen table: BOTH split sides and the anti-join
-    // read it — uncached, the full lineitem pair scan re-runs per
-    // consumer (measured ~2× the query's cost at sf0.1)
-    val fs = graft.Materialize.table(li.as("a").join(li.as("b"),
+    // query-local scope: the first-seen table feeds both split sides
+    // and the anti-join — uncached, the full lineitem pair scan re-ran
+    // per consumer (measured ~2× the query's cost at sf0.1); sealed
+    // (freed) once the 1-row report is computed, so neither it nor the
+    // candidate-score table leaks cached blocks past this query
+    val scope = new graft.Materialize.Scoped
+    val fs = scope.table(li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
@@ -1325,26 +1344,26 @@ object GraphQueries {
       .select(col("p_partkey").as("id"))
     val se = esym.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    val sc = se.select(col("src").as("w"), col("dst").as("u"))
+    val sc = scope.table(se.select(col("src").as("w"), col("dst").as("u"))
       .join(se.select(col("src").as("w"), col("dst").as("v")), "w")
       .filter(col("u") < col("v"))
       .join(edeg.withColumnRenamed("id", "w"), "w")
       .groupBy("u", "v")
       .agg(round(sum(lit(1.0) / log(col("degree"))), 6).as("aa"))
       .join(ee.select(col("src").as("u"), col("dst").as("v")),
-        Seq("u", "v"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Seq("u", "v"), "left_anti"))
     val lev = le.select(col("src").as("u"), col("dst").as("v"))
     val nCand = sc.count()
     val nLate = le.count()
     val candHits = sc.join(lev, Seq("u", "v"), "left_semi").count()
-    sc.orderBy(col("aa").desc, col("u"), col("v")).limit(k)
-      .join(lev.withColumn("h", lit(1)), Seq("u", "v"), "left")
-      .agg(count(col("h")).as("hits"))
-      .select(lit(k).as("k"), lit(nCand).as("n_candidates"),
-        lit(nLate).as("n_late_new"), col("hits"),
-        round(col("hits") / (k * 1.0), 4).as("precision_at_k"),
-        round(lit(candHits) / (lit(nCand) * 1.0), 6).as("random_baseline"))
+    scope.seal(
+      sc.orderBy(col("aa").desc, col("u"), col("v")).limit(k)
+        .join(lev.withColumn("h", lit(1)), Seq("u", "v"), "left")
+        .agg(count(col("h")).as("hits"))
+        .select(lit(k).as("k"), lit(nCand).as("n_candidates"),
+          lit(nLate).as("n_late_new"), col("hits"),
+          round(col("hits") / (k * 1.0), 4).as("precision_at_k"),
+          round(lit(candHits) / (lit(nCand) * 1.0), 6).as("random_baseline")))
   }
 
   /** Fixed-iteration Katz centrality — see [[Gx.katz]]. */
@@ -1488,7 +1507,10 @@ object GraphQueries {
         sum(when(col("ndir") === 1, 1L).otherwise(0L)).as("asym"))
       .crossJoin(v.agg(count(lit(1)).as("n")))
       .select(col("n").as("n_vertices"), col("mutual"), col("asym"),
-        (col("n") * (col("n") - 1) / 2 - col("mutual") - col("asym"))
+        // integral `div`, matching the oracle's exact `//`: Column./
+        // is double division, which loses exactness once n·(n−1)
+        // exceeds 2⁵³ (~9.5e7 vertices) and would diverge from DuckDB
+        (expr("n * (n - 1) div 2") - col("mutual") - col("asym"))
           .cast("long").as("nulld"))
   }
 }
