@@ -245,6 +245,9 @@ object SparkEntry {
     "d_readability" -> (TextAnalysis.readability _),
     "q_interarrival" -> (Relational.qInterarrival _),
     "g_seed_comparison" -> ((s, d) => GraphQueries.seedComparison(s, d)),
+    "q_corr_matrix" -> (Relational.qCorrMatrix _),
+    "q_skew_kurtosis" -> (Relational.qSkewKurtosis _),
+    "q_median_mad" -> (Relational.qMedianMad _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -4516,5 +4519,86 @@ object SparkEntry {
         |    + (n_alpha / n_chars) * 0.3
         |    + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    // exact HUGEINT power sums (mirror of Spark's DECIMAL(38,0)), then
+    // ONE structurally identical IEEE double expression per engine
+    "q_corr_matrix" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS e,
+        |    CAST(round(l_discount * 1e4) AS BIGINT) AS d
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT l_returnflag, 'qty_price' AS pair, q AS x, e AS y FROM p
+        |  UNION ALL SELECT l_returnflag, 'qty_disc', q, d FROM p
+        |  UNION ALL SELECT l_returnflag, 'price_disc', e, d FROM p),
+        |m AS (
+        |  SELECT l_returnflag, pair, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x * y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x * x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y * y AS HUGEINT)) AS syy
+        |  FROM u GROUP BY 1, 2)
+        |SELECT l_returnflag, pair, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS corr
+        |FROM m ORDER BY l_returnflag, pair""".stripMargin,
+    // σ³ as v·sqrt(v) (correctly-rounded IEEE ops only — pow is
+    // libm-dependent); both sides bind the doubles, then share the
+    // central-moment expression verbatim
+    "q_skew_kurtosis" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice) AS BIGINT) AS b
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(b AS HUGEINT)) AS s1,
+        |    sum(CAST(b * b AS HUGEINT)) AS s2,
+        |    sum(CAST(b AS HUGEINT) * b * b) AS s3,
+        |    sum(CAST(b AS HUGEINT) * b * b * b) AS s4
+        |  FROM b GROUP BY 1),
+        |d AS (
+        |  SELECT o_orderpriority, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+        |  FROM s),
+        |f AS (
+        |  SELECT o_orderpriority, n, nd, s1d, s2d, s3d, s4d,
+        |    s1d / nd AS m, s2d / nd - (s1d / nd) * (s1d / nd) AS v
+        |  FROM d)
+        |SELECT o_orderpriority, n,
+        |  round(m, 2) AS mean_price,
+        |  round(sqrt(v), 2) AS stddev_pop,
+        |  round((s3d / nd - 3.0 * m * (s2d / nd) + 2.0 * m * m * m) /
+        |    (v * sqrt(v)), 4) + 0.0 AS skewness,
+        |  round((s4d / nd - 4.0 * m * (s3d / nd) +
+        |    6.0 * m * m * (s2d / nd) - 3.0 * m * m * m * m) /
+        |    (v * v) - 3.0, 4) + 0.0 AS excess_kurtosis
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
+    // doubled integer units keep the median and every |x−med| on an
+    // exact 0.5-grid — quantile_cont and Spark's percentile agree
+    // bit-for-bit there
+    "q_median_mad" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice) * 2 AS BIGINT) AS b2
+        |  FROM orders),
+        |med AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |    quantile_cont(b2, 0.5) AS med2
+        |  FROM o GROUP BY 1),
+        |dev AS (
+        |  SELECT o.o_orderpriority, med.n_orders, med.med2,
+        |    abs(CAST(o.b2 AS DOUBLE) - med.med2) AS dev2
+        |  FROM o JOIN med USING (o_orderpriority))
+        |SELECT o_orderpriority, n_orders,
+        |  round(med2 / 2.0, 2) AS median_price,
+        |  round(quantile_cont(dev2, 0.5) / 2.0, 2) AS mad_price
+        |FROM dev GROUP BY o_orderpriority, n_orders, med2
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -1083,4 +1083,125 @@ object Relational {
       .orderBy(col("lift").desc, col("src"), col("dst"))
       .limit(20)
   }
+
+  /** Pearson correlation matrix over lineitem's numeric measures
+    * (quantity, extendedprice, discount), per return flag — the
+    * feature-correlation screen a column-pruning / feature-selection
+    * pass runs before training. Engine-portable by the micro-int
+    * discipline: inputs are quantized to exact integer units
+    * (quantity and price to 1, discount to 1e-4), ALL power sums are
+    * exact DECIMAL(38,0)/HUGEINT integers (Σx² ≤ n·1.3e10 — decimal38
+    * holds to n ~ 1e27 rows), and the final r is ONE identical IEEE
+    * double expression on both engines, rounded to 6 dp. The pair
+    * explosion triples the scanned rows but keeps the plan a single
+    * map-side-combined groupBy on a 9-key space — at 100 TB this is
+    * one pass over the fact table, no joins, 9 result rows. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select(
+      col("l_returnflag"),
+      round(col("l_quantity")).cast("long").as("q"),
+      round(col("l_extendedprice")).cast("long").as("e"),
+      round(col("l_discount") * 1e4).cast("long").as("d"))
+    val pairs = li.select(col("l_returnflag"), explode(array(
+        struct(lit("qty_price").as("pair"), col("q").as("x"), col("e").as("y")),
+        struct(lit("qty_disc").as("pair"), col("q").as("x"), col("d").as("y")),
+        struct(lit("price_disc").as("pair"), col("e").as("x"), col("d").as("y"))
+      )).as("p"))
+      .select(col("l_returnflag"), col("p.pair").as("pair"),
+        col("p.x").as("x"), col("p.y").as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    pairs.groupBy("l_returnflag", "pair")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .select(col("l_returnflag"), col("pair"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr"))
+      .orderBy("l_returnflag", "pair")
+  }
+
+  /** Skewness and excess kurtosis of the order value distribution per
+    * priority — the shape screen behind outlier thresholds and
+    * log-transform decisions. Same discipline as [[qCorrMatrix]]:
+    * integer-unit prices, exact DECIMAL(38,0) power sums S1..S4
+    * (S4 ≤ n·8e22 — safe past 1e14 rows), then the central-moment
+    * formulas as ONE identical double expression per engine. One
+    * map-side-combined pass, 5 result rows at any scale. */
+  def qSkewKurtosis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = round(col("o_totalprice")).cast("long")
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), b.as("b"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("b").cast(dec)).as("s1"),
+        sum((col("b") * col("b")).cast(dec)).as("s2"),
+        sum((col("b").cast(dec) * col("b") * col("b")).cast(dec)).as("s3"),
+        sum((col("b").cast(dec) * col("b") * col("b") * col("b")).cast(dec))
+          .as("s4"))
+      .select(Seq(col("o_orderpriority"), col("n")) ++
+        skewKurtCols(col("n").cast("double"), col("s1").cast("double"),
+          col("s2").cast("double"), col("s3").cast("double"),
+          col("s4").cast("double")): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  /** Shared double-expression tail of [[qSkewKurtosis]] — kept in one
+    * place so the Scala and SQL sides stay structurally identical. */
+  private def skewKurtCols(nd: org.apache.spark.sql.Column,
+                           s1: org.apache.spark.sql.Column,
+                           s2: org.apache.spark.sql.Column,
+                           s3: org.apache.spark.sql.Column,
+                           s4: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val m = s1 / nd
+    val v = s2 / nd - m * m
+    Seq(
+      round(m, 2).as("mean_price"),
+      round(sqrt(v), 2).as("stddev_pop"),
+      // σ³ as v·sqrt(v), NOT pow(v, 1.5): sqrt/·/÷ are IEEE
+      // correctly-rounded (bit-identical across engines); pow is
+      // libm-dependent and can differ in the last ulp
+      round((s3 / nd - lit(3.0) * m * (s2 / nd) + lit(2.0) * m * m * m) /
+        (v * sqrt(v)), 4).as("skewness"),
+      round((s4 / nd - lit(4.0) * m * (s3 / nd) +
+        lit(6.0) * m * m * (s2 / nd) - lit(3.0) * m * m * m * m) /
+        (v * v) - lit(3.0), 4).as("excess_kurtosis"))
+  }
+
+  /** Median and median-absolute-deviation of order value per priority —
+    * the robust-statistics twin of [[qSkewKurtosis]]. Values are
+    * DOUBLED integer units so both the median and every |x − med| stay
+    * on an exact 0.5-grid (no float comparison risk between engines:
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    * interpolate at (n−1)/2, which on the doubled grid is always a
+    * whole or half integer, exactly representable). Two passes over
+    * orders; percentile state is bounded by the DISTINCT quantized
+    * value count (~5e5 price units) per group regardless of row count,
+    * so the plan holds at 100 TB. */
+  def qMedianMad(spark: SparkSession, dir: String): DataFrame = {
+    val b2 = (round(col("o_totalprice")) * 2).cast("long")
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderpriority"), b2.as("b2"))
+    val med = o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile(b2, 0.5)").as("med2"))
+    o.join(med, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_orders"), col("med2"),
+        abs(col("b2").cast("double") - col("med2")).as("dev2"))
+      .groupBy("o_orderpriority")
+      .agg(first("n_orders").as("n_orders"), first("med2").as("med2"),
+        expr("percentile(dev2, 0.5)").as("mad2"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("med2") / 2.0, 2).as("median_price"),
+        round(col("mad2") / 2.0, 2).as("mad_price"))
+      .orderBy("o_orderpriority")
+  }
 }
