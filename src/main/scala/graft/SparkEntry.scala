@@ -248,6 +248,11 @@ object SparkEntry {
     "q_corr_matrix" -> (Relational.qCorrMatrix _),
     "q_skew_kurtosis" -> (Relational.qSkewKurtosis _),
     "q_median_mad" -> (Relational.qMedianMad _),
+    "g_bowtie" -> (GraphQueries.bowtie _),
+    "g_customer_projection" -> ((s, d) =>
+      GraphQueries.customerProjection(s, d)),
+    "e_kmeans_step" -> ((s, d) => Ann.kmeansStep(s, d)),
+    "d_source_overlap" -> (Dedup.sourceOverlap _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -291,7 +296,7 @@ object SparkEntry {
       |seq AS (
       |  SELECT l_partkey AS src,
       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
-      |                          ORDER BY l_linenumber) AS dst
+      |                          ORDER BY l_linenumber, l_partkey) AS dst
       |  FROM li),
       |de AS (SELECT DISTINCT src, dst FROM seq
       |       WHERE dst IS NOT NULL AND dst <> src),
@@ -697,7 +702,7 @@ object SparkEntry {
       |seq AS (
       |  SELECT l_partkey AS src,
       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
-      |                          ORDER BY l_linenumber) AS dst
+      |                          ORDER BY l_linenumber, l_partkey) AS dst
       |  FROM li),
       |de AS (SELECT DISTINCT src, dst FROM seq
       |       WHERE dst IS NOT NULL AND dst <> src),
@@ -2999,7 +3004,7 @@ object SparkEntry {
         |seq AS (
         |  SELECT l_partkey AS src,
         |    lead(l_partkey) OVER (PARTITION BY l_orderkey
-        |                          ORDER BY l_linenumber) AS dst
+        |                          ORDER BY l_linenumber, l_partkey) AS dst
         |  FROM li),
         |de AS (SELECT DISTINCT src, dst FROM seq
         |       WHERE dst IS NOT NULL AND dst <> src),
@@ -4600,5 +4605,97 @@ object SparkEntry {
         |  round(quantile_cont(dev2, 0.5) / 2.0, 2) AS mad_price
         |FROM dev GROUP BY o_orderpriority, n_orders, med2
         |ORDER BY o_orderpriority""".stripMargin,
+    // reuses SccCte's directed-edge derivation (unreferenced CTEs in
+    // it — reach/mutual/sccl — are never evaluated by DuckDB); the two
+    // BFS sweeps replay as recursive CTEs anchored at the same
+    // max-degree pivot
+    "g_bowtie" -> (SccCte +
+      """, bdeg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT src AS id FROM de UNION ALL SELECT dst FROM de)
+        |  GROUP BY 1),
+        |piv AS (SELECT id FROM bdeg ORDER BY degree DESC, id LIMIT 1),
+        |fwd(id) AS (
+        |  SELECT id FROM piv
+        |  UNION
+        |  SELECT de.dst FROM fwd JOIN de ON de.src = fwd.id),
+        |bwd(id) AS (
+        |  SELECT id FROM piv
+        |  UNION
+        |  SELECT de.src FROM bwd JOIN de ON de.dst = bwd.id),
+        |cls AS (
+        |  -- DISTINCT: inside WITH RECURSIVE DuckDB evaluates dv's
+        |  -- UNION without dedup (the g_scc oracle masks this by
+        |  -- grouping on dv.id)
+        |  SELECT DISTINCT dv.id,
+        |    CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'scc'
+        |         WHEN b.id IS NOT NULL THEN 'in'
+        |         WHEN f.id IS NOT NULL THEN 'out'
+        |         ELSE 'other' END AS region
+        |  FROM dv LEFT JOIN fwd f ON f.id = dv.id
+        |          LEFT JOIN bwd b ON b.id = dv.id)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM cls GROUP BY 1 ORDER BY region""".stripMargin),
+    "g_customer_projection" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pc AS (SELECT part, count(*) AS nc FROM inc GROUP BY 1),
+        |keep AS (
+        |  SELECT inc.cust, inc.part FROM inc
+        |  JOIN pc ON pc.part = inc.part WHERE pc.nc <= 25),
+        |pr AS (
+        |  SELECT a.cust AS ca, b.cust AS cb,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM keep a JOIN keep b
+        |    ON a.part = b.part AND a.cust < b.cust
+        |  GROUP BY 1, 2)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pr GROUP BY 1 ORDER BY w""".stripMargin,
+    // exact-integer Lloyd step: micro-int components make every
+    // squared-L2 distance an exact BIGINT (order-free), seeds are the
+    // k smallest vec_ids, argmin tie-breaks on centroid id, updated
+    // centroids are round(mean) micro longs — identical half-away
+    // rounding both engines
+    "e_kmeans_step" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |sd AS (
+        |  SELECT vec_id,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (
+        |  SELECT sd.cid, x.dim, x.v AS cv
+        |  FROM sd JOIN x ON x.vec_id = sd.vec_id),
+        |d AS (
+        |  SELECT x.vec_id, c.cid,
+        |    sum((x.v - c.cv) * (x.v - c.cv)) AS dist
+        |  FROM x JOIN c0 c ON c.dim = x.dim
+        |  GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, cid) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT asg.cid AS centroid_id, x.dim,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(round(sum(x.v) / (count(*) * 1.0)) AS BIGINT) AS c_micro
+        |FROM asg JOIN x ON x.vec_id = asg.vec_id
+        |GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
+    "d_source_overlap" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |         ELSE a.c * b.c END AS p
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source)
+        |SELECT source_a, source_b, CAST(sum(p) AS BIGINT) AS dup_pairs
+        |FROM p GROUP BY 1, 2 HAVING sum(p) > 0
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -1513,4 +1513,91 @@ object GraphQueries {
         (expr("n * (n - 1) div 2") - col("mutual") - col("asym"))
           .cast("long").as("nulld"))
   }
+
+  /** Directed frontier-BFS reachable set from `sources` over `edges`
+    * (src → dst), per-round flattened through the query-local scope
+    * (the cascade-loop discipline — an un-flattened DataFrame loop is
+    * pure-planning quadratic). Frontier-sized joins only: each round
+    * touches edges incident to the NEW frontier, never the whole
+    * reached set, so the plan holds on a bounded-diameter graph at any
+    * |E|. */
+  private def reachableFrom(scope: graft.Materialize.Scoped,
+                            edges: DataFrame,
+                            sources: DataFrame): DataFrame = {
+    var reached = scope.table(sources.select("id"))
+    var frontier = reached
+    var grew = true
+    while (grew) {
+      val next = scope.table(
+        edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti"))
+      if (next.isEmpty) grew = false
+      else {
+        reached = scope.table(reached.union(next))
+        frontier = next
+      }
+    }
+    reached
+  }
+
+  /** Bow-tie decomposition of the directed purchase-sequence graph
+    * (Broder et al., "Graph structure in the Web"): anchored at the
+    * deterministic max-degree pivot, SCC = forward ∩ backward reachable
+    * set, IN = reaches the core, OUT = reached from the core, OTHER =
+    * neither. Two frontier BFS sweeps (forward + reversed edges) —
+    * each round is frontier-sized, so the decomposition costs
+    * O(diameter) jobs over incident edges, not a transitive closure;
+    * the oracle replays both sweeps as recursive CTEs from the same
+    * pivot. Result is a ≤4-row region histogram (sealed: the sweeps'
+    * caches are freed once it's computed). */
+  def bowtie(spark: SparkSession, dir: String): DataFrame = {
+    val e = Scc.lineSequenceEdges(spark, dir)
+    val scope = new graft.Materialize.Scoped
+    val deg = scope.table(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree")))
+    val pivot = deg.orderBy(col("degree").desc, col("id")).limit(1)
+      .select("id")
+    val fwd = reachableFrom(scope, e, pivot)
+    val bwd = reachableFrom(scope,
+      e.select(col("dst").as("src"), col("src").as("dst")), pivot)
+    scope.seal(deg.select("id")
+      .join(fwd.select(col("id"), lit(1).as("f")), Seq("id"), "left")
+      .join(bwd.select(col("id"), lit(1).as("b")), Seq("id"), "left")
+      .select(when(col("f").isNotNull && col("b").isNotNull, "scc")
+        .when(col("b").isNotNull, "in")
+        .when(col("f").isNotNull, "out")
+        .otherwise("other").as("region"))
+      .groupBy("region").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("region"))
+  }
+
+  /** Customer projection of the customer–part bipartite graph:
+    * customers linked by shared purchased parts, edge weight = shared
+    * part count, reported as the weight histogram. The per-part
+    * customer cap (≤ `cap` distinct buyers) is the standard bipartite-
+    * projection hub guard: it bounds the self-join fanout at
+    * C(cap, 2) per part — WITHOUT it a single part bought by 10⁶
+    * customers emits 5·10¹¹ pairs, the classic 100 TB projection
+    * killer. One distinct-incidence build, one capped part-keyed
+    * self-join, two bounded aggregates. */
+  def customerProjection(spark: SparkSession, dir: String,
+                         cap: Int = 25): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val inc = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), "l_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val partCnt = inc.groupBy("part").agg(count(lit(1)).as("nc"))
+    val keep = inc.join(partCnt.filter(col("nc") <= cap).select("part"),
+      Seq("part"), "left_semi")
+    keep.select(col("part"), col("cust").as("a"))
+      .join(keep.select(col("part"), col("cust").as("b")), Seq("part"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("w")
+  }
 }

@@ -67,7 +67,13 @@ object Scc {
     val li = Tables(spark, dir).lineitem
       .filter(col("l_quantity") >= minQty)
       .select("l_orderkey", "l_linenumber", "l_partkey")
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    // l_partkey tie-break: the generated data has duplicate
+    // (l_orderkey, l_linenumber) pairs with DIFFERENT partkeys (5303
+    // groups at sf0.1), so ordering by l_linenumber alone leaves the
+    // lead() sequence to each engine's sort stability — Spark and
+    // DuckDB happened to agree at sf0.01 and diverged at sf0.1
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
     li.select(col("l_partkey").as("src"),
         lead(col("l_partkey"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull && col("dst") =!= col("src"))
