@@ -4685,17 +4685,15 @@ object SparkEntry {
         |  CAST(round(sum(x.v) / (count(*) * 1.0)) AS BIGINT) AS c_micro
         |FROM asg JOIN x ON x.vec_id = asg.vec_id
         |GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
-    "d_source_overlap" ->
-      """WITH g AS (
-        |  SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |p AS (
-        |  SELECT a.source AS source_a, b.source AS source_b,
-        |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
-        |         ELSE a.c * b.c END AS p
-        |  FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source)
-        |SELECT source_a, source_b, CAST(sum(p) AS BIGINT) AS dup_pairs
-        |FROM p GROUP BY 1, 2 HAVING sum(p) > 0
-        |ORDER BY source_a, source_b""".stripMargin,
+    "d_source_overlap" -> (MinhashCte +
+      """, srcm AS (SELECT doc_id, source FROM documents),
+        |sp AS (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b
+        |  FROM est e JOIN srcm sa ON sa.doc_id = e.a
+        |             JOIN srcm sb ON sb.doc_id = e.b
+        |  WHERE e.est >= 0.8)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS dup_pairs
+        |FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
   )
 }

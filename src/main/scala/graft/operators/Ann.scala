@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.CosineSimilarity.cosineSim
 import graft.functions.TopKByScore.topK
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -825,5 +826,106 @@ object Ann {
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("sm")) / (count(lit(1)) * 1e6), 6).as("silhouette"))
       .orderBy("label")
+  }
+
+  /** One Lloyd k-means iteration from deterministic seeds (the k
+    * smallest vec_ids), engine-portable by the micro-int discipline:
+    * components quantize to exact 1e-6 longs, so every squared-L2
+    * distance is an EXACT integer (≤ 64·(2e6)² ≈ 2.6·10¹⁴ — no float
+    * summation order anywhere), the argmin tie-breaks on centroid id,
+    * and the updated centroids are integer-rounded micro means. Output
+    * (centroid_id, dim, n_members, c_micro) — k·d rows pinning the
+    * whole assignment+update pipeline for the oracle.
+    *
+    * Scale shape: the centroid table is a k·d-row broadcast; the
+    * assignment is one pass over the exploded corpus with map-side
+    * partial aggregation on (vec, cid); the update is a second
+    * broadcast-join pass aggregating to k·d rows. The N·d·k exploded
+    * intermediate is the declarative cost of exactness — the
+    * convergence-mode twin [[kmeansIterate]] keeps the same shape with
+    * driver-held k·d state per round. */
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("dim"), micro(col("f")).as("v"))
+    val sd = emb.select("vec_id").orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("cid"))
+    val c0 = broadcast(x.join(sd, "vec_id")
+      .select(col("cid"), col("dim"), col("v").as("cv")))
+    val asg = x.join(c0, "dim")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    asg.join(x, "vec_id")
+      .groupBy(col("cid").as("centroid_id"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("v")) / (count(lit(1)) * 1.0)).cast("long")
+          .as("c_micro"))
+      .orderBy("centroid_id", "dim")
+  }
+
+  /** Convergence-mode Lloyd k-means (the multi-iteration twin of
+    * [[kmeansStep]], spec-gated on planted blobs): k·d centroid state
+    * lives on the driver between rounds (tiny — the [[pcaPower]]
+    * convention), each round is the same exact-integer broadcast
+    * assignment + micro-mean update as the single step. Empty clusters
+    * keep their previous centroid. Returns (assignment DF, centroids
+    * as micro longs). */
+  def kmeansIterate(vecs: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Long]]) = {
+    val spark = vecs.sparkSession
+    val x = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("dim"), micro(col("f")).as("v"))
+    val xmCached = x.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    xmCached.count()
+    val xm = org.apache.spark.sql.graft.Bridge.flatten(xmCached)
+    var cents: Array[Array[Long]] = xm
+      .join(vecs.select("vec_id").orderBy("vec_id").limit(k)
+        .select(col("vec_id"),
+          (row_number().over(Window.orderBy("vec_id")) - 1).as("cid")),
+        "vec_id")
+      .select("cid", "dim", "v").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)))
+    def centroidDf(cs: Array[Array[Long]]) = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        cs.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, d) =>
+            org.apache.spark.sql.Row(i, d, v) } }.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.LongType)))))
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      asg = xm.join(centroidDf(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      val upd = asg.join(xm, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(round(sum(col("v")) / (count(lit(1)) * 1.0)).cast("long")
+          .as("c_micro"))
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next
+    }
+    // materialize the final assignment through its own cache, then free
+    // the exploded feature table (caller owns the returned frame)
+    val out = graft.Materialize.table(asg)
+    xmCached.unpersist(blocking = false)
+    (out, cents)
   }
 }

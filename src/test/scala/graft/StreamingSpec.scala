@@ -197,6 +197,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((100L, 20L, 10L, 7.0)), s"got $out")
   }
 
+  test("stream-stream LEFT OUTER join emits unattributed clicks as nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    views.addData(
+      Event(10, ts(1), 100, "view", 0.0))   // matches click 20
+    clicks.addData(
+      Event(20, ts(5), 100, "click", 7.0),  // attributed
+      Event(21, ts(6), 102, "click", 1.0))  // user with NO view ever
+    val q = EventStreams.clickAttributionOuter(views.toDF(), clicks.toDF(),
+      horizon = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer").start()
+    q.processAllAvailable()
+    // advance BOTH watermarks far past click 21 + horizon so the outer
+    // side gives up waiting and emits the null row
+    views.addData(Event(98, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "view", 0.0))
+    clicks.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "click", 0.0))
+    q.processAllAvailable()
+    views.addData(Event(96, Timestamp.valueOf("2024-01-01 14:00:00"), 999, "view", 0.0))
+    clicks.addData(Event(97, Timestamp.valueOf("2024-01-01 14:00:00"), 999, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("attr_outer")
+      .filter($"user_id" =!= 999)
+      .select($"user_id", $"click_id", $"view_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out.contains((100L, 20L, Some(10L))), s"got $out")
+    assert(out.contains((102L, 21L, None)), s"unmatched click not emitted: $out")
+    assert(out.size == 2, s"got $out")
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
