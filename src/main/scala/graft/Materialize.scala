@@ -48,10 +48,17 @@ object Materialize {
 
     def seal(result: DataFrame): DataFrame = {
       val rows = result.collect()
-      acquired.foreach(_.unpersist(blocking = false))
-      acquired.clear()
+      free()
       result.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
+    /** Unpersist every scoped handle without sealing a result — for
+      * loops whose consumers were all EAGER (counts/collects) and
+      * whose return value no longer references the cached frames. */
+    def free(): Unit = {
+      acquired.foreach(_.unpersist(blocking = false))
+      acquired.clear()
     }
   }
 }

@@ -754,7 +754,11 @@ object GraphQueries {
     * random numbers: a paired, variance-free comparison). */
   private def cascadeCounts(sym: DataFrame, seeds: DataFrame,
                             rounds: Int, pPct: Int): Seq[(Int, Long)] = {
-    var infected = graft.Materialize.table(seeds)
+    // query-local scope: every consumer below is eager (counts), and
+    // the return value is a driver Seq — the per-round materialized
+    // frontiers are freed on exit instead of living out the session
+    val scope = new graft.Materialize.Scoped
+    var infected = scope.table(seeds)
     var frontier = infected
     val counts = Seq.newBuilder[(Int, Long)]
     counts += ((0, infected.count()))
@@ -762,7 +766,7 @@ object GraphQueries {
     while (t <= rounds) {
       val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
         col("dst"), lit(t))), 1, 7), 16, 10).cast("long") % 100
-      val newly = graft.Materialize.table(sym
+      val newly = scope.table(sym
         .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .filter(coin < pPct)
         .select(col("dst").as("id")).distinct()
@@ -777,11 +781,12 @@ object GraphQueries {
         ((t + 1) to rounds).foreach(r => counts += ((r, 0L)))
         t = rounds
       } else {
-        infected = graft.Materialize.table(infected.union(newly))
+        infected = scope.table(infected.union(newly))
         frontier = newly
       }
       t += 1
     }
+    scope.free()
     counts.result()
   }
 
@@ -822,7 +827,8 @@ object GraphQueries {
     }.reduce(_ union _)
     def mergeFlags(df: DataFrame) = df.groupBy("id")
       .agg(max(fc.head).as(fc.head), fc.tail.map(c => max(c).as(c)): _*)
-    var infected = graft.Materialize.table(mergeFlags(seeded))
+    val scope = new graft.Materialize.Scoped
+    var infected = scope.table(mergeFlags(seeded))
     var frontier = infected
     val sums = fc.map(c => sum(col(c).cast("long")).as(c))
     val totals = {
@@ -841,7 +847,7 @@ object GraphQueries {
         .agg(max(fc.head).as(fc.head), fc.tail.map(c => max(c).as(c)): _*)
       val prior = infected
         .select(col("id") +: fc.map(c => col(c).as(s"i_$c")): _*)
-      val newly = graft.Materialize.table(cand
+      val newly = scope.table(cand
         .join(prior, Seq("id"), "left")
         .select(col("id") +: fc.map(c =>
           (col(c) && !coalesce(col(s"i_$c"), lit(false))).as(c)): _*)
@@ -855,11 +861,12 @@ object GraphQueries {
       }
       if (!any) live = false // every strategy extinct: rest is zeros
       else {
-        infected = graft.Materialize.table(mergeFlags(infected.union(newly)))
+        infected = scope.table(mergeFlags(infected.union(newly)))
         frontier = newly
       }
       t += 1
     }
+    scope.free() // all consumers were eager aggs; totals live on the driver
     seedSets.map(_._1).zip(totals.toSeq)
   }
 
@@ -914,7 +921,11 @@ object GraphQueries {
     // and nothing |V|-sized is ever sorted or windowed.
     val wDesc = org.apache.spark.sql.expressions.Window
       .orderBy(col("degree").desc) // over the tiny histogram only
-    val cumHist = graft.Materialize.table(
+    // query-local: the histogram is only read via eager .head() lookups
+    // below, and the returned frames reference literal thresholds —
+    // freed once the levels are built
+    val scope = new graft.Materialize.Scoped
+    val cumHist = scope.table(
       g.degrees.groupBy("degree").agg(count(lit(1)).as("cnt"))
         .select(col("degree"), col("cnt"),
           (sum("cnt").over(wDesc) - col("cnt")).as("above")))
@@ -966,7 +977,9 @@ object GraphQueries {
           (col("nec") + lit(nKept) - col("nend")).as("n_components"),
           col("giant").as("giant_size"))
     }
-    frames.reduce(_ union _).orderBy("removed_pct")
+    val out = frames.reduce(_ union _).orderBy("removed_pct")
+    scope.free()
+    out
   }
 
   /** ANF neighborhood-function sketch — see [[Gx.anf]]. Emits

@@ -86,7 +86,16 @@ object Dedup {
     * within-group expansion is a clean AQE-skew-splittable self-join
     * emitting each pair exactly once instead of bands× candidate rows. */
   def minhashDupPairs(docs: DataFrame, threshold: Double = 0.9,
-                      numPerm: Int = 128, bands: Int = 8): DataFrame = {
+                      numPerm: Int = 128, bands: Int = 8): DataFrame =
+    minhashDupPairsImpl(docs, threshold, numPerm, bands)._1
+
+  /** [[minhashDupPairs]] plus the cached-intermediate handles, so
+    * [[cachedMinhashPairs]] can free them once the result table is
+    * materialized (a lazy caller keeps them alive; the memoized path
+    * must not leak them for the session). */
+  private def minhashDupPairsImpl(docs: DataFrame, threshold: Double,
+                                  numPerm: Int, bands: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numPerm / bands
     val sigs = minhashSignatures(docs, numPerm)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -122,8 +131,10 @@ object Dedup {
       .filter(col("x") < col("y"))
       .select(col("x").as("a"), col("y").as("b"),
         lit(1.0).as("est_jaccard"))
-    cross.union(within)
-      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    (cross.union(within)
+      .select(col("a"), col("b"),
+        round(col("est_jaccard"), 4).as("est_jaccard")),
+      Seq(sigs, groups, members))
   }
 
   // the LSH candidate table feeds both the minhash-dup and the exact-
@@ -137,8 +148,15 @@ object Dedup {
   def cachedMinhashPairs(key: String, docs: DataFrame,
                          threshold: Double): DataFrame =
     pairCache.getOrElseUpdate(
-      s"${graft.GraftSession.sessionKey(docs.sparkSession, key)}/$threshold",
-      graft.Materialize.table(minhashDupPairs(docs, threshold)))
+      s"${graft.GraftSession.sessionKey(docs.sparkSession, key)}/$threshold", {
+        val (pairs, handles) =
+          minhashDupPairsImpl(docs, threshold, numPerm = 128, bands = 8)
+        // materialize the memo FIRST, then free the signature/group
+        // intermediates — only the |pairs| table stays cached
+        val m = graft.Materialize.table(pairs)
+        handles.foreach(_.unpersist(blocking = false))
+        m
+      })
 
   /** Exact n-gram (unigram-shingle) Jaccard verification on the LSH
     * candidates — the verify stage of the dedup pipeline. */
