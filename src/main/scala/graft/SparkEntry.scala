@@ -253,6 +253,8 @@ object SparkEntry {
       GraphQueries.customerProjection(s, d)),
     "e_kmeans_step" -> ((s, d) => Ann.kmeansStep(s, d)),
     "d_source_overlap" -> (Dedup.sourceOverlap _),
+    "q_countmin" -> ((s, d) => Relational.qCountMin(s, d)),
+    "e_centroid_outliers" -> ((s, d) => Ann.centroidOutliers(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -4695,5 +4697,48 @@ object SparkEntry {
         |  WHERE e.est >= 0.8)
         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS dup_pairs
         |FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+    // the CMS counters are a deterministic function of the multiset
+    // (commutative bucket sums) — the oracle replays the whole sketch,
+    // not just a tolerance flag
+    "q_countmin" ->
+      """WITH it AS (SELECT l_partkey AS item FROM lineitem),
+        |hb AS (
+        |  SELECT item, r,
+        |    ('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || ':' ||
+        |      CAST(item AS VARCHAR)), 1, 7))::BIGINT % 256 AS b
+        |  FROM it CROSS JOIN range(4) t(r)),
+        |counters AS (
+        |  SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hb GROUP BY 1, 2),
+        |top AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM it GROUP BY 1 ORDER BY exact_cnt DESC, item LIMIT 10),
+        |tb AS (
+        |  SELECT item, r,
+        |    ('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || ':' ||
+        |      CAST(item AS VARCHAR)), 1, 7))::BIGINT % 256 AS b
+        |  FROM top CROSS JOIN range(4) t(r))
+        |SELECT t.item, t.exact_cnt, min(c.cnt) AS cms_est
+        |FROM top t JOIN tb ON tb.item = t.item
+        |JOIN counters c ON c.r = tb.r AND c.b = tb.b
+        |GROUP BY 1, 2 ORDER BY t.exact_cnt DESC, t.item""".stripMargin,
+    // exact micro-int centroids + order-free BIGINT distances — the
+    // ranking is bit-stable on any partitioning
+    "e_centroid_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |c AS (
+        |  SELECT label, dim,
+        |    CAST(round(sum(v) / (count(*) * 1.0)) AS BIGINT) AS cv
+        |  FROM x GROUP BY 1, 2),
+        |d AS (
+        |  SELECT x.vec_id, x.label,
+        |    CAST(sum((x.v - c.cv) * (x.v - c.cv)) AS BIGINT) AS sq_dist
+        |  FROM x JOIN c ON c.label = x.label AND c.dim = x.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, sq_dist
+        |FROM d ORDER BY sq_dist DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

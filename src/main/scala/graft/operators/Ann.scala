@@ -828,6 +828,33 @@ object Ann {
       .orderBy("label")
   }
 
+  /** Per-label embedding outliers: the k vectors farthest (exact
+    * integer micro squared-L2) from their own label centroid — the
+    * mislabeled/corrupt-example screen a training pipeline runs per
+    * class. Same exactness contract as [[kmeansStep]]: micro-int
+    * components, integer-rounded micro centroids, order-free BIGINT
+    * distances, so the ranking is bit-stable on any partitioning and
+    * fully oracle-replayable. One exploded pass for centroids
+    * (labels×dim state), one broadcast-join pass for distances, a
+    * bounded top-k. */
+  def centroidOutliers(spark: SparkSession, dir: String,
+                       k: Int = 10): DataFrame = {
+    val x = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        micro(col("f")).as("v"))
+    val cents = x.groupBy("label", "dim")
+      .agg(round(sum(col("v")) / (count(lit(1)) * 1.0)).cast("long")
+        .as("cv"))
+    x.join(broadcast(cents), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+        .as("sq_dist"))
+      .orderBy(col("sq_dist").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** One Lloyd k-means iteration from deterministic seeds (the k
     * smallest vec_ids), engine-portable by the micro-int discipline:
     * components quantize to exact 1e-6 longs, so every squared-L2

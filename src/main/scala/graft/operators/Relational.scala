@@ -609,10 +609,14 @@ object Relational {
   /** Distributed mergeable MG sketch: per-partition summaries +
     * truncating treeReduce. Returns (estimates, decrement units);
     * soundness: est(x) ≤ exact(x) ≤ est(x) + dec for every item. */
-  private[graft] def mgSketch(items: org.apache.spark.rdd.RDD[Long],
-                              counters: Int): (Map[Long, Long], Long) = {
-    type MG = (Map[Long, Long], Long)
-    def truncate(m: Map[Long, Long], dec: Long): MG =
+  /** Associative MG summary merge with truncation to `counters` slots
+    * (Agarwal et al., mergeable summaries) — shared by the batch
+    * sketch below and the streaming per-micro-batch fold
+    * (streaming.StreamingHeavyHitters). */
+  private[graft] def mgMerge(a: (Map[Long, Long], Long),
+                             b: (Map[Long, Long], Long),
+                             counters: Int): (Map[Long, Long], Long) = {
+    def truncate(m: Map[Long, Long], dec: Long): (Map[Long, Long], Long) =
       if (m.size <= counters) (m, dec)
       else {
         val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(counters)
@@ -620,6 +624,14 @@ object Relational {
           if (c - cut > 0) Some(x -> (c - cut)) else None }
         (kept, dec + cut)
       }
+    val merged = (a._1.keySet ++ b._1.keySet).map(x =>
+      x -> (a._1.getOrElse(x, 0L) + b._1.getOrElse(x, 0L))).toMap
+    truncate(merged, a._2 + b._2)
+  }
+
+  private[graft] def mgSketch(items: org.apache.spark.rdd.RDD[Long],
+                              counters: Int): (Map[Long, Long], Long) = {
+    type MG = (Map[Long, Long], Long)
     items.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[Long, Long]
       var dec = 0L
@@ -634,11 +646,7 @@ object Relational {
         }
       }
       Iterator.single((m.toMap, dec)): Iterator[MG]
-    }.treeReduce { (a, b) =>
-      val merged = (a._1.keySet ++ b._1.keySet).map(x =>
-        x -> (a._1.getOrElse(x, 0L) + b._1.getOrElse(x, 0L))).toMap
-      truncate(merged, a._2 + b._2)
-    }
+    }.treeReduce(mgMerge(_, _, counters))
   }
 
   def qHeavyHitters(spark: SparkSession, dir: String,
@@ -1082,6 +1090,38 @@ object Relational {
           .as("lift"))
       .orderBy(col("lift").desc, col("src"), col("dst"))
       .limit(20)
+  }
+
+  /** Count-Min sketch point estimates for the top part frequencies —
+    * the fourth classic sketch next to HLL (approx distinct), GK
+    * (approx percentiles) and Misra–Gries (heavy hitters). The sketch
+    * here is DECLARED, not hand-sketched: a d×w counter table IS a
+    * groupBy over (row, md5-bucket), commutative sums make it a
+    * deterministic function of the multiset regardless of
+    * partitioning, so the oracle replays the ENTIRE sketch exactly —
+    * a stronger gate than a tolerance flag. est(x) = min over rows of
+    * the bucketed counters; the theorem est ≥ exact is visible in the
+    * output pair. One corpus pass for the counters (map-side partial
+    * agg into d·w cells), one for the exact top-k; the probe side is
+    * k·d rows joined against the broadcast counter table. */
+  def qCountMin(spark: SparkSession, dir: String, depth: Int = 4,
+                width: Int = 256, k: Int = 10): DataFrame = {
+    val items = Tables(spark, dir).lineitem.select(col("l_partkey").as("item"))
+    def bucket(i: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws(":", lit("cms"), lit(i), col("item"))),
+        1, 7), 16, 10).cast("long") % width
+    val counters = items
+      .select(posexplode(array((0 until depth).map(bucket): _*))
+        .as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val top = items.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item")).limit(k)
+    top
+      .select(col("item"), col("exact_cnt"),
+        posexplode(array((0 until depth).map(bucket): _*)).as(Seq("r", "b")))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("item", "exact_cnt").agg(min("cnt").as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("item"))
   }
 
   /** Pearson correlation matrix over lineitem's numeric measures

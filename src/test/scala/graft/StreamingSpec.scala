@@ -228,6 +228,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.size == 2, s"got $out")
   }
 
+  test("streaming Misra-Gries heavy hitters: whole-stream soundness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val hh = new graft.streaming.StreamingHeavyHitters(counters = 8)
+    val q = in.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch(hh.update _)
+      .start()
+    // skewed stream: item 7 dominates, long tail of 50 singletons,
+    // split across THREE micro-batches so the merge path is exercised
+    val exact = scala.collection.mutable.HashMap.empty[Long, Long]
+      .withDefaultValue(0L)
+    def push(xs: Seq[Long]): Unit = {
+      xs.foreach(x => exact(x) += 1L)
+      in.addData(xs)
+      q.processAllAvailable()
+    }
+    push((1L to 40L).map(_ => 7L) ++ (100L to 120L))
+    push((1L to 25L).map(_ => 7L) ++ (121L to 140L) ++ Seq(9L, 9L, 9L))
+    push((141L to 150L) ++ Seq(9L, 9L, 7L))
+    q.stop()
+    val (est, dec) = hh.result
+    // soundness for EVERY item: est <= exact <= est + dec
+    exact.foreach { case (x, c) =>
+      val e = est.getOrElse(x, 0L)
+      assert(e <= c && c <= e + dec, s"item $x: est=$e exact=$c dec=$dec")
+    }
+    est.foreach { case (x, e) => assert(e <= exact(x)) }
+    // the dominant item survives with the highest estimate
+    assert(est.nonEmpty && est.maxBy(_._2)._1 == 7L)
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
