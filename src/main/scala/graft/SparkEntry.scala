@@ -255,6 +255,8 @@ object SparkEntry {
     "d_source_overlap" -> (Dedup.sourceOverlap _),
     "q_countmin" -> ((s, d) => Relational.qCountMin(s, d)),
     "e_centroid_outliers" -> ((s, d) => Ann.centroidOutliers(s, d)),
+    "e_knn_eval" -> ((s, d) => Ann.knnEval(s, d)),
+    "g_degree_entropy" -> (GraphQueries.degreeEntropy _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -4740,5 +4742,54 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT vec_id, label, sq_dist
         |FROM d ORDER BY sq_dist DESC, vec_id LIMIT 10""".stripMargin,
+    // same exact top-10 sets as the (passing) e_knn_brute oracle, then
+    // a deterministic majority vote (ties -> smaller label)
+    "e_knn_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s),
+        |nn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+        |v AS (
+        |  SELECT nn.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT query_id, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY votes DESC, label) AS rn
+        |  FROM v)
+        |SELECT p.query_id, t.label AS true_label, p.pred_label, p.votes,
+        |  CAST(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END AS INT)
+        |    AS correct
+        |FROM p JOIN embeddings t ON t.vec_id = p.query_id
+        |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin,
+    // order-free entropy: per-row p*log2(p) quantized to exact 1e-6
+    // longs before the sum (the cluster/token entropy idiom)
+    "g_degree_entropy" -> (GraphCte +
+      """, hst AS (
+        |  SELECT degree, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM deg GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS k FROM hst),
+        |u AS (
+        |  SELECT k, tot,
+        |    CAST(round((cnt / CAST(tot AS DOUBLE)) *
+        |      log2(cnt / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS u
+        |  FROM hst CROSS JOIN tt)
+        |SELECT max(k) AS n_degree_values, max(tot) AS n_vertices,
+        |  round(-sum(u) / 1e6, 6) + 0.0 AS degree_entropy,
+        |  round(-sum(u) / 1e6 / log2(CAST(max(k) AS DOUBLE)), 6) + 0.0
+        |    AS norm_entropy
+        |FROM u""".stripMargin),
   )
 }

@@ -1527,6 +1527,30 @@ object GraphQueries {
           .cast("long").as("nulld"))
   }
 
+  /** Shannon entropy of the degree distribution (+ normalized by
+    * log2 k) — the one-number heterogeneity summary next to
+    * [[powerlawAlpha]]: lattice-like graphs score near 0, scale-free
+    * graphs high. Same order-free discipline as the cluster/token
+    * entropies: each histogram row's p·log2 p term quantizes to an
+    * exact 1e-6 long before the sum, so partial-agg order cannot move
+    * the rounded result. Cost: rides the (session-cached) degree
+    * table; the histogram is O(distinct degrees) ~ O(sqrt |E|) rows. */
+  def degreeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val hist = g.degrees.groupBy("degree").agg(count(lit(1)).as("cnt"))
+    val t = hist.agg(sum("cnt").as("tot"), count(lit(1)).as("k"))
+    val p = col("cnt") / col("tot").cast("double")
+    hist.crossJoin(broadcast(t))
+      .select(col("k"), col("tot"),
+        round(p * log2(p) * 1e6).cast("long").as("u"))
+      .groupBy()
+      .agg(max("k").as("n_degree_values"),
+        max("tot").as("n_vertices"),
+        round(-sum(col("u")) / 1e6, 6).as("degree_entropy"),
+        round(-sum(col("u")) / 1e6 /
+          log2(max("k").cast("double")), 6).as("norm_entropy"))
+  }
+
   /** Directed frontier-BFS reachable set from `sources` over `edges`
     * (src → dst), per-round flattened through the query-local scope
     * (the cascade-loop discipline — an un-flattened DataFrame loop is

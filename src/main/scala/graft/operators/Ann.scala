@@ -828,6 +828,31 @@ object Ann {
       .orderBy("label")
   }
 
+  /** Leave-one-out kNN label evaluation over the query slice: the
+    * majority label among each query's k cosine-nearest neighbors vs
+    * its own label (ties → smaller label) — the standard
+    * label-consistency check on an embedding table. Rides the same
+    * exact top-k pipeline as e_knn_brute (broadcast queries, map-side
+    * TopKByScore), plus two label joins and a k-bounded vote window. */
+  def knnEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val lab = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val votes = knnBrute(spark, dir, k = k)
+      .join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    votes
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("query_id")
+  }
+
   /** Per-label embedding outliers: the k vectors farthest (exact
     * integer micro squared-L2) from their own label centroid — the
     * mislabeled/corrupt-example screen a training pipeline runs per
