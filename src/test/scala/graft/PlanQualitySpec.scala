@@ -411,4 +411,57 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("row_number"), plan)
   }
+
+  test("corr matrix: one pass, scan pruned to the flag + 3 measures") {
+    val df = Relational.qCorrMatrix(spark, sf)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet ==
+      Set("l_returnflag", "l_quantity", "l_extendedprice", "l_discount"),
+      s.head.requiredSchema.fieldNames.mkString(","))
+    // no joins at all — the matrix is a single aggregation pipeline
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("median/MAD: orders scan pruned to priority + totalprice") {
+    val s = scans(Relational.qMedianMad(spark, sf))
+    assert(s.nonEmpty)
+    s.foreach(sc => assert(sc.requiredSchema.fieldNames.toSet ==
+      Set("o_orderpriority", "o_totalprice"),
+      sc.requiredSchema.fieldNames.mkString(",")))
+  }
+
+  test("count-min: counter table broadcasts onto the k-row probe side") {
+    val df = Relational.qCountMin(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val s = scans(df)
+    s.foreach(sc => assert(sc.requiredSchema.fieldNames.toSet ==
+      Set("l_partkey"), sc.requiredSchema.fieldNames.mkString(",")))
+  }
+
+  test("kmeans step: centroids broadcast, embeddings scan pruned") {
+    val df = graft.operators.Ann.kmeansStep(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val s = scans(df)
+    s.foreach(sc => assert(sc.requiredSchema.fieldNames.toSet ==
+      Set("vec_id", "embedding"), sc.requiredSchema.fieldNames.mkString(",")))
+  }
+
+  test("centroid outliers: label centroids broadcast, no cartesian") {
+    val df = graft.operators.Ann.centroidOutliers(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("customer projection: part-keyed equi-joins only, never a product") {
+    val plan = graft.graph.GraphQueries.customerProjection(spark, sf)
+      .queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
