@@ -257,6 +257,17 @@ object SparkEntry {
     "e_centroid_outliers" -> ((s, d) => Ann.centroidOutliers(s, d)),
     "e_knn_eval" -> ((s, d) => Ann.knnEval(s, d)),
     "g_degree_entropy" -> (GraphQueries.degreeEntropy _),
+    "e_bq_codes" -> (Ann.bqCodes _),
+    "e_knn_bq" -> ((s, d) => Ann.knnBq(s, d)),
+    "e_bq_recall" -> ((s, d) => Ann.bqRecall(s, d)),
+    "e_matryoshka_recall" -> ((s, d) => Ann.matryoshkaRecall(s, d)),
+    "e_mips_topk" -> ((s, d) => Ann.mipsTopK(s, d)),
+    "q_rfm" -> (Relational.qRfm _),
+    "q_abc_pareto" -> (Relational.qAbcPareto _),
+    "q_benford" -> (Relational.qBenford _),
+    "q_bloom_prefilter" -> (Relational.qBloomPrefilter _),
+    "g_degree_gini" -> (GraphQueries.degreeGini _),
+    "g_joint_degree" -> (GraphQueries.jointDegree _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1229,6 +1240,43 @@ object SparkEntry {
       |    JOIN cn ON cn.clabel = d.clabel)
       |  WHERE rn = 1),
       |tl AS (SELECT DISTINCT vec_id, label FROM ev)
+      |""".stripMargin
+
+  /** Sign-bit binary-quantization codes, two 32-bit halves packed as
+    * BIGINTs (bit 63 is the sign bit and `1 << 63` overflows — in
+    * BOTH engines; 31-bit-max shifts are portable). Mirrors
+    * Ann.bqHalf exactly: bit i of half h set iff dim h·32+i is
+    * strictly positive. */
+  private val BqCte: String =
+    """WITH bits AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, label,
+      |    CAST(coalesce(sum(CASE WHEN x > 0 AND d < 32
+      |      THEN 1::BIGINT << (d % 32) END), 0) AS BIGINT) AS code_lo,
+      |    CAST(coalesce(sum(CASE WHEN x > 0 AND d >= 32
+      |      THEN 1::BIGINT << (d % 32) END), 0) AS BIGINT) AS code_hi
+      |  FROM bits GROUP BY vec_id, label)
+      |""".stripMargin
+
+  /** Hamming top-k over the BQ codes (integer-exact ranking, ties by
+    * smaller neighbor_id — the TopKByScore convention). */
+  private val BqTopCte: String =
+    """, bqq AS (
+      |  SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
+      |  FROM codes WHERE vec_id < 20),
+      |bqs AS (
+      |  SELECT bqq.query_id, c.vec_id AS neighbor_id,
+      |    bit_count(xor(c.code_lo, bqq.q_lo)) +
+      |    bit_count(xor(c.code_hi, bqq.q_hi)) AS ham
+      |  FROM codes c CROSS JOIN bqq WHERE c.vec_id <> bqq.query_id),
+      |bqr AS (
+      |  SELECT query_id, neighbor_id, ham,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY ham ASC, neighbor_id ASC) AS rank
+      |  FROM bqs)
       |""".stripMargin
 
   /** Exact-integer embedding co-moments (CoMoments' 1e-3 quantization):
@@ -4791,5 +4839,188 @@ object SparkEntry {
         |  round(-sum(u) / 1e6 / log2(CAST(max(k) AS DOUBLE)), 6) + 0.0
         |    AS norm_entropy
         |FROM u""".stripMargin),
+    // sign-bit codes: two 32-bit halves (1 << 63 overflows BIGINT in
+    // any engine); strict x > 0 test — float sign is exact, so the
+    // whole BQ family is integer-deterministic end to end
+    "e_bq_codes" -> (BqCte +
+      """SELECT vec_id, label, code_lo, code_hi FROM codes
+        |ORDER BY vec_id""".stripMargin),
+    "e_knn_bq" -> (BqCte + BqTopCte +
+      """SELECT query_id, rank, neighbor_id, CAST(ham AS BIGINT) AS hamming
+        |FROM bqr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "e_bq_recall" -> (BqCte + BqTopCte +
+      """, bqt AS (SELECT query_id, neighbor_id FROM bqr WHERE rank <= 10),
+        |fq AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |bs AS (
+        |  SELECT fq.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(fq.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN fq WHERE e.vec_id <> fq.query_id),
+        |br AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM bs),
+        |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10)
+        |SELECT b.query_id,
+        |  CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+        |  round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+        |FROM brt b LEFT JOIN bqt t USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY query_id""".stripMargin),
+    // first-16-dims (Matryoshka prefix) ranking vs full-dim exact
+    "e_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding[1:16] AS q_emb,
+        |    embedding AS q_full
+        |  FROM embeddings WHERE vec_id < 20),
+        |ts AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_emb, e.embedding[1:16]) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |tr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM ts),
+        |tt AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 10),
+        |bs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_full, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |br AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM bs),
+        |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10)
+        |SELECT b.query_id,
+        |  CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+        |  round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+        |FROM brt b LEFT JOIN tt t USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    // raw-dot ranking (MIPS); score dropped like every float-scored knn
+    "e_mips_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.q_emb, e.embedding) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // monetary summed as exact cent longs; scores are SQL ntile —
+    // graft computes them via the two-phase distributed rank
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT monetary_cents,
+        |    ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+        |      AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+        |      AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+        |      AS m_score
+        |  FROM per)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  CAST(round(sum(monetary_cents) / CAST(count(*) AS DOUBLE))
+        |    AS BIGINT) AS avg_monetary_cents
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // exact-integer class boundaries: cum*5 <= tot*4 etc — no float on
+    // a classification edge; graft's cumsum is the Blelloch two-phase
+    "q_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (
+        |  SELECT l_partkey, rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |  FROM rev),
+        |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM rev)
+        |SELECT CASE WHEN cum_cents * 5 <= t * 4 THEN 'A'
+        |            WHEN cum_cents * 20 <= t * 19 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts,
+        |  CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+        |  round(sum(rev_cents) / CAST(max(t) AS DOUBLE), 6) AS rev_share
+        |FROM rk, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    // leading digit from the cent-integer's decimal string (no log10
+    // near the classification); expected shares are pinned literals
+    // because JVM and C libm log10 may differ in the last ulp
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h),
+        |e AS (
+        |  SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+        |    unnest([0.301030e0, 0.176091e0, 0.124939e0, 0.096910e0,
+        |      0.079181e0, 0.066947e0, 0.057992e0, 0.051153e0, 0.045757e0])
+        |      AS benford_p)
+        |SELECT h.digit, h.n,
+        |  round(h.n / CAST(t.tot AS DOUBLE), 6) AS observed_p,
+        |  e.benford_p,
+        |  round(abs(h.n / CAST(t.tot AS DOUBLE) - e.benford_p), 6)
+        |    AS abs_dev
+        |FROM h JOIN e USING (digit), t ORDER BY digit""".stripMargin,
+    // the bloom prefilter has no false negatives and the exact join
+    // removes false positives — the oracle is the PLAIN join
+    "q_bloom_prefilter" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tie-grouped exact rank formula over the degree HISTOGRAM; all
+    // integer until the final division (see GraphQueries.degreeGini)
+    "g_degree_gini" -> (GraphCte +
+      """, h AS (SELECT degree, CAST(count(*) AS BIGINT) AS c
+        |       FROM deg GROUP BY 1),
+        |cm AS (
+        |  SELECT degree, c,
+        |    sum(c) OVER (ORDER BY degree
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |  FROM h),
+        |u AS (
+        |  SELECT degree, c,
+        |    degree * (c * (cum_c - c + 1) + (c * (c - 1)) // 2) AS u
+        |  FROM cm),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(degree * c) AS BIGINT) AS s1,
+        |    CAST(sum(u) AS BIGINT) AS s2 FROM u)
+        |SELECT n AS n_vertices,
+        |  round(s2 * 2 / CAST(n * s1 AS DOUBLE)
+        |    - (n + 1) / CAST(n AS DOUBLE), 6) AS degree_gini
+        |FROM a""".stripMargin),
+    // log2 buckets via binary-string length — exact at powers of two
+    "g_joint_degree" -> (GraphCte +
+      """, b AS (SELECT id, CAST(length(bin(degree)) - 1 AS INT) AS bk
+        |       FROM deg)
+        |SELECT least(bu.bk, bv.bk) AS bucket_lo,
+        |  greatest(bu.bk, bv.bk) AS bucket_hi,
+        |  count(*) AS n_edges
+        |FROM e JOIN b bu ON e.src = bu.id JOIN b bv ON e.dst = bv.id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 }

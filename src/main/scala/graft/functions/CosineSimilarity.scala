@@ -78,3 +78,57 @@ object CosineSimilarity {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 }
+
+/** Native Catalyst expression: raw inner product of two float vectors —
+  * the MIPS (maximum-inner-product search) scoring kernel, where the
+  * UNnormalized dot is the ranking quantity (recommender retrieval:
+  * item popularity lives in the vector norm, so cosine would erase it).
+  * Same codegen rationale and accumulation discipline as
+  * [[CosineSimilarity]]: a primitive float loop, double accumulation,
+  * sequential order. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"expected (array<float>, array<float>), got " +
+          s"(${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** Column-level entry point. */
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+}

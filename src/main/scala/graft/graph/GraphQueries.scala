@@ -1637,4 +1637,56 @@ object GraphQueries {
       .groupBy("w").agg(count(lit(1)).as("n_pairs"))
       .orderBy("w")
   }
+
+  /** Gini coefficient of the degree distribution — the
+    * hub-concentration scalar next to [[degreeEntropy]] and the
+    * power-law alpha (0 = perfectly even, →1 = a few hubs own all
+    * edges).
+    *
+    * Computed EXACTLY from the degree histogram with the tie-grouped
+    * rank formula: for a run of c equal values v starting at global
+    * rank s, Σ i·vᵢ contributes v·(c·s + c·(c−1)/2) — all integer
+    * until the final division. The window runs over the HISTOGRAM
+    * (≤ max-degree rows, the bounded-table precedent of
+    * degree_histogram), never the |V|-row degree table. */
+  def degreeGini(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val hist = g.degrees.groupBy("degree").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("degree")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_c", sum("c").over(w))
+      .withColumn("s", col("cum_c") - col("c") + 1)
+      .select(col("degree"), col("c"),
+        // integer `div` keeps u a long (c·(c−1) is always even)
+        expr("degree * (c * s + (c * (c - 1)) div 2)").as("u"))
+    cum.agg(sum("c").as("n"), sum(col("degree") * col("c")).as("s1"),
+      sum("u").as("s2"))
+      .select(col("n").as("n_vertices"),
+        round(col("s2") * 2 / (col("n") * col("s1")).cast("double") -
+          (col("n") + 1) / col("n").cast("double"), 6).as("degree_gini"))
+  }
+
+  /** Joint degree distribution: for every undirected edge, the
+    * (⌊log₂ deg(u)⌋, ⌊log₂ deg(v)⌋) bucket pair (low, high) — the
+    * degree-mixing matrix behind assortativity, readable as "do hubs
+    * link to hubs or to leaves". Buckets come from the BINARY STRING
+    * length (length(bin(d))−1), not a float log₂, so bucket edges at
+    * powers of two are exact in any engine.
+    *
+    * Scale shape: two id-keyed joins of edges against the cached
+    * degree table, then a ≤(log₂ maxdeg)²-cell aggregate — the same
+    * plan family as assortativity. */
+  def jointDegree(spark: SparkSession, dir: String): DataFrame = {
+    val g = GraphBuilder.coPurchase(spark, dir)
+    val deg = g.degrees
+    val bucket = (c: org.apache.spark.sql.Column) => (length(bin(c)) - 1).cast("int")
+    g.edges.select(col("src"), col("dst"))
+      .join(deg.select(col("id").as("src"), bucket(col("degree")).as("bu")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), bucket(col("degree")).as("bv")), Seq("dst"))
+      .select(least(col("bu"), col("bv")).as("bucket_lo"),
+        greatest(col("bu"), col("bv")).as("bucket_hi"))
+      .groupBy("bucket_lo", "bucket_hi")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("bucket_lo", "bucket_hi")
+  }
 }

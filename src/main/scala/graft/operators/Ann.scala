@@ -980,4 +980,147 @@ object Ann {
     xmCached.unpersist(blocking = false)
     (out, cents)
   }
+
+  // ------------------------------------------------------------------
+  // Binary (sign) quantization — 1 bit per dimension
+
+  /** Memoized sign-bit code table: built once per (session, dir),
+    * shared by [[bqCodes]] / [[knnBq]] / [[bqRecall]]. */
+  private val bqCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def bqTable(spark: SparkSession, dir: String): DataFrame =
+    bqCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
+      graft.Materialize.table(
+        Tables(spark, dir).embeddings.select(
+          col("vec_id"), col("label"),
+          bqHalf(0).as("code_lo"), bqHalf(32).as("code_hi")))
+    })
+
+  /** Bits `off..off+31` of the sign code, packed into a long: bit i is
+    * set iff coordinate off+i is strictly positive. Two 32-bit halves,
+    * not one 64-bit word — bit 63 of a signed BIGINT is the sign bit
+    * and `1 << 63` overflows (portably differently) across engines;
+    * 31-bit-max shifts reproduce bit-exactly everywhere. */
+  private def bqHalf(off: Int) =
+    expr("aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      s"IF(element_at(embedding, i + ${off + 1}) > CAST(0 AS FLOAT), " +
+      "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+
+  /** Sign-bit binary quantization codes (vec_id, label, code_lo,
+    * code_hi): 64 float dims (256 B) compress to 8 B — 32× — and
+    * similarity becomes two XOR+popcount instructions instead of 64
+    * multiply-adds. The aggressive end of the ANN compression ladder
+    * (PQ 16×, SQ 4×, BQ 32×), and the only one whose codes AND
+    * distances are pure integers: bit-exact in any engine, no
+    * float-tie risk anywhere.
+    *
+    * Scale shape: pure map-side projection (a constant 32-element
+    * lambda fold per half, no shuffle); at 100 TB the 8-byte/vector
+    * code table is what ships to the searchers instead of the raw
+    * embedding column. */
+  def bqCodes(spark: SparkSession, dir: String): DataFrame =
+    bqTable(spark, dir).orderBy("vec_id")
+
+  /** Hamming-distance kNN over the sign codes. Output (query_id, rank,
+    * neighbor_id, hamming) — hamming is an exact integer, so unlike the
+    * float-scored searches this ranking ships its score.
+    *
+    * Scale shape: same broadcast-query / map-side bounded top-k plan as
+    * [[knnBrute]], but the scan reads 8-byte codes, not 256-byte
+    * vectors — the corpus pass is memory-bandwidth-bound and ~32×
+    * lighter. Ties (equal hamming) break by smaller neighbor_id, the
+    * TopKByScore convention. */
+  def knnBq(spark: SparkSession, dir: String,
+            nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val codes = bqTable(spark, dir)
+    val q = broadcast(codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi")))
+    codes.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("bit_count(code_lo ^ q_lo)") +
+          expr("bit_count(code_hi ^ q_hi)")).cast("long").as("ham"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), -col("ham").cast("double"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        (-col("nn.score")).cast("long").as("hamming"))
+  }
+
+  /** Recall@k of the 1-bit Hamming ranking against exact brute-force
+    * cosine — closes the compression-accuracy ladder next to
+    * [[ivfRecall]]/[[pqRecall]]/[[sqRecall]]: how much neighborhood
+    * structure survives keeping ONLY the sign of every coordinate. */
+  def bqRecall(spark: SparkSession, dir: String,
+               nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val bq = knnBq(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(bq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
+  /** Matryoshka-truncation recall: rank by cosine over only the FIRST
+    * `dims` coordinates (the MRL deployment trick — embeddings trained
+    * so prefixes are usable sub-embeddings let you trade dimensions for
+    * throughput at query time) and report recall@k against the
+    * full-dimension exact ranking.
+    *
+    * Scale shape: the truncated search is [[knnBrute]] with a map-side
+    * `slice` — the scan touches dims/64 of the vector bytes; the
+    * compare is a k·|queries|-row join. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, dims: Int = 16,
+                       nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        slice(col("embedding"), 1, dims).as("q_emb")))
+    val trunc = emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q_emb"), slice(col("embedding"), 1, dims)).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), explode(col("nn.neighbor_id")).as("neighbor_id"),
+        lit(1).as("hit"))
+    knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
+  /** Maximum-inner-product search: top-k by RAW dot product, no
+    * normalization — the recommender-retrieval ranking, where item
+    * popularity lives in the vector norm and cosine would erase it.
+    * Output (query_id, rank, neighbor_id); the float score is dropped,
+    * ranking-only, like the other float-scored searches.
+    *
+    * Scale shape: [[knnBrute]]'s broadcast-query single-corpus-pass
+    * plan with the codegen'd [[graft.functions.DotProduct]] kernel and
+    * the map-side bounded top-k aggregate. */
+  def mipsTopK(spark: SparkSession, dir: String,
+               nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(queriesOf(emb, nQueries))
+    emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.DotProduct.dotProduct(
+          col("q_emb"), col("embedding")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("score"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"))
+  }
 }

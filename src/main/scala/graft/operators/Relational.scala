@@ -1244,4 +1244,153 @@ object Relational {
         round(col("mad2") / 2.0, 2).as("mad_price"))
       .orderBy("o_orderpriority")
   }
+
+  /** RFM segmentation: every customer scored 1–5 on Recency (days
+    * since last order, most recent = 1), Frequency (order count,
+    * most = 1) and Monetary (lifetime value, most = 1), each score an
+    * exact SQL-ntile quintile — the classic CRM mixing/stratification
+    * recipe, and at 100 TB the canonical "bucket a billion users by
+    * rank" job.
+    *
+    * Scale shape: one groupBy collapses orders to |customers| rows;
+    * the three quintile passes use [[Distributed.ntile]] — the
+    * two-phase range-partitioned global rank — so NO single-partition
+    * window touches the |customers|-row table (the attack-robustness
+    * lesson, applied up front). Monetary is summed in exact cent longs
+    * (order-free, engine-portable); output is the ≤125-cell segment
+    * cube. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scope = new graft.Materialize.Scoped()
+    val maxd = t.orders.agg(max("o_orderdate").as("max_date"))
+    val per = t.orders.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("max_date"), col("last_order")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val base = scope.table(per)
+    val r = Distributed.ntile(base,
+      Seq(col("recency_days").asc, col("o_custkey").asc), 5, "r_score",
+      scope = scope)
+    val rf = Distributed.ntile(r,
+      Seq(col("frequency").desc, col("o_custkey").asc), 5, "f_score",
+      scope = scope)
+    val rfm = Distributed.ntile(rf,
+      Seq(col("monetary_cents").desc, col("o_custkey").asc), 5, "m_score",
+      scope = scope)
+    // avg as an exact BIGINT of cents: DuckDB's round(x, 2) rescales in
+    // floating point (x*100 → round → /100) and can land one ulp off
+    // Spark's decimal-exact round — observed on one segment; integer
+    // rounding operates on the identical double directly, no rescale
+    val out = rfm.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary_cents")) / count(lit(1)).cast("double"))
+          .cast("long").as("avg_monetary_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+    scope.seal(out)
+  }
+
+  /** ABC / Pareto analysis: parts classed A/B/C by cumulative share of
+    * total revenue (A = first 80%, B = next 15%, C = tail) — the 80/20
+    * inventory cut, i.e. a GLOBAL running total over every part ranked
+    * by revenue.
+    *
+    * Scale shape: revenue is rounded to cents per row and summed as
+    * longs (exact, order-free); the global cumulative sum is
+    * [[Distributed.rankedPrefix]] — range-repartition + local scan +
+    * broadcast offsets, the Blelloch-scan shape — never a
+    * single-partition `sum().over(Window.orderBy(...))`. Class
+    * boundaries compare exact integers (cum·5 ≤ tot·4), so no float
+    * sits on a classification edge. Output: 3 rows. */
+  def qAbcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scope = new graft.Materialize.Scoped()
+    val rev = t.lineitem.groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")).as("rev_cents"))
+    val ranked = Distributed.rankedPrefix(scope.table(rev),
+      Seq(col("rev_cents").desc, col("l_partkey").asc), col("rev_cents"),
+      rankName = "rev_rank", cumName = "cum_cents", scope = scope)
+    val tot = ranked.agg(max("cum_cents").as("t"))
+    val out = ranked.crossJoin(broadcast(tot))
+      .select(
+        when(col("cum_cents") * 5 <= col("t") * 4, "A")
+          .when(col("cum_cents") * 20 <= col("t") * 19, "B")
+          .otherwise("C").as("abc_class"),
+        col("rev_cents"), col("t"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev_cents").as("class_rev_cents"),
+        round(sum(col("rev_cents")) / max(col("t")).cast("double"), 6)
+          .as("rev_share"))
+      .orderBy("abc_class")
+    scope.seal(out)
+  }
+
+  /** Benford first-digit screen: distribution of the leading
+    * significant digit of order totals vs Benford's log₁₀(1+1/d)
+    * expectation — the classic large-ledger anomaly/fraud test.
+    * The digit comes from the CENT-integer's decimal string (shifting
+    * by 100 preserves the leading digit), not from `log10` — no float
+    * anywhere near the classification. Expected shares are pinned
+    * 6-dp literals, not engine `log10` calls, because JVM and C libm
+    * may differ in the last ulp. Map-side digit extraction, one 9-row
+    * aggregate: embarrassingly scalable. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val expected = Seq(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val expCol = expected.tail.foldLeft(
+      when(col("digit") === 1, expected.head._2)) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, p)
+    }
+    val digits = t.orders.select(
+      substring(round(col("o_totalprice") * 100).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("tot").cast("double"), 6).as("observed_p"),
+        expCol.as("benford_p"),
+        round(abs(col("n") / col("tot").cast("double") - expCol), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  /** Bloom-prefiltered join: revenue of URGENT-priority orders by ship
+    * year, with the lineitem probe side pre-filtered by a Bloom sketch
+    * of the qualifying order keys BEFORE the join shuffle.
+    *
+    * The point at 100 TB: ~1/5 of orders are urgent, so a plain join
+    * shuffles 5× the lineitem rows that can match. The sketch is built
+    * in one pass over the (already filtered, much smaller) build side
+    * and shipped to every scan task as a plan constant via the
+    * codegen'd [[graft.functions.BloomMightContain]]; false positives
+    * are eliminated by the exact join that follows, so the result is
+    * IDENTICAL to the plain join — the oracle runs the plain SQL. This
+    * is Spark's runtime-row-filter trick as an explicit, controllable
+    * operator. */
+  def qBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // one aggregate pass sizes the sketch (at scale: approx_count_distinct)
+    val n = math.max(urgent.count(), 1L)
+    val bf = urgent.stat.bloomFilter("o_orderkey", n, 0.01)
+    t.lineitem
+      .filter(graft.functions.BloomMightContain.mightContain(bf, col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("ship_year")
+  }
 }

@@ -83,6 +83,28 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"), col("n_events"))
 
+  /** Streaming windowed percentiles: approximate p50/p95/p99 of event
+    * value per (window, event_type) — the latency-SLO dashboard
+    * aggregation. `approx_percentile` is a TypedImperativeAggregate
+    * (GK-style sketch), so partials combine map-side and the state per
+    * open (window, type) group is O(sketch accuracy), not O(events);
+    * the watermark bounds how many windows stay open. The streaming
+    * twin of the batch `q_value_percentiles` family. */
+  def windowedQuantiles(events: DataFrame,
+                        window: String = "1 hour",
+                        watermark: String = "10 minutes",
+                        accuracy: Int = 1000): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.5, 0.95, 0.99), $accuracy)")
+        .as("q"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"),
+        col("n_events"))
+
   /** Streaming exact dedup: drop events with a duplicate `event_id`
     * arriving within the watermark window — the streaming twin of
     * `Dedup.exactDedup`. State is bounded: ids older than the watermark

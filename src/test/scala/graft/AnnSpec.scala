@@ -297,4 +297,52 @@ class AnnSpec extends AnyFunSuite {
     }
     assert(out.forall(r => math.abs(r.getLong(3)) <= 2000000L))
   }
+
+  test("bq codes reconstruct the coordinate signs exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val codes = Ann.bqCodes(spark, sf)
+      .select("vec_id", "code_lo", "code_hi").collect()
+    assert(codes.length == emb.size)
+    codes.take(50).foreach { r =>
+      val v = emb(r.getLong(0))
+      val (lo, hi) = (r.getLong(1), r.getLong(2))
+      v.indices.foreach { i =>
+        val bit =
+          if (i < 32) (lo >> i) & 1L else (hi >> (i - 32)) & 1L
+        assert((bit == 1L) == (v(i) > 0f),
+          s"vec ${r.getLong(0)} dim $i sign mismatch")
+      }
+    }
+  }
+
+  test("bq knn ranks by hamming with id tie-break, k rows per query") {
+    val rows = Ann.knnBq(spark, sf, nQueries = 5, k = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == 5)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length == 8, s"query $q")
+      // hamming nondecreasing in rank; ties ordered by neighbor id
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"query $q rank order broken at ${a._2}")
+      }
+      assert(sorted.forall(r => r._4 >= 0 && r._4 <= 64))
+    }
+  }
+
+  test("matryoshka and mips rankings: right shape, self excluded") {
+    val mat = Ann.matryoshkaRecall(spark, sf, dims = 16, nQueries = 5)
+      .collect()
+    assert(mat.length == 5)
+    assert(mat.forall { r =>
+      val rec = r.getDouble(2); rec >= 0.0 && rec <= 1.0 })
+    val mips = Ann.mipsTopK(spark, sf, nQueries = 5, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mips.length == 35)
+    assert(mips.forall { case (q, _, n) => q != n })
+  }
 }

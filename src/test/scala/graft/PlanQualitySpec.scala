@@ -464,4 +464,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("bloom prefilter: the probe-side scan is filtered BEFORE the join") {
+    val df = Relational.qBloomPrefilter(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    // the codegen'd bloom probe must sit in the lineitem branch
+    assert(plan.toLowerCase.contains("bloommightcontain"), plan)
+    // and the lineitem scan must stay pruned to the 3 needed columns
+    val s = scans(df).find(_.requiredSchema.fieldNames.contains("l_orderkey"))
+    assert(s.isDefined)
+    assert(s.get.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
+      s.get.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("benford: orders scan pruned to the single price column") {
+    val s = scans(Relational.qBenford(spark, sf))
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet == Set("o_totalprice"),
+      s.head.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("joint degree: id-keyed equi-joins only, bounded bucket output") {
+    val df = graft.graph.GraphQueries.jointDegree(spark, sf)
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bq codes: map-side projection, no shuffle before the output sort") {
+    // sign-bit packing must not move data: one scan, one projection;
+    // the only allowed exchange is the deterministic output ordering
+    val plan = graft.operators.Ann.bqCodes(spark, sf)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, plan.treeString)
+  }
 }

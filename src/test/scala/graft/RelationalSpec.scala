@@ -282,4 +282,50 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.filter(_._3 == 1L).forall(r => r._2 == "ALL" && r._1 != "ALL"))
     assert(rows.filter(_._3 == 2L).forall(r => r._1 == "ALL" && r._2 != "ALL"))
   }
+
+  test("bloom prefilter join result equals the plain join exactly") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val plain = t.lineitem
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    val bloomed = Relational.qBloomPrefilter(spark, sf)
+    assert(bloomed.except(plain).isEmpty && plain.except(bloomed).isEmpty)
+  }
+
+  test("rfm scores are quintiles: near-equal bucket populations") {
+    val rows = Relational.qRfm(spark, sf).collect()
+    val nCust = rows.map(_.getLong(3)).sum
+    for (scoreIdx <- 0 to 2) {
+      val byScore = rows.groupBy(_.getLong(scoreIdx))
+        .map { case (s, rs) => (s, rs.map(_.getLong(3)).sum) }
+      assert(byScore.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // SQL ntile: bucket sizes differ by at most 1
+      assert(byScore.values.max - byScore.values.min <= 1,
+        s"score col $scoreIdx sizes $byScore")
+      assert(byScore.values.sum == nCust)
+    }
+  }
+
+  test("abc pareto: classes partition parts, shares ordered A >= B") {
+    val rows = Relational.qAbcPareto(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val byClass = rows.map(r => r._1 -> r._4).toMap
+    assert(byClass("A") >= 0.75 && byClass("A") <= 0.85)
+    assert(byClass("A") > byClass("B") && byClass("B") > byClass("C"))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+  }
+
+  test("benford: observed shares sum to 1, digits complete") {
+    val rows = Relational.qBenford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    // the pinned expectations are the Benford constants
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
 }

@@ -35,6 +35,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((ts(10), "view", 1L, 5.0)))
   }
 
+  test("windowed quantiles: streaming sketch equals the batch percentiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val evs = (1 to 40).map(i =>
+      Event(i.toLong, ts(i % 10), 100L + i, "click", i.toDouble))
+    in.addData(evs: _*)
+    val q = EventStreams.windowedQuantiles(in.toDF(), window = "10 minutes",
+      watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quant_out").start()
+    q.processAllAvailable()
+    in.addData(Event(99, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quant_out")
+      .filter($"event_type" === "click")
+      .select($"p50", $"p95", $"p99", $"n_events")
+      .as[(Double, Double, Double, Long)].collect()
+    assert(got.length == 1)
+    val (p50, p95, p99, n) = got.head
+    // same sketch, batch-evaluated, must agree exactly (deterministic
+    // GK summary for identical input) — and n pins completeness
+    val want = spark.createDataset(evs).toDF()
+      .selectExpr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000) q")
+      .select($"q" (0), $"q" (1), $"q" (2))
+      .as[(Double, Double, Double)].head()
+    assert(n == 40L)
+    assert((p50, p95, p99) == want)
+    assert(p50 <= p95 && p95 <= p99)
+  }
+
   test("stream-static enrichment joins the broadcast dim and aggregates per segment") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
