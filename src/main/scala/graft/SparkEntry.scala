@@ -268,6 +268,10 @@ object SparkEntry {
     "q_bloom_prefilter" -> (Relational.qBloomPrefilter _),
     "g_degree_gini" -> (GraphQueries.degreeGini _),
     "g_joint_degree" -> (GraphQueries.jointDegree _),
+    "d_dup_inflation" -> (Dedup.dupInflation _),
+    "q_value_deciles" -> (Relational.qValueDeciles _),
+    "q_event_type_overlap" -> (Relational.qEventTypeOverlap _),
+    "e_ivf_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -1493,6 +1497,64 @@ object SparkEntry {
        |  FROM cd JOIN evn nq ON nq.vec_id = cd.query_id
        |  JOIN evn nn ON nn.vec_id = cd.neighbor_id)
        |""".stripMargin
+  }
+
+  /** The probe sweep on top of the trained index (exactly
+    * `Ann.ivfProbeSweep`): probe ranking computed once, filtered to
+    * each nProbe level; per-level candidate count + recall@10 vs the
+    * brute baseline. hits·50 is an integer, so the 4-dp mean_recall is
+    * engine-exact. */
+  private def ivfSweepUnrolled(iters: Int, probes: Seq[Int]): String = {
+    val levels = probes.sorted
+    ivfTrainedCtes(iters) +
+      """, pall AS MATERIALIZED (
+        |  SELECT query_id, cell, rk FROM (
+        |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
+        |      PARTITION BY d.vec_id
+        |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
+        |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
+        |    WHERE d.vec_id < 20)),
+        |swq AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |swbs AS (
+        |  SELECT swq.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(swq.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN swq WHERE e.vec_id <> swq.query_id),
+        |swbr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM swbs),
+        |swbt AS (SELECT query_id, neighbor_id FROM swbr WHERE rank <= 10)
+        |""".stripMargin +
+      levels.map { p =>
+        s""", cd$p AS MATERIALIZED (
+           |  SELECT p.query_id, x.vec_id AS neighbor_id,
+           |    sum(eq.x * ex.x) AS dot
+           |  FROM pall p
+           |  JOIN idx x ON x.cell = p.cell AND p.rk <= $p
+           |  JOIN ev eq ON eq.vec_id = p.query_id
+           |  JOIN ev ex ON ex.vec_id = x.vec_id AND ex.i = eq.i
+           |  WHERE x.vec_id <> p.query_id
+           |  GROUP BY p.query_id, x.vec_id),
+           |rr$p AS (
+           |  SELECT cd.query_id, cd.neighbor_id, row_number() OVER (
+           |    PARTITION BY cd.query_id
+           |    ORDER BY cd.dot / (nq.nrm * nn.nrm) DESC,
+           |      cd.neighbor_id ASC) AS rank
+           |  FROM cd$p cd JOIN evn nq ON nq.vec_id = cd.query_id
+           |  JOIN evn nn ON nn.vec_id = cd.neighbor_id),
+           |tp$p AS (SELECT query_id, neighbor_id FROM rr$p WHERE rank <= 10),
+           |agg$p AS (
+           |  SELECT CAST($p AS INT) AS n_probe,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cd$p) AS n_candidates,
+           |    round(count(t.neighbor_id) / 200.0, 4) AS mean_recall
+           |  FROM swbt b LEFT JOIN tp$p t USING (query_id, neighbor_id))
+           |""".stripMargin
+      }.mkString +
+      levels.map(p => s"SELECT * FROM agg$p")
+        .mkString("", " UNION ALL ", " ORDER BY n_probe")
   }
 
   /** Within-cell kNN graph on top of the trained index (exactly
@@ -5013,6 +5075,71 @@ object SparkEntry {
         |  round(s2 * 2 / CAST(n * s1 AS DOUBLE)
         |    - (n + 1) / CAST(n AS DOUBLE), 6) AS degree_gini
         |FROM a""".stripMargin),
+    // CC labels replayed to convergence (pc16, the d_dup_clusters
+    // idiom); removed = non-min members; token counts row-local
+    "d_dup_inflation" -> (MinhashCte +
+      """, pe AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+        |psymp AS MATERIALIZED (
+        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+        |  UNION ALL SELECT id, id FROM pv),
+        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+      (1 to 16).map { i =>
+        s""", pc$i AS (
+           |  SELECT s.src AS id, min(n.lbl) AS lbl
+           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+           |""".stripMargin
+      }.mkString +
+      """, cl AS (SELECT id AS doc_id, lbl FROM pc16),
+        |sv AS (SELECT lbl, min(doc_id) AS survivor FROM cl GROUP BY lbl),
+        |rem AS (
+        |  SELECT c.doc_id FROM cl c JOIN sv s USING (lbl)
+        |  WHERE c.doc_id <> s.survivor),
+        |dtok AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL
+        |    THEN t.n_tokens END), 0) AS BIGINT) AS dup_tokens,
+        |  round(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL
+        |      THEN t.n_tokens END), 0)
+        |    / CAST(sum(t.n_tokens) AS DOUBLE), 6) AS dup_token_share
+        |FROM documents d JOIN dtok t USING (doc_id)
+        |LEFT JOIN rem r USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // graft's deciles come from the two-phase distributed rank; value
+    // summed as exact cent longs on both sides
+    "q_value_deciles" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM orders GROUP BY 1),
+        |dec AS (
+        |  SELECT value_cents,
+        |    ntile(10) OVER (ORDER BY value_cents DESC, o_custkey ASC)
+        |      AS decile
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM per)
+        |SELECT decile, count(*) AS n_customers,
+        |  min(value_cents) AS min_cents, max(value_cents) AS max_cents,
+        |  CAST(sum(value_cents) AS BIGINT) AS decile_cents,
+        |  round(sum(value_cents) / CAST(max(t) AS DOUBLE), 6) AS value_share
+        |FROM dec, tot GROUP BY decile ORDER BY decile""".stripMargin,
+    // one trained index (iters=3, the e_knn_ivf configuration), probe
+    // ranking filtered per level; hit counts exact ints
+    "e_ivf_probe_sweep" -> ivfSweepUnrolled(3, Seq(1, 2, 4, 8)),
+    // two-phase exact distinct pairs, then a user-keyed self-join
+    // bounded by types² per user — the overlap HLL cannot compute
+    "q_event_type_overlap" ->
+      """WITH p AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_common_users
+        |FROM p a JOIN p b ON a.user_id = b.user_id
+        |  AND a.event_type <= b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // log2 buckets via binary-string length — exact at powers of two
     "g_joint_degree" -> (GraphCte +
       """, b AS (SELECT id, CAST(length(bin(degree)) - 1 AS INT) AS bk

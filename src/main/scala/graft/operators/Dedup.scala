@@ -505,4 +505,38 @@ object Dedup {
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("dup_pairs"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Dedup token-savings report: per source, how many tokens the
+    * near-dup pipeline would REMOVE (the non-survivor members of
+    * multi-doc clusters, min-id retention) against the source's total
+    * — the number a training-data owner reads to decide whether dedup
+    * earns its pipeline stage, and the numerator of every "effective
+    * epochs after dedup" computation.
+    *
+    * Scale shape: rides the session-cached CC labels over the LSH pair
+    * graph (no new corpus pass); token counts are a row-local
+    * projection; one id-keyed join + a |sources|-row aggregate. */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cc = nearDupComponents(spark, docs, dir) // (id, component)
+    val removed = cc
+      .join(cc.groupBy("component").agg(min("id").as("survivor")), "component")
+      .filter(col("id") =!= col("survivor"))
+      .select(col("id").as("doc_id"), lit(1).as("removed"))
+    val tok = TextAnalysis.tokenCounts(spark, dir)
+      .select("doc_id", "n_tokens")
+    docs.select("doc_id", "source")
+      .join(tok, "doc_id")
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        coalesce(sum(when(col("removed").isNotNull, col("n_tokens"))), lit(0L))
+          .as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("dup_tokens"),
+        round(col("dup_tokens") / col("total_tokens").cast("double"), 6)
+          .as("dup_token_share"))
+      .orderBy("source")
+  }
 }

@@ -1393,4 +1393,49 @@ object Relational {
           .as("revenue"))
       .orderBy("ship_year")
   }
+
+  /** Customer lifetime-value decile report: customers ranked by exact
+    * cent-integer lifetime spend, cut into SQL-ntile deciles via
+    * [[Distributed.ntile]] (no |customers|-row global window), with
+    * per-decile population, value range and share — the "whales vs
+    * tail" table behind every LTV dashboard. 10-row output. */
+  def qValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scope = new graft.Materialize.Scoped()
+    val per = t.orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("value_cents"))
+    val dec = Distributed.ntile(scope.table(per),
+      Seq(col("value_cents").desc, col("o_custkey").asc), 10, "decile",
+      scope = scope)
+    val tot = dec.agg(sum("value_cents").as("t"))
+    val out = dec.crossJoin(broadcast(tot))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        min("value_cents").as("min_cents"),
+        max("value_cents").as("max_cents"),
+        sum("value_cents").as("decile_cents"),
+        round(sum(col("value_cents")) / max(col("t")).cast("double"), 6)
+          .as("value_share"))
+      .orderBy("decile")
+    scope.seal(out)
+  }
+
+  /** Exact distinct-user overlap matrix across event types: how many
+    * users did BOTH type a and type b — the audience-overlap question
+    * HLL sketches cannot answer (no intersection), solved exactly with
+    * the two-phase distinct discipline: ONE map-side-combined distinct
+    * over (type, user) pairs, then a user-keyed self-join whose fanout
+    * is bounded by types² per user regardless of event count. The
+    * diagonal is each type's own distinct-user count. ≤ types²/2 rows
+    * out at any scale. */
+  def qEventTypeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.events.select("event_type", "user_id").distinct()
+    p.select(col("event_type").as("type_a"), col("user_id"))
+      .join(p.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") <= col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_common_users"))
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -334,6 +334,17 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf probe sweep: recall and cost nondecreasing in nProbe") {
+    val rows = Ann.ivfProbeSweep(spark, sf, probes = Seq(1, 2, 4)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, "candidates must grow with probes")
+      assert(a._3 <= b._3 + 1e-9, "recall must not drop with more probes")
+    }
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
   test("matryoshka and mips rankings: right shape, self excluded") {
     val mat = Ann.matryoshkaRecall(spark, sf, dims = 16, nQueries = 5)
       .collect()

@@ -321,6 +321,51 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
   }
 
+  test("value deciles: 10 buckets, shares sum to 1, ranges ordered") {
+    val rows = Relational.qValueDeciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-4)
+    // decile 1 = highest spenders: max_cents nonincreasing down the list
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, s"decile ${a._1} max < decile ${b._1} max") }
+    rows.foreach { r => assert(r._3 <= r._4 && r._5 >= r._4) }
+  }
+
+  test("event type overlap: diagonal dominates, symmetric pairs once") {
+    val rows = Relational.qEventTypeOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val diag = rows.filter(r => r._1 == r._2).map(r => r._1 -> r._3).toMap
+    assert(diag.nonEmpty)
+    rows.foreach { case (a, b, n) =>
+      assert(a <= b, "each unordered pair appears once, lo-hi")
+      assert(n <= math.min(diag(a), diag(b)),
+        s"overlap($a,$b)=$n exceeds a marginal")
+    }
+  }
+
+  test("dup inflation: savings bounded by totals and by cluster sizes") {
+    import graft.operators.Dedup
+    val rows = Dedup.dupInflation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, nDocs, tot, dup, share) =>
+      assert(dup >= 0 && dup <= tot, s"$s dup tokens out of range")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(nDocs > 0 && tot > 0)
+    }
+    // global removed-doc count consistent with the cluster report
+    val clusters = Dedup.nearDupClusters(spark,
+      Tables(spark, sf).documents, sf).collect()
+    val removedDocs = clusters.map(r => r.getLong(2) - 1).sum
+    // every removed doc has >= 1 token in this corpus, so dup_tokens
+    // must be 0 iff no cluster has >1 member
+    val dupTotal = rows.map(_._4).sum
+    assert((removedDocs == 0) == (dupTotal == 0))
+  }
+
   test("benford: observed shares sum to 1, digits complete") {
     val rows = Relational.qBenford(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
