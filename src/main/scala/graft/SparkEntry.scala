@@ -272,6 +272,8 @@ object SparkEntry {
     "q_value_deciles" -> (Relational.qValueDeciles _),
     "q_event_type_overlap" -> (Relational.qEventTypeOverlap _),
     "e_ivf_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
+    "d_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q_value_gini" -> (Relational.qValueGini _),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -5131,6 +5133,44 @@ object SparkEntry {
     // one trained index (iters=3, the e_knn_ivf configuration), probe
     // ranking filtered per level; hit counts exact ints
     "e_ivf_probe_sweep" -> ivfSweepUnrolled(3, Seq(1, 2, 4, 8)),
+    // delta = doc_id % 7 == 3 (coprime with the 20-source cycle, so
+    // every source contributes); dup iff a ≥0.8 pair links it to a
+    // base doc or an earlier delta doc — the est pair set IS the oracle
+    "d_incremental_dedup" -> (MinhashCte +
+      """, symp AS (
+        |  SELECT a AS d, b AS x FROM est WHERE est >= 0.8
+        |  UNION ALL SELECT b AS d, a AS x FROM est WHERE est >= 0.8),
+        |dups AS (
+        |  SELECT DISTINCT d FROM symp
+        |  WHERE d % 7 = 3 AND (x % 7 <> 3 OR x < d))
+        |SELECT source, count(*) AS n_new,
+        |  CAST(coalesce(sum(CASE WHEN dp.d IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_dup,
+        |  round(coalesce(sum(CASE WHEN dp.d IS NOT NULL THEN 1 END), 0)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+        |FROM documents LEFT JOIN dups dp ON doc_id = dp.d
+        |WHERE doc_id % 7 = 3
+        |GROUP BY source ORDER BY source""".stripMargin),
+    // rank-weighted sum in HUGEINT (rank×cents passes 2^63 at ~1e9
+    // customers); one identical double expression at the end
+    "q_value_gini" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT v, row_number() OVER (ORDER BY v ASC, o_custkey ASC) AS rk
+        |  FROM per),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s1,
+        |    sum(CAST(rk AS HUGEINT) * v) AS s2
+        |  FROM rk)
+        |SELECT n AS n_customers,
+        |  round(2 * CAST(s2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    - (n + 1) / CAST(n AS DOUBLE), 6) AS value_gini
+        |FROM a""".stripMargin,
     // two-phase exact distinct pairs, then a user-keyed self-join
     // bounded by types² per user — the overlap HLL cannot compute
     "q_event_type_overlap" ->

@@ -506,6 +506,45 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Incremental dedup report — the DAILY-CRAWL operation: how many of
+    * the DELTA's documents (new arrivals; here the deterministic
+    * doc_id % 7 == 3 slice, ≈14%; 7 is coprime with the
+    * generator's 20-source id cycle, so every source contributes) are near-dups of something that
+    * already existed (any base doc, or an earlier delta doc), per
+    * source.
+    *
+    * Semantics: delta doc d is a dup iff some other doc x with
+    * est-Jaccard ≥ threshold exists where x is base or an
+    * earlier-arriving delta doc (x < d) — exactly what an incremental
+    * pipeline computes when it bands ONLY the delta against the
+    * persisted rep-collapsed signature index (cost ∝ |delta|, never a
+    * corpus re-pair). Here the qualifying pair set is read from the
+    * session-cached symmetric LSH pairs — definitionally the same
+    * pairs that asymmetric delta-vs-index banding produces, restricted
+    * to (delta, earlier); at 100 TB the index IS the persisted
+    * artifact and only the probe side changes nightly. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = cachedMinhashPairs(dir, docs, threshold)
+    def isDelta(c: org.apache.spark.sql.Column) = pmod(c, lit(7)) === 3
+    val sym = pairs.select(col("a").as("d"), col("b").as("x"))
+      .union(pairs.select(col("b").as("d"), col("a").as("x")))
+    val dups = sym
+      .filter(isDelta(col("d")) && (!isDelta(col("x")) || col("x") < col("d")))
+      .select(col("d").as("doc_id")).distinct()
+      .withColumn("dup", lit(1))
+    docs.filter(isDelta(col("doc_id")))
+      .select("doc_id", "source")
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        coalesce(sum("dup"), lit(0L)).as("n_dup"),
+        round(coalesce(sum("dup"), lit(0L)) / count(lit(1)).cast("double"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Dedup token-savings report: per source, how many tokens the
     * near-dup pipeline would REMOVE (the non-survivor members of
     * multi-doc clusters, min-id retention) against the source's total

@@ -1420,6 +1420,34 @@ object Relational {
     scope.seal(out)
   }
 
+  /** Gini coefficient of customer lifetime value — the revenue-
+    * concentration one-number ("what share of customers carry the
+    * book"), computed EXACTLY: cent-integer values, global value rank
+    * from [[Distributed.rankedPrefix]] (range exchange + per-partition
+    * scan, never a single-partition window), and the rank-weighted sum
+    * Σ rank·value carried in DECIMAL(38,0)/HUGEINT (rank×cents
+    * overflows a long at ~10⁹ customers — the corr-matrix power-sum
+    * discipline). One identical IEEE double expression per engine at
+    * the end. */
+  def qValueGini(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scope = new graft.Materialize.Scoped()
+    val per = t.orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val ranked = Distributed.rankedPrefix(scope.table(per),
+      Seq(col("v").asc, col("o_custkey").asc), col("v"),
+      rankName = "rk", cumName = "cum", scope = scope)
+    val out = ranked
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("rk").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+          .as("s2"))
+      .select(col("n").as("n_customers"),
+        round(lit(2) * col("s2").cast("double") /
+          (col("n").cast("double") * col("s1").cast("double")) -
+          (col("n") + 1) / col("n").cast("double"), 6).as("value_gini"))
+    scope.seal(out)
+  }
+
   /** Exact distinct-user overlap matrix across event types: how many
     * users did BOTH type a and type b — the audience-overlap question
     * HLL sketches cannot answer (no intersection), solved exactly with

@@ -366,6 +366,44 @@ class RelationalSpec extends AnyFunSuite {
     assert((removedDocs == 0) == (dupTotal == 0))
   }
 
+  test("value gini in [0,1) and equals a driver-side exact replay") {
+    import org.apache.spark.sql.functions._
+    val row = Relational.qValueGini(spark, sf).collect().head
+    val n = row.getLong(0)
+    val gini = row.getDouble(1)
+    assert(gini >= 0.0 && gini < 1.0)
+    // exact replay from collected cent values
+    val vs = Tables(spark, sf).orders
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .select("v").collect().map(_.getLong(0)).sorted
+    assert(vs.length == n)
+    val s1 = vs.map(BigInt(_)).sum
+    val s2 = vs.zipWithIndex.map { case (v, i) => BigInt(i + 1) * v }.sum
+    val want = 2.0 * s2.toDouble / (n.toDouble * s1.toDouble) -
+      (n + 1).toDouble / n
+    assert(math.abs(gini - want) < 1e-6, s"$gini vs $want")
+  }
+
+  test("incremental dedup: rates bounded, dup implies a qualifying pair") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, nNew, nDup, rate) =>
+      assert(nDup <= nNew, s"$s dup > new")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // total dups bounded by delta docs that appear in ANY pair
+    val docs = Tables(spark, sf).documents
+    val pairIds = Dedup.cachedMinhashPairs(sf, docs, 0.8)
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(7)) === 3)
+      .distinct().count()
+    assert(rows.map(_._3).sum <= pairIds)
+  }
+
   test("benford: observed shares sum to 1, digits complete") {
     val rows = Relational.qBenford(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
