@@ -36,7 +36,18 @@ object Distributed {
   def rankedPrefix(df: DataFrame, sortCols: Seq[Column], weight: Column,
                    rankName: String = "g_rank", cumName: String = "g_cum",
                    numParts: Int = 32,
-                   scope: graft.Materialize.Scoped = null): DataFrame = {
+                   scope: graft.Materialize.Scoped = null): DataFrame =
+    rankedPrefixWithTotals(df, sortCols, weight, rankName, cumName,
+      numParts, scope)._1
+
+  /** [[rankedPrefix]] plus the (row count, weight sum) totals the
+    * offset pass already computed — callers that need N (ntile) get it
+    * for free instead of paying another pass over the input. */
+  private def rankedPrefixWithTotals(
+      df: DataFrame, sortCols: Seq[Column], weight: Column,
+      rankName: String, cumName: String,
+      numParts: Int,
+      scope: graft.Materialize.Scoped): (DataFrame, Long, Long) = {
     val spark = df.sparkSession
     val in = df.withColumn("_dp_w", weight.cast("long"))
     val sorted = in.repartitionByRange(numParts, sortCols: _*)
@@ -74,12 +85,13 @@ object Distributed {
     import spark.implicits._
     val offDf = broadcast(
       offsets.toDF("_dp_pid_o", "_dp_prev_n", "_dp_prev_w"))
-    local
+    val out = local
       .join(offDf, col("_dp_pid") === col("_dp_pid_o"))
       .withColumn(rankName, col("_dp_lrank") + col("_dp_prev_n"))
       .withColumn(cumName, col("_dp_lcum") + col("_dp_prev_w"))
       .drop("_dp_pid", "_dp_pid_o", "_dp_lrank", "_dp_lcum",
         "_dp_prev_n", "_dp_prev_w", "_dp_w")
+    (out, accN, accW)
   }
 
   /** SQL `ntile(n) OVER (ORDER BY sortCols)` without the global
@@ -89,15 +101,11 @@ object Distributed {
   def ntile(df: DataFrame, sortCols: Seq[Column], n: Int,
             bucketName: String, numParts: Int = 32,
             scope: graft.Materialize.Scoped = null): DataFrame = {
-    val ranked = rankedPrefix(df, sortCols, lit(1L),
+    // N comes from the offsets pass already inside rankedPrefix — no
+    // second pass over the input
+    val (ranked, total, _) = rankedPrefixWithTotals(df, sortCols, lit(1L),
       rankName = "_dp_grank", cumName = "_dp_gcum", numParts = numParts,
       scope = scope)
-    // N is known without another pass over the data: the global rank of
-    // the last row — i.e. the sum of the per-partition counts already
-    // collected — but re-deriving it from the input keeps this method
-    // independent of rankedPrefix internals; the input is the caller's
-    // already-aggregated table.
-    val total = df.count()
     val q = total / n
     val rem = total % n
     // pure integer arithmetic (`div`), no double division: exact at any
