@@ -274,6 +274,7 @@ object SparkEntry {
     "e_ivf_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
     "d_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_value_gini" -> (Relational.qValueGini _),
+    "e_bq_rerank" -> ((s, d) => Ann.bqRerank(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -4931,6 +4932,42 @@ object SparkEntry {
         |  CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
         |  round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
         |FROM brt b LEFT JOIN bqt t USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY query_id""".stripMargin),
+    // two-stage: hamming top-100 shortlist, exact-cosine rerank top-10,
+    // recall vs brute — the quantized-scan + rerank architecture
+    "e_bq_rerank" -> (BqCte + BqTopCte +
+      """, cand AS (
+        |  SELECT query_id, neighbor_id FROM bqr WHERE rank <= 100),
+        |rrk AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(q.embedding, e.embedding) AS sim
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.query_id
+        |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        |rrt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM rrk)
+        |  WHERE rank <= 10),
+        |rbq AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |rbs AS (
+        |  SELECT rbq.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(rbq.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN rbq WHERE e.vec_id <> rbq.query_id),
+        |rbr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM rbs),
+        |rbt AS (SELECT query_id, neighbor_id FROM rbr WHERE rank <= 10)
+        |SELECT b.query_id,
+        |  CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+        |  round(count(t.neighbor_id) / 10.0, 4) AS recall_at_10
+        |FROM rbt b LEFT JOIN rrt t USING (query_id, neighbor_id)
         |GROUP BY 1 ORDER BY query_id""".stripMargin),
     // first-16-dims (Matryoshka prefix) ranking vs full-dim exact
     "e_matryoshka_recall" ->

@@ -1067,6 +1067,54 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Two-stage retrieval: a cheap 1-bit Hamming scan shortlists
+    * `coarseK` candidates per query, exact cosine reranks the
+    * shortlist, report recall@k of the final top-k vs brute force —
+    * THE production ANN architecture (quantized coarse scan + rerank):
+    * the full-precision vectors are touched for only coarseK rows per
+    * query instead of the whole corpus, so the expensive kernel runs
+    * on |queries|·coarseK rows while the corpus-wide pass reads 8-byte
+    * codes.
+    *
+    * Scale shape: stage 1 is [[knnBq]]'s broadcast-query code scan with
+    * a bounded top-coarseK aggregate; stage 2 joins the shortlist back
+    * to the vector table BY ID (shuffle ∝ |queries|·coarseK) and
+    * reranks with the codegen'd cosine. */
+  def bqRerank(spark: SparkSession, dir: String, nQueries: Int = 20,
+               coarseK: Int = 100, k: Int = 10): DataFrame = {
+    val codes = bqTable(spark, dir)
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi")))
+    val shortlist = codes.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("bit_count(code_lo ^ q_lo)") +
+          expr("bit_count(code_hi ^ q_hi)")).cast("double").as("ham"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), -col("ham"), coarseK).as("nn"))
+      .select(col("query_id"), explode(col("nn.neighbor_id")).as("vec_id"))
+    val qv = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val reranked = shortlist
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"),
+        explode(col("nn.neighbor_id")).as("neighbor_id"), lit(1).as("hit"))
+    knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(reranked, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
   /** Matryoshka-truncation recall: rank by cosine over only the FIRST
     * `dims` coordinates (the MRL deployment trick — embeddings trained
     * so prefixes are usable sub-embeddings let you trade dimensions for

@@ -83,6 +83,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"), col("n_events"))
 
+  /** Ingest observability: per-micro-batch row count / null count /
+    * value sum / max event time computed INSIDE the query via
+    * `observe()` — the metrics piggyback on the existing pass (zero
+    * extra scans, unlike a parallel monitoring query that would read
+    * the source twice) and surface through
+    * `StreamingQueryProgress.observedMetrics("ingest")`. The standard
+    * freshness/completeness probe in front of a training-data ingest:
+    * alert when null_values jumps or max_ts stalls. Works identically
+    * on batch frames (QueryExecutionListener). */
+  def observedIngest(events: DataFrame): DataFrame =
+    events.observe("ingest",
+      count(lit(1)).as("rows"),
+      sum(col("value").isNull.cast("long")).as("null_values"),
+      sum("value").as("value_sum"),
+      max("ts").as("max_ts"))
+
   /** Streaming windowed percentiles: approximate p50/p95/p99 of event
     * value per (window, event_type) — the latency-SLO dashboard
     * aggregation. `approx_percentile` is a TypedImperativeAggregate

@@ -65,6 +65,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(p50 <= p95 && p95 <= p99)
   }
 
+  test("observe(): ingest metrics ride the query, no second source pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 100, "click", 2.0),
+      Event(2, ts(2), 101, "view", 3.5),
+      Event(3, ts(3), 102, "click", 4.5))
+    val q = EventStreams.observedIngest(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("obs_out").start()
+    q.processAllAvailable()
+    val metrics = q.lastProgress.observedMetrics.get("ingest")
+    q.stop()
+    assert(metrics != null, "observed metrics missing from progress")
+    assert(metrics.getAs[Long]("rows") == 3L)
+    assert(metrics.getAs[Long]("null_values") == 0L)
+    assert(math.abs(metrics.getAs[Double]("value_sum") - 10.0) < 1e-9)
+    assert(metrics.getAs[Timestamp]("max_ts") == ts(3))
+    // the sink saw every row exactly once — observe is pass-through
+    assert(spark.table("obs_out").count() == 3L)
+  }
+
   test("stream-static enrichment joins the broadcast dim and aggregates per segment") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
