@@ -103,4 +103,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(repRows.find(_._1 == "_corrupt").get._2 == 2L)
     assert(repRows.find(_._1 == "web").get._2 == 2L)
   }
+
+  test("zValue interleaves bits and preserves order along both axes") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.functions._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0xAL, 0x5L), (3L, 7L)).toDF("a", "b")
+      .select($"a", $"b", ZOrder.zValue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(rows((0L, 0L)) == 0L)
+    assert(rows((1L, 0L)) == 1L)  // a on even bits
+    assert(rows((0L, 1L)) == 2L)  // b on odd bits
+    assert(rows((1L, 1L)) == 3L)
+    // a=1010, b=0101 -> z = a-even ∪ b-odd = 0b01100110 = 0x66
+    assert(rows((0xAL, 0x5L)) == 0x66L)
+    // 3=0b11, 7=0b111: even bits 0101, odd bits 101010 -> 0b101111
+    assert(rows((3L, 7L)) == 0x2FL)
+  }
+
+  test("z-ordered layout: every file covers a bounded rectangle of BOTH keys") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf).lineitem.select("l_partkey", "l_orderkey")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    ZOrder.writeZOrdered(t, zDir, "l_partkey", "l_orderkey", files = 16)
+    // baseline: linear sort by partkey only, same file count
+    t.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linDir)
+    def perFileSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg("span")).collect()(0).getDouble(0)
+      spans
+    }
+    val (loZ, hiZ) = (perFileSpan(zDir, "l_partkey"), perFileSpan(zDir, "l_orderkey"))
+    val (loL, hiL) = (perFileSpan(linDir, "l_partkey"), perFileSpan(linDir, "l_orderkey"))
+    // the linear layout prunes partkey perfectly but every file spans
+    // ~the whole orderkey range; z-order bounds BOTH dimensions — the
+    // second-column span must drop by at least 2x
+    assert(hiZ < hiL / 2.0,
+      s"orderkey span: z=$hiZ linear=$hiL — no multi-dim locality")
+    // and z-order must still keep partkey spans bounded (not the full
+    // range that a random layout would give): strictly narrower than
+    // the full key range
+    val full = t.agg((max("l_partkey") - min("l_partkey")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(loZ < full * 0.6, s"partkey span $loZ vs full range $full")
+  }
 }
