@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Write `df` hive-partitioned by the DAY of `tsCol` — the third leg
+    * of the layout trio (hash buckets for join keys, z-order for
+    * multi-column range predicates, date partitions for time-range
+    * scans): a time-bounded query reads only its days' directories,
+    * enforced by Catalyst PartitionFilters BEFORE any file is opened.
+    * At 100 TB with a year of events, a 7-day dashboard query touches
+    * ~2% of the files — directory pruning, not footer pruning. */
+  def writeDayPartitioned(df: DataFrame, path: String,
+                          tsCol: String = "ts"): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
   /** Spread the low 32 bits of `x` to the even bit positions of a
     * 64-bit value (0b...b2 b1 b0 → 0b...b2 0 b1 0 b0). */
   private def spread(x: Column): Column = {

@@ -153,4 +153,33 @@ class SourcesSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(loZ < full * 0.6, s"partkey span $loZ vs full range $full")
   }
+
+  test("day-partitioned layout: time predicates prune at the directory") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("daypart").toString
+    ZOrder.writeDayPartitioned(Tables(spark, sf).events, dir)
+    val days = spark.read.parquet(dir)
+      .select(countDistinct("event_date")).collect()(0).getLong(0)
+    assert(days > 1, "need multiple day partitions to test pruning")
+    val firstDay = spark.read.parquet(dir)
+      .agg(min("event_date")).collect()(0).getDate(0)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_date") === lit(firstDay))
+    // the day predicate must land in PartitionFilters (directory
+    // pruning), NOT in the data filters — and the scan must report
+    // reading only that day's partition
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "predicate not on partition col")
+    assert(scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).map(_.files.size).sum <
+      scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum,
+      "partition pruning read every file")
+    // correctness: pruned read equals a full-scan filter
+    val want = Tables(spark, sf).events
+      .filter(to_date(col("ts")) === lit(firstDay)).count()
+    assert(q.count() == want)
+  }
 }
