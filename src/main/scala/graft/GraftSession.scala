@@ -48,6 +48,21 @@ object GraftSession {
     // session through the persisted DataFrame, so a key can't be
     // re-issued to a new session while its entry is still served
     System.identityHashCode(spark).toString + ":" + dir
+
+  /** Register every test table as a temp view (+ the graft SQL
+    * functions), so the whole surface is reachable from `spark.sql` —
+    * how a reference user actually works. Views are lazy scans; no
+    * data moves at registration. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    Seq("region" -> t.region, "nation" -> t.nation,
+      "customer" -> t.customer, "supplier" -> t.supplier,
+      "part" -> t.part, "orders" -> t.orders, "lineitem" -> t.lineitem,
+      "events" -> t.events, "documents" -> t.documents,
+      "embeddings" -> t.embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    graft.functions.GraftFunctions.register(spark)
+  }
 }
 
 /** Typed access to the driver-generated test tables (TESTDATA.md).

@@ -104,6 +104,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(repRows.find(_._1 == "web").get._2 == 2L)
   }
 
+  test("registerTables: full surface reachable from spark.sql") {
+    GraftSession.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(r.length > 0 && r.forall(_.getLong(1) > 0))
+    // graft's native functions compose with the views in one statement
+    val sim = spark.sql(
+      """SELECT avg(cosine_sim(embedding, embedding)) AS s
+        |FROM embeddings""".stripMargin).head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-9)
+  }
+
   test("zValue interleaves bits and preserves order along both axes") {
     import graft.sources.ZOrder
     import org.apache.spark.sql.functions._
