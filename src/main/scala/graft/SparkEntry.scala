@@ -275,6 +275,7 @@ object SparkEntry {
     "d_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_value_gini" -> (Relational.qValueGini _),
     "e_bq_rerank" -> ((s, d) => Ann.bqRerank(s, d)),
+    "d_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
   )
 
   /** Shared oracle CTE: canonical co-purchase edge list + degree +
@@ -5188,6 +5189,33 @@ object SparkEntry {
         |FROM documents LEFT JOIN dups dp ON doc_id = dp.d
         |WHERE doc_id % 7 = 3
         |GROUP BY source ORDER BY source""".stripMargin),
+    // systematic resampling on the md5-shuffled cumulative token line;
+    // membership is pure integer arithmetic (odd multiples of W in
+    // (lo·2k, hi·2k]) — no float near the selection
+    "d_weighted_sample" ->
+      """WITH wdoc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5('wsamp:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM wdoc),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w FROM wdoc),
+        |sel AS (
+        |  SELECT r.doc_id, r.source, r.n_tokens, r.hi, t.w,
+        |    ((r.hi - r.n_tokens) * 100) // t.w + 1 AS m0
+        |  FROM rk r, t),
+        |ms AS (
+        |  SELECT doc_id, source, n_tokens, hi, w,
+        |    CASE WHEN m0 % 2 = 0 THEN m0 + 1 ELSE m0 END AS m
+        |  FROM sel)
+        |SELECT doc_id, source, n_tokens FROM ms
+        |WHERE m * w <= hi * 100 AND m < 100
+        |ORDER BY doc_id""".stripMargin,
     // rank-weighted sum in HUGEINT (rank×cents passes 2^63 at ~1e9
     // customers); one identical double expression at the end
     "q_value_gini" ->

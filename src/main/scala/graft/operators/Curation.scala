@@ -357,4 +357,43 @@ object Curation {
           (expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) div $seqLen AS BIGINT)")
             * seqLen).cast("double"), 6).as("utilization"))
       .orderBy("shard")
+
+  /** Deterministic token-weighted subsample: systematic resampling
+    * (the particle-filter / data-mixing standard) over an md5-shuffled
+    * doc order — k evenly spaced points on the cumulative TOKEN line
+    * select docs with probability ∝ their token weight, giving a
+    * budget-true subsample (heavy docs can't be missed, light ones
+    * enter proportionally) with ZERO randomness at run time: the md5
+    * shuffle IS the coin, so the sample is reproducible anywhere.
+    *
+    * All arithmetic is exact integers: doc d with cumulative token
+    * range (lo, hi] is selected iff an odd multiple (2i+1)·W of the
+    * total lands in (lo·2k, hi·2k] — no float ever touches the
+    * membership test (the walk-corpus/percolation coin discipline).
+    *
+    * Scale shape: token counts are row-local; the global cumulative
+    * line is [[Distributed.rankedPrefix]] (range exchange +
+    * per-partition scan + broadcast offsets — never a single-partition
+    * window); the membership test is map-side arithmetic. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = 50): DataFrame = {
+    val scope = new graft.Materialize.Scoped()
+    val docs = Tables(spark, dir).documents
+    val weighted = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      md5(concat(lit("wsamp:"), col("doc_id").cast("string"))).as("h"))
+    val ranked = Distributed.rankedPrefix(scope.table(weighted),
+      Seq(col("h").asc, col("doc_id").asc), col("n_tokens"),
+      rankName = "rk", cumName = "hi", scope = scope)
+    val w = ranked.agg(max("hi")).collect()(0).getLong(0)
+    val out = ranked
+      .withColumn("lo", col("hi") - col("n_tokens"))
+      // smallest odd m with m*W > lo*2k, selected iff m*W <= hi*2k
+      .withColumn("m0", expr(s"(lo * ${2 * k}) div $w + 1"))
+      .withColumn("m", expr("IF(m0 % 2 = 0, m0 + 1, m0)"))
+      .filter(expr(s"m * $w <= hi * ${2 * k} AND m < ${2 * k}"))
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+    scope.seal(out)
+  }
 }
