@@ -52,7 +52,16 @@ object Bench {
           { graft.graph.CommunitySample.sample(spark, g).count(); () }),
         "louvain_phase1" -> (() => { GraphQueries.louvainPhase1(spark, sfDir).count(); () }),
         "lsh_pairs" -> (() => { Dedup.cachedMinhashPairs(sfDir, docs, 0.8).count(); () }),
-        "lsh_components" -> (() => { Dedup.nearDupComponents(spark, docs, sfDir, 0.8).count(); () })
+        "lsh_components" -> (() => { Dedup.nearDupComponents(spark, docs, sfDir, 0.8).count(); () }),
+        // ANN index trainings are session memos too (r8): without
+        // attribution the alphabetically-first consumer (e_knn_pq /
+        // e_knn_sq / e_bq_codes) absorbs the whole build
+        "pq_index" -> (() =>
+          { graft.operators.Ann.knnPq(spark, sfDir).count(); () }),
+        "sq_table" -> (() =>
+          { graft.operators.Ann.sqDecoded(spark, sfDir).count(); () }),
+        "bq_codes" -> (() =>
+          { graft.operators.Ann.bqCodes(spark, sfDir).count(); () })
       )
     }
     val builds = sharedBuilds.map { case (name, f) =>

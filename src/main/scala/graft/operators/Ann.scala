@@ -246,7 +246,18 @@ object Ann {
     * pinned through float (the centroid move) — the SQL oracle replays
     * them exactly. The per-dim stats are ONE tiny broadcast row; the
     * transform is map-side over the corpus scan. */
-  def sqDecoded(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir): the decoded table feeds knnSq from
+    * BOTH e_knn_sq and e_sq_recall — one stats pass + projection,
+    * not three. */
+  private val sqCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def sqDecoded(spark: SparkSession, dir: String): DataFrame =
+    sqCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
+      graft.Materialize.table(sqDecodedPlan(spark, dir))
+    })
+
+  private def sqDecodedPlan(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val st = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
@@ -414,19 +425,37 @@ object Ann {
     * that rounding IS the quantized similarity semantics, and pins the
     * ranking bit-identically across engines (same move as the IVF
     * centroid rounding). */
+  /** One trained PQ index per (session, dir, m, codes): materialized
+    * codebooks + encoded corpus shared by [[knnPq]] and [[pqRecall]] —
+    * without the memo each consumer re-ran the 2-iteration codebook
+    * training (~10 s at sf0.1, twice per suite) and leaked its per-call
+    * persists for the session lifetime. Same pattern as [[ivfIndex]]. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def pqIndex(spark: SparkSession, dir: String, m: Int, codes: Int,
+                      dim: Int = 64): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, dir)}#pq$m:$codes", {
+        val emb = Tables(spark, dir).embeddings
+        val sub = dim / m
+        val cb = graft.Materialize.table(
+          pqCodebooks(emb, m, codes, iters = 2, dim = dim))
+        val subvecs = emb.select(col("vec_id"), posexplode(
+          array((0 until m).map(i =>
+            slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+        // the encoded corpus: m codes per vector — at scale this table
+        // IS the index (written once, scanned instead of the raw floats)
+        val encoded = graft.Materialize.table(assignPqCodes(subvecs, cb))
+        (cb, encoded)
+      })
+
   def knnPq(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10,
             m: Int = 4, codes: Int = 16): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val dim = 64
     val sub = dim / m
-    val cb = pqCodebooks(emb, m, codes, iters = 2, dim = dim)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val subvecs = emb.select(col("vec_id"), posexplode(
-      array((0 until m).map(i =>
-        slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
-    // the encoded corpus: m codes per vector — at scale this table IS
-    // the index (written once, scanned instead of the raw floats)
-    val encoded = assignPqCodes(subvecs, cb).persist(StorageLevel.MEMORY_AND_DISK)
+    val (cb, encoded) = pqIndex(spark, dir, m, codes, dim)
     val q = queriesOf(emb, nQueries)
     // LUT: partial dot + partial squared norm per (query, m, code);
     // 6-dp rounding makes every downstream sum engine-exact
@@ -466,7 +495,9 @@ object Ann {
     * filter. Candidates only — never the |D|² similarity matrix. */
   def embeddingNearDups(spark: SparkSession, dir: String,
                         threshold: Double = 0.35): DataFrame = {
-    val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
+    // no persist: the embedding scan feeds exactly one derivation here,
+    // and a per-call persist with no unpersist leaks for the session
+    val emb = Tables(spark, dir).embeddings
     // portable planes: signatures and the candidate set reproduce in
     // plain SQL, so the whole pipeline is oracle-checkable
     val signed = emb.select(col("vec_id"), col("embedding"),
