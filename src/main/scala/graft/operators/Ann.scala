@@ -257,7 +257,7 @@ object Ann {
       graft.Materialize.table(sqDecodedPlan(spark, dir))
     })
 
-  private def sqDecodedPlan(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sqDecodedPlan(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val st = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))

@@ -381,7 +381,9 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("sq decode: per-dim stats broadcast once, dequantize is map-side") {
-    val plan = graft.operators.Ann.sqDecoded(spark, sf)
+    // assert on the BUILD plan (sqDecodedPlan), not the memoized
+    // LogicalRDD leaf that sqDecoded returns after Materialize.table
+    val plan = graft.operators.Ann.sqDecodedPlan(spark, sf)
       .queryExecution.executedPlan
     // ONE broadcast (the 1-row stats table); the corpus side of the
     // decode must not shuffle — only the stats aggregation exchanges
