@@ -173,6 +173,7 @@ object SparkEntry {
     "g_rich_club" -> (GraphQueries.richClub _),
     "g_clique4" -> (GraphQueries.clique4 _),
     "g_square_count" -> (GraphQueries.squareCount _),
+    "g_graphlet_census" -> (GraphQueries.graphletCensus _),
     "g_community_conductance" -> (GraphQueries.communityConductance _),
     "g_community_assortativity" -> (GraphQueries.communityAssortativity _),
     "g_dyad_census" -> (GraphQueries.dyadCensus _),
@@ -2448,6 +2449,62 @@ object SparkEntry {
         |SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT)
         |  AS square_count
         |FROM wp""".stripMargin),
+    // Induced 4-node graphlet census: the SAME closed-form
+    // inclusion-exclusion as GraphQueries.graphletCensus, over the same
+    // five primitives (per-vertex degree/triangles, per-edge common
+    // neighbors, wedge-pair squares, ordered-intersection 4-cliques).
+    "g_graphlet_census" -> (GraphCte +
+      """, ec AS (
+        |  SELECT e.src, e.dst, count(*) AS cn
+        |  FROM e JOIN sym a ON a.src = e.src
+        |  JOIN sym b ON b.src = e.dst AND b.dst = a.dst
+        |  GROUP BY 1, 2),
+        |adjid AS (SELECT src AS u, list(dst ORDER BY dst) AS nbrs
+        |          FROM e GROUP BY 1),
+        |prim AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS t3,
+        |    (SELECT CAST(coalesce(sum(
+        |        degree * (degree - 1) * (degree - 2) // 6), 0) AS BIGINT)
+        |      FROM deg) AS claw_n,
+        |    (SELECT CAST(coalesce(sum(triangles * (degree - 2)), 0) AS BIGINT)
+        |      FROM tvd) AS paw_n,
+        |    (SELECT CAST(coalesce(sum((da.degree - 1) * (db.degree - 1)), 0)
+        |        AS BIGINT)
+        |      FROM e JOIN deg da ON da.id = e.src
+        |      JOIN deg db ON db.id = e.dst) AS p4_ext,
+        |    (SELECT CAST(coalesce(sum(cn * (cn - 1) // 2), 0) AS BIGINT)
+        |      FROM ec) AS diamond_n,
+        |    (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT)
+        |      FROM (SELECT s1.dst AS u, s2.dst AS w, count(*) AS n
+        |            FROM sym s1 JOIN sym s2
+        |              ON s2.src = s1.src AND s1.dst < s2.dst
+        |            GROUP BY 1, 2)) AS sq,
+        |    (SELECT CAST(coalesce(sum(len(list_intersect(
+        |        list_intersect(ax.nbrs, ay.nbrs), az.nbrs))), 0) AS BIGINT)
+        |      FROM tri t JOIN adjid ax ON ax.u = t.a
+        |      JOIN adjid ay ON ay.u = t.b
+        |      JOIN adjid az ON az.u = t.c) AS k4),
+        |ind AS (
+        |  SELECT t3, claw_n, paw_n, p4_ext - 3 * t3 AS p4_n, sq, k4,
+        |    diamond_n - 6 * k4 AS di
+        |  FROM prim),
+        |ind2 AS (
+        |  SELECT *, sq - di - 3 * k4 AS c4i,
+        |    paw_n - 4 * di - 12 * k4 AS pawi
+        |  FROM ind),
+        |ind3 AS (
+        |  SELECT *, claw_n - pawi - 2 * di - 4 * k4 AS clawi,
+        |    p4_n - 4 * c4i - 2 * pawi - 6 * di - 12 * k4 AS p4i
+        |  FROM ind2)
+        |SELECT graphlet, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT '1_path4' AS graphlet, p4i AS n FROM ind3 UNION ALL
+        |  SELECT '2_claw', clawi FROM ind3 UNION ALL
+        |  SELECT '3_cycle4', c4i FROM ind3 UNION ALL
+        |  SELECT '4_paw', pawi FROM ind3 UNION ALL
+        |  SELECT '5_diamond', di FROM ind3 UNION ALL
+        |  SELECT '6_clique4', k4 FROM ind3)
+        |ORDER BY graphlet""".stripMargin),
     "g_dyad_census" -> (DirectedCte +
       """, pd AS (
         |  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
