@@ -160,6 +160,7 @@ object SparkEntry {
     // benchmark decontamination + sequence packing (training-data prep)
     "d_contamination" -> ((s, d) => Curation.contamination(s, d)),
     "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
+    "d_doc_chunking" -> ((s, d) => Curation.docChunks(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
@@ -4191,6 +4192,22 @@ object SparkEntry {
         |    CAST(((sum(n_tokens) + 2047) // 2048) * 2048 AS DOUBLE), 6)
         |    AS utilization
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    // chunk layout is closed-form from token counts; md5 content keys
+    // make the chunk table itself hash-comparable across engines
+    "d_doc_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 24 AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS start_tok,
+        |  CAST(least(32, len(t) - start + 1) AS INT) AS n_tokens,
+        |  md5(array_to_string(list_slice(t, start, start + 31), ' '))
+        |    AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     // md5 k-gram hashes are engine-portable, so the whole winnowing
     // pipeline (3-token grams, min per 4-window, distinct) is oracled
     "d_fingerprint" ->

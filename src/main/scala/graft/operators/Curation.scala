@@ -358,6 +358,42 @@ object Curation {
             * seqLen).cast("double"), 6).as("utilization"))
       .orderBy("shard")
 
+  /** Overlapping token-window chunking — the retrieval/embedding-prep
+    * counterpart of [[sequencePacking]]: each document is split into
+    * `window`-token chunks every `stride` tokens (overlap = window −
+    * stride keeps boundary context in both neighbors, the standard RAG
+    * chunker). Emits one row per chunk with its token span and an md5
+    * content key (the downstream join key for chunk-level dedup and
+    * embedding tables).
+    *
+    * Purely row-local: split + sequence + slice are map-side array ops
+    * (no shuffle, no window function — a doc's chunks never leave its
+    * row), so the operator runs at scan speed on any corpus size and
+    * parallelism is the file split count. Chunk starts are 1, 1+stride,
+    * … while ≤ n_tokens, so every token lands in ≥1 chunk and the
+    * layout is closed-form reproducible from (doc_id, n_tokens) alone.
+    */
+  def docChunks(spark: SparkSession, dir: String,
+                window: Int = 32, stride: Int = 24): DataFrame =
+    docChunks(Tables(spark, dir).documents, window, stride)
+
+  def docChunks(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need window >= stride >= 1, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start").as("start_tok"),
+        slice(col("toks"), col("start"), lit(window)).as("ct"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ct")).as("n_tokens"),
+        md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Deterministic token-weighted subsample: systematic resampling
     * (the particle-filter / data-mixing standard) over an md5-shuffled
     * doc order — k evenly spaced points on the cumulative TOKEN line

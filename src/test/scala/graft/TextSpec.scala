@@ -348,6 +348,28 @@ class TextSpec extends AnyFunSuite {
     assert(r.filter($"seq_offset" < 0 || $"seq_offset" >= 2048).count() == 0)
   }
 
+  test("doc chunking: spans tile every token, overlap = window - stride") {
+    val r = graft.operators.Curation.docChunks(spark, sf).cache()
+    val docs = Tables(spark, sf).documents
+      .select($"doc_id", size(split($"text", "\\s+")).as("n"))
+    // chunk starts advance by exactly the stride; chunk 0 starts at 1
+    val badStart = r.filter($"start_tok" =!= $"chunk_idx" * 24 + 1)
+    assert(badStart.count() == 0)
+    // per doc: every token covered — last chunk reaches n, full chunks
+    // carry `window` tokens, and the tail carries the remainder
+    val cover = r.groupBy("doc_id")
+      .agg(max($"start_tok" + $"n_tokens" - 1).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    assert(cover.filter($"covered" =!= $"n").count() == 0)
+    // expected chunk count is closed-form: ceil(n / stride)
+    assert(cover.filter($"n_chunks" =!= ceil($"n" / 24.0)).count() == 0)
+    assert(r.filter($"n_tokens" < 1 || $"n_tokens" > 32).count() == 0)
+    // content keys: a doc with >= 2 chunks re-hashes its overlap — md5
+    // keys are distinct unless token windows coincide
+    assert(r.select("chunk_md5").distinct().count() > 1)
+  }
+
   test("curated-corpus sink: language-partitioned parquet round-trips the kept set") {
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
     try {
