@@ -72,6 +72,8 @@ object SparkEntry {
     "e_cluster_entropy" -> (Ann.clusterEntropy _),
     "e_ivf_recall" -> ((s, d) => Ann.ivfRecall(s, d)),
     "e_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
+    "e_knn_ivfpq" -> ((s, d) => Ann.knnIvfPq(s, d)),
+    "e_ivfpq_recall" -> ((s, d) => Ann.ivfpqRecall(s, d)),
     // sim dropped like e_knn_brute: ranking is engine-comparable
     "e_knn_sq" -> ((s, d) =>
       Ann.knnSq(s, d).select("query_id", "rank", "neighbor_id")
@@ -1435,7 +1437,7 @@ object SparkEntry {
          |  WHERE rn = 1)
          |, c$k AS MATERIALIZED (
          |  SELECT a.cell, e.i,
-         |    CAST(CAST(round(sum(e.xi) / (count(*) * 1000000.0), 6)
+         |    CAST(CAST(round(sum(e.xi) / (count(*) * 1.0)) / 1000000.0
          |      AS REAL) AS DOUBLE) AS c
          |  FROM a$k a JOIN ev e ON e.vec_id = a.vec_id
          |  GROUP BY a.cell, e.i)
@@ -1644,7 +1646,7 @@ object SparkEntry {
          |  SELECT m, code, j, c, CAST(round(c * 1000000) AS BIGINT) AS ci
          |  FROM (
          |    SELECT a.m, a.code, e.j,
-         |      CAST(CAST(round(sum(e.xi) / (count(*) * 1000000.0), 6)
+         |      CAST(CAST(round(sum(e.xi) / (count(*) * 1.0)) / 1000000.0
          |        AS REAL) AS DOUBLE) AS c
          |    FROM pa$k a JOIN sv e ON e.vec_id = a.vec_id AND e.m = a.m
          |    GROUP BY a.m, a.code, e.j))
@@ -1731,6 +1733,125 @@ object SparkEntry {
       |  CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
       |  round(count(p.neighbor_id) / 10.0, 4) AS recall_at_10
       |FROM brt b LEFT JOIN pqt p USING (query_id, neighbor_id)
+      |GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  /** Unrolled IVF-PQ (exactly `Ann.ivfpqIndex` + `Ann.knnIvfPq`): the
+    * trained coarse index (shared [[ivfTrainedCtes]]), 6-dp-pinned
+    * residuals, residual-subspace Lloyd (micro-int, same discipline as
+    * [[pqCore]]), per-(query, probed-cell) residual LUTs, and the
+    * all-integer ADC ranking — `adc_d2` is an exact BIGINT in micro²
+    * units, so the compare needs no float tolerance anywhere. */
+  private def ivfpqCore(ivfIters: Int, pqIters: Int, sub: Int): String = {
+    val cN = s"c$ivfIters"
+    val pqRounds = (1 to pqIters).map { k =>
+      s""", rpd$k AS (
+         |  SELECT e.vec_id, e.m, c.code,
+         |    sum((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+         |  FROM rsv e JOIN rpc${k - 1} c ON c.m = e.m AND c.j = e.j
+         |  GROUP BY e.vec_id, e.m, c.code)
+         |, rpa$k AS MATERIALIZED (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM rpd$k)
+         |  WHERE rn = 1)
+         |, rpc$k AS MATERIALIZED (
+         |  SELECT m, code, j, c, CAST(round(c * 1000000) AS BIGINT) AS ci
+         |  FROM (
+         |    SELECT a.m, a.code, e.j,
+         |      CAST(CAST(round(sum(e.xi) / (count(*) * 1.0)) / 1000000.0
+         |        AS REAL) AS DOUBLE) AS c
+         |    FROM rpa$k a JOIN rsv e ON e.vec_id = a.vec_id AND e.m = a.m
+         |    GROUP BY a.m, a.code, e.j))
+         |""".stripMargin
+    }.mkString
+    ivfTrainedCtes(ivfIters) +
+    s""", rve AS MATERIALIZED (
+       |  SELECT e.vec_id, e.i, e.x - c.c AS rx,
+       |    CAST(round((e.x - c.c) * 1000000) AS BIGINT) AS rxi
+       |  FROM ev e JOIN idx x ON x.vec_id = e.vec_id
+       |  JOIN $cN c ON c.cell = x.cell AND c.i = e.i)
+       |, rsv AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
+       |         CAST((i - 1) % $sub AS INT) AS j, rx AS x, rxi AS xi
+       |  FROM rve)
+       |, rpc0 AS MATERIALIZED (
+       |  SELECT m, CAST(vec_id AS INT) AS code, j, x AS c,
+       |    CAST(round(x * 1000000) AS BIGINT) AS ci
+       |  FROM rsv WHERE vec_id < 16)
+       |""".stripMargin +
+    pqRounds +
+    s""", rpdx AS (
+       |  SELECT e.vec_id, e.m, c.code,
+       |    sum((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+       |  FROM rsv e JOIN rpc$pqIters c ON c.m = e.m AND c.j = e.j
+       |  GROUP BY e.vec_id, e.m, c.code)
+       |, renc AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM rpdx)
+       |  WHERE rn = 1)
+       |, probes AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
+       |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
+       |    WHERE d.vec_id < 20)
+       |  WHERE rk <= 4)
+       |, qrv AS (
+       |  SELECT p.query_id, p.cell, e.i,
+       |    CAST(round((e.x - c.c) * 1000000) AS BIGINT) AS qxi
+       |  FROM probes p JOIN ev e ON e.vec_id = p.query_id
+       |  JOIN $cN c ON c.cell = p.cell AND c.i = e.i)
+       |, qsv AS (
+       |  SELECT query_id, cell, CAST((i - 1) // $sub AS INT) AS m,
+       |         CAST((i - 1) % $sub AS INT) AS j, qxi
+       |  FROM qrv)
+       |, lut AS MATERIALIZED (
+       |  SELECT q.query_id, q.cell, c.m, c.code,
+       |    sum((q.qxi - c.ci) * (q.qxi - c.ci)) AS d2
+       |  FROM qsv q JOIN rpc$pqIters c ON c.m = q.m AND c.j = q.j
+       |  GROUP BY q.query_id, q.cell, c.m, c.code)
+       |, sc AS (
+       |  SELECT l.query_id, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+       |  FROM renc e JOIN idx x ON x.vec_id = e.vec_id
+       |  JOIN lut l ON l.cell = x.cell AND l.m = e.m AND l.code = e.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY l.query_id, e.vec_id)
+       |, rr AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_d2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+       |  FROM sc)
+       |""".stripMargin
+  }
+
+  private def ivfpqUnrolled(ivfIters: Int, pqIters: Int, sub: Int): String =
+    ivfpqCore(ivfIters, pqIters, sub) +
+    """SELECT query_id, rank, neighbor_id, adc_d2 FROM rr
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def ivfpqRecallUnrolled(ivfIters: Int, pqIters: Int, sub: Int): String =
+    ivfpqCore(ivfIters, pqIters, sub) +
+    """, bq AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < 20),
+      |bs AS (
+      |  SELECT bq.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(bq.q_emb, e.embedding) AS sim
+      |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+      |br AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM bs),
+      |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10),
+      |ipt AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+      |SELECT b.query_id,
+      |  CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+      |  round(count(p.neighbor_id) / 10.0, 4) AS recall_at_10
+      |FROM brt b LEFT JOIN ipt p USING (query_id, neighbor_id)
       |GROUP BY 1 ORDER BY query_id""".stripMargin
 
   /** Unrolled BPE training (exactly `Bpe.train`): word-frequency dict
@@ -2048,6 +2169,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY query_id""".stripMargin),
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
     "e_pq_recall" -> pqRecallUnrolled(2, 4, 16),
+    "e_knn_ivfpq" -> ivfpqUnrolled(3, 2, 16),
+    "e_ivfpq_recall" -> ivfpqRecallUnrolled(3, 2, 16),
     // SQ8: per-dim [min,max] linear codes, dequantized values 6-dp
     // rounded and pinned through REAL — exactly Ann.sqDecoded
     "e_knn_sq" -> (sqCtes +
@@ -3053,7 +3176,7 @@ object SparkEntry {
     "e_label_centroids" ->
       """SELECT e.label, x.i - 1 AS dim,
         |  round(sum(CAST(round(CAST(e.embedding[x.i] AS DOUBLE) * 1000000)
-        |    AS BIGINT)) / (count(*) * 1000000.0), 6) AS centroid,
+        |    AS BIGINT)) / (count(*) * 1.0)) / 1000000.0 AS centroid,
         |  count(*) AS n_vecs
         |FROM embeddings e
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) x

@@ -32,7 +32,17 @@ object Ann {
     * a real observed flake where parallel double summation shifted a
     * centroid mean across its 6-dp rounding boundary between two runs
     * of the SAME oracle. Every centroid mean (and the whole PQ
-    * distance/LUT pipeline) now runs on micro-ints. */
+    * distance/LUT pipeline) now runs on micro-ints.
+    *
+    * Companion rule — round micro QUOTIENTS at scale 0, never at 1e-6
+    * scale: centroid means are `round(S/n).cast(long) / 1e6`, NOT
+    * `round(S/(n·1e6), 6)`. At an exact decimal tie (observed: S/n =
+    * 63592.5 micro in the IVF-PQ residual codebook) the scale-0 tie
+    * value k.5 is exactly representable, so Spark and DuckDB agree
+    * (both round away from zero); the 1e-6-scale tie x.5e-6 is NOT
+    * representable, and the engines land on opposite sides — Spark's
+    * round() rounds the shortest-decimal string of the double (up),
+    * DuckDB rounds the binary value (down). */
   private def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c.cast("double") * 1e6).cast("long")
 
@@ -50,7 +60,8 @@ object Ann {
     Tables(spark, dir).embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
-      .agg(round(sum(micro(col("v"))) / (count(lit(1)) * 1e6), 6).as("centroid"),
+      .agg((round(sum(micro(col("v"))) / (count(lit(1)) * 1.0)).cast("long")
+        / 1e6).as("centroid"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
@@ -71,7 +82,8 @@ object Ann {
       .select(col("label").as("clabel"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("clabel", "dim")
-      .agg(round(sum(micro(col("v"))) / (count(lit(1)) * 1e6), 6).as("m"))
+      .agg((round(sum(micro(col("v"))) / (count(lit(1)) * 1.0)).cast("long")
+        / 1e6).as("m"))
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m").cast("float")).as("cvec"))
@@ -121,7 +133,8 @@ object Ann {
         .join(emb, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(round(sum(micro(col("x"))) / (count(lit(1)) * 1e6), 6).as("m"))
+        .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+          / 1e6).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
@@ -147,7 +160,7 @@ object Ann {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
 
-  private def ivfIndex(spark: SparkSession, dir: String,
+  private[graft] def ivfIndex(spark: SparkSession, dir: String,
                        cells: Int = 16): (DataFrame, DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s"${graft.GraftSession.sessionKey(spark, dir)}#$cells", {
       val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
@@ -383,7 +396,8 @@ object Ann {
         .join(subvecs, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("m", "code", "pos")
-        .agg(round(sum(micro(col("x"))) / (count(lit(1)) * 1e6), 6).as("mean"))
+        .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+          / 1e6).as("mean"))
         .groupBy("m", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean").cast("float")).as("centroid"))
@@ -488,6 +502,133 @@ object Ann {
       .select(col("query_id"), (col("rank0") + 1).as("rank"),
         col("nn.neighbor_id").as("neighbor_id"),
         round(col("nn.score"), 6).as("sim"))
+  }
+
+  /** IVF-PQ composite index (Jégou et al. 2011 §IV, the FAISS
+    * `IVFxx,PQyy` workhorse): the coarse IVF quantizer partitions the
+    * corpus into cells, and product quantization encodes each vector's
+    * RESIDUAL (vector − its cell centroid) — residuals concentrate
+    * near zero, so the same 4-byte code budget quantizes them far more
+    * finely than raw vectors, and search touches only nProbe cells'
+    * code streams.
+    *
+    * THE 100 TB ANN architecture: the index is (cell, m, code) — 1
+    * partition key + 4 bytes per vector replacing 256 bytes of floats;
+    * cells are the storage partitioning, so a probe reads nProbe/cells
+    * of the corpus, and scoring is an ADC lookup-table sum, never a
+    * float dot product against raw vectors.
+    *
+    * Memoized per (session, dir): coarse index rides [[ivfIndex]]
+    * (shared with knnIvf/semanticDedup — ONE coarse training), and the
+    * residual codebooks/encoded corpus are trained once for both
+    * [[knnIvfPq]] and [[ivfpqRecall]]. Residuals stay raw double
+    * differences (x − c is IEEE-exact given float-backed inputs, so it
+    * reproduces bit-identically in the SQL oracle); micro() performs
+    * the one and only quantization. */
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame, DataFrame)]
+
+  private[graft] def ivfpqIndex(spark: SparkSession, dir: String, cells: Int = 16,
+                         m: Int = 4, codes: Int = 16, dim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfpqCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, dir)}#ivfpq$cells:$m:$codes", {
+        val (emb, centroids, assigned) = ivfIndex(spark, dir, cells)
+        // residual stays a RAW double difference of two float-backed
+        // values (IEEE-identical in any engine); quantization happens
+        // exactly once, in micro() — an inner round(·, 6) here caused a
+        // real observed flake (9/200 rows off by one micro) because
+        // double-rounding near 7th-decimal ties resolves differently
+        // across engines
+        val resid = emb.join(assigned, "vec_id")
+          .join(broadcast(centroids), "cell")
+          .select(col("vec_id"), zip_with(col("embedding"), col("centroid"),
+            (x, c) => x.cast("double") - c.cast("double"))
+            .as("embedding"))
+        val sub = dim / m
+        val cb = graft.Materialize.table(
+          pqCodebooks(resid, m, codes, iters = 2, dim = dim))
+        val subvecs = resid.select(col("vec_id"), posexplode(
+          array((0 until m).map(i =>
+            slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+        val enc = graft.Materialize.table(assignPqCodes(subvecs, cb))
+        (centroids, assigned, cb, enc)
+      })
+
+  /** IVF-PQ ANN search: probe the nProbe cosine-nearest cells, score
+    * candidates by asymmetric L2 on residuals — d²(q, x) ≈ Σₘ ‖r_q[m]
+    * − codebook[m][code_x[m]]‖², where r_q is the query's residual
+    * against the PROBED cell's centroid (each probed cell gets its own
+    * query LUT, the defining IVFPQ trick). The whole distance pipeline
+    * is exact micro-int longs (Σ of (≤4·10⁶)² diffs over 64 dims <
+    * 2⁵³), so `adc_d2` — and therefore the ranking — is
+    * engine-reproducible with NO float tolerance at all.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_d2), rank by (adc_d2
+    * asc, neighbor_id asc) within the probed candidate set. */
+  def knnIvfPq(spark: SparkSession, dir: String, nQueries: Int = 20,
+               k: Int = 10, cells: Int = 16, m: Int = 4, codes: Int = 16,
+               nProbe: Int = 4): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val (centroids, assigned, cb, enc) = ivfpqIndex(spark, dir, cells, m, codes, dim)
+    val emb = Tables(spark, dir).embeddings
+    val q = queriesOf(emb, nQueries)
+    // probe ranking mirrors knnIvf: cosine to centroids, tie → cell asc
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"), col("centroid"),
+        cosineSim(col("q_emb"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+    // per-(query, probed cell) residual, split into m micro-int subvectors
+    val qsub = probes.select(col("query_id"), col("cell"),
+      zip_with(col("q_emb"), col("centroid"),
+        (x, c) => x.cast("double") - c.cast("double")).as("qr"))
+      .select(col("query_id"), col("cell"), posexplode(
+        array((0 until m).map(i =>
+          slice(col("qr"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
+      .withColumn("qi", transform(col("qv"), micro(_)))
+    // ADC lookup table: |queries|·nProbe·m·codes rows — tiny, broadcast
+    val lut = qsub
+      .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
+        Seq("m"))
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        aggregate(zip_with(col("qi"), col("cbi"),
+          (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    // candidates = the probed cells' code streams; each candidate in a
+    // probed cell matches exactly m LUT rows → one map-side-combined sum
+    enc.join(assigned, "vec_id")
+      .join(broadcast(lut), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d2").as("adc_d2"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), -col("adc_d2").cast("double"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        (-col("nn.score")).cast("long").as("adc_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of IVF-PQ against exact brute-force cosine — the third
+    * column of the ANN accuracy/cost matrix ([[ivfRecall]]: partition
+    * loss alone; [[pqRecall]]: quantization loss alone; this: both,
+    * the configuration production systems actually run). */
+  def ivfpqRecall(spark: SparkSession, dir: String,
+                  nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ipq = knnIvfPq(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(ipq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
