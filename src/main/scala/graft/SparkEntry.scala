@@ -1234,7 +1234,7 @@ object SparkEntry {
       |ce AS MATERIALIZED (
       |  SELECT label AS clabel, i,
       |    CAST(CAST(round(sum(CAST(round(x * 1000000) AS BIGINT))
-      |      / (count(*) * 1000000.0), 6) AS REAL) AS DOUBLE) AS c
+      |      / (count(*) * 1.0)) / 1000000.0 AS REAL) AS DOUBLE) AS c
       |  FROM ev GROUP BY label, i),
       |evn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
       |cn AS (SELECT clabel, sqrt(sum(c * c)) AS cnrm FROM ce GROUP BY clabel),
@@ -2462,8 +2462,8 @@ object SparkEntry {
         |      * 1e6) AS BIGINT) AS cpt_u
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |  round(sum(fert_u) / count(*) / 1e6, 6) AS fertility,
-        |  round(sum(cpt_u) / count(*) / 1e6, 6) AS chars_per_token
+        |  round(sum(fert_u) / (count(*) * 1.0)) / 1e6 AS fertility,
+        |  round(sum(cpt_u) / (count(*) * 1.0)) / 1e6 AS chars_per_token
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // Leskovec densification exponent: exact-integer micro-ln
     // regression over the monthly cumulative (n, e) curve
@@ -2791,7 +2791,7 @@ object SparkEntry {
         |  FROM ev GROUP BY vec_id)
         |SELECT label, count(*) AS n_vecs,
         |  round(sum(CAST(round(nrm * 1000000) AS BIGINT))
-        |    / (count(*) * 1000000.0), 6) AS avg_norm,
+        |    / (count(*) * 1.0)) / 1000000.0 AS avg_norm,
         |  min(nrm) AS min_norm,
         |  max(nrm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
@@ -3216,7 +3216,7 @@ object SparkEntry {
         |      AS BIGINT) AS sm
         |  FROM ab)
         |SELECT label, count(*) AS n_vecs,
-        |  round(CAST(sum(sm) AS BIGINT) / (count(*) * 1000000.0), 6) + 0.0
+        |  round(CAST(sum(sm) AS BIGINT) / (count(*) * 1.0)) / 1000000.0 + 0.0
         |    AS silhouette
         |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_katz" -> (GraphCte + katzUnrolled(8) +
@@ -3911,11 +3911,11 @@ object SparkEntry {
         |SELECT LEAST(CAST(floor(j * 10) AS INT), 9) AS bucket,
         |  count(*) AS n_pairs,
         |  round(sum(CAST(round(abs(ej - j) * 1000000) AS BIGINT))
-        |    / (count(*) * 1000000.0), 6) AS avg_abs_err,
+        |    / (count(*) * 1.0)) / 1000000.0 AS avg_abs_err,
         |  round(sum(CAST(round(ej * 1000000) AS BIGINT))
-        |    / (count(*) * 1000000.0), 6) AS avg_est,
+        |    / (count(*) * 1.0)) / 1000000.0 AS avg_est,
         |  round(sum(CAST(round(j * 1000000) AS BIGINT))
-        |    / (count(*) * 1000000.0), 6) AS avg_exact
+        |    / (count(*) * 1.0)) / 1000000.0 AS avg_exact
         |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin),
     "d_dup_clusters" -> (MinhashCte +
       """, pe AS MATERIALIZED (

@@ -709,8 +709,8 @@ object Ann {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(sum(round(col("nrm") * 1e6).cast("long")) /
-          (count(lit(1)) * 1e6), 6).as("avg_norm"),
+        (round(sum(round(col("nrm") * 1e6).cast("long")) /
+          (count(lit(1)) * 1.0)).cast("long") / 1e6).as("avg_norm"),
         min("nrm").as("min_norm"),
         max("nrm").as("max_norm"))
       .orderBy("label")
@@ -996,7 +996,8 @@ object Ann {
       .select(col("label"), micro(s).as("sm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("sm")) / (count(lit(1)) * 1e6), 6).as("silhouette"))
+        (round(sum(col("sm")) / (count(lit(1)) * 1.0)).cast("long")
+          / 1e6).as("silhouette"))
       .orderBy("label")
   }
 

@@ -214,8 +214,10 @@ object Dedup {
         size(col("ta")).as("na"), size(col("tb")).as("nb"))
       .select(col("est_jaccard"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("j"))
+    // scale-0 quotient rounding: see Ann.micro's decimal-tie note
     def microAvg(c: org.apache.spark.sql.Column) =
-      round(sum(round(c * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6)
+      round(sum(round(c * 1e6).cast("long")) /
+        (count(lit(1)) * 1.0)).cast("long") / 1e6
     pairs
       .groupBy(least(floor(col("j") * 10).cast("int"), lit(9)).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"),

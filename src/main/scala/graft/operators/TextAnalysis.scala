@@ -340,8 +340,10 @@ object TextAnalysis {
         round(round(nChars / nBpe, 6) * 1e6).cast("long").as("cpt_u"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum("fert_u") / count(lit(1)) / 1e6, 6).as("fertility"),
-        round(sum("cpt_u") / count(lit(1)) / 1e6, 6).as("chars_per_token"))
+        (round(sum("fert_u") / (count(lit(1)) * 1.0)).cast("long") / 1e6)
+          .as("fertility"),
+        (round(sum("cpt_u") / (count(lit(1)) * 1.0)).cast("long") / 1e6)
+          .as("chars_per_token"))
       .orderBy("lang")
   }
 
