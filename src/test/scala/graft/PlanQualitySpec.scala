@@ -380,6 +380,50 @@ class PlanQualitySpec extends AnyFunSuite {
       plan)
   }
 
+  test("doc chunking: scan pruned to (doc_id, text), zero shuffles before the output sort") {
+    val plan = graft.operators.Curation.docChunks(spark, sf)
+      .queryExecution.sparkPlan
+    val s = plan.collect { case f: FileSourceScanExec => f }
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s.head.requiredSchema.fieldNames.toSet)
+    // split + sequence + slice are row-local: the only exchange is the
+    // deterministic output ordering
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, plan.treeString)
+  }
+
+  test("ivfpq search: LUT broadcasts onto the code stream, no corpus-sized sort") {
+    val plan = graft.operators.Ann.knnIvfPq(spark, sf)
+      .queryExecution.executedPlan.treeString
+    // the candidate scoring join must be broadcast (the LUT is
+    // |queries|*nProbe*m*codes rows), and top-k must be the bounded
+    // aggregate, not a row_number window over all candidates
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("topkbyscore") || plan.contains("TopKByScore"), plan)
+  }
+
+  test("graphlet census: closed-form combine — every explode is triangle-stream-bounded") {
+    val df = graft.graph.GraphQueries.graphletCensus(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    // the census must not enumerate wedges or 4-sets: the only allowed
+    // generates are the primitive kernels' explode(common) (linear in
+    // the triangle count) and the 6-element output explode
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty)
+    gens.foreach { g =>
+      val s = g.generator.toString
+      assert(s.contains("common") || s.contains("graphlet"), s)
+    }
+    // and no cartesian/nested-loop pair enumeration anywhere
+    val bad = plan.treeString
+    assert(!bad.contains("CartesianProduct"), bad)
+  }
+
   test("sq decode: per-dim stats broadcast once, dequantize is map-side") {
     // assert on the BUILD plan (sqDecodedPlan), not the memoized
     // LogicalRDD leaf that sqDecoded returns after Materialize.table
