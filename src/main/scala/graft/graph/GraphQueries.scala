@@ -752,50 +752,14 @@ object GraphQueries {
     * coin is keyed (infector, target, round) only — NOT the seed set —
     * so different seed sets face the same edge randomness (common
     * random numbers: a paired, variance-free comparison). */
-  private def cascadeCounts(sym: DataFrame, seeds: DataFrame,
-                            rounds: Int, pPct: Int): Seq[(Int, Long)] = {
-    // query-local scope: every consumer below is eager (counts), and
-    // the return value is a driver Seq — the per-round materialized
-    // frontiers are freed on exit instead of living out the session
-    val scope = new graft.Materialize.Scoped
-    var infected = scope.table(seeds)
-    var frontier = infected
-    val counts = Seq.newBuilder[(Int, Long)]
-    counts += ((0, infected.count()))
-    var t = 1
-    while (t <= rounds) {
-      val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
-        col("dst"), lit(t))), 1, 7), 16, 10).cast("long") % 100
-      val newly = scope.table(sym
-        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
-        .filter(coin < pPct)
-        .select(col("dst").as("id")).distinct()
-        .join(infected, Seq("id"), "left_anti"))
-      val n = newly.count()
-      counts += ((t, n))
-      if (n == 0) {
-        // extinct: the remaining rounds are identically zero — emit
-        // them without scheduling 2 jobs per dead round (a saturated
-        // 20% cascade spends half its rounds extinct; the paired 2%
-        // comparison runs TWO cascades, doubling the waste)
-        ((t + 1) to rounds).foreach(r => counts += ((r, 0L)))
-        t = rounds
-      } else {
-        infected = scope.table(infected.union(newly))
-        frontier = newly
-      }
-      t += 1
-    }
-    scope.free()
-    counts.result()
-  }
-
   def influenceCascade(spark: SparkSession, dir: String,
                        rounds: Int = 6, pPct: Int = 20): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    val counts = cascadeCounts(g.symmetrized,
-      Iterative.topDegreeLandmarks(g, 4).select(col("id")), rounds, pPct)
     import spark.implicits._
+    val seeds = Iterative.topDegreeLandmarks(g, 4)
+      .select(col("id")).as[Long].collect()
+    val newly = Gx.cascadeRounds(g, Seq(seeds), rounds, pPct)
+    val counts = (0 to rounds).map(t => (t, newly(t)(0)))
     counts.toDF("round", "newly_activated")
       .withColumn("cum_activated",
         sum("newly_activated").over(org.apache.spark.sql.expressions
@@ -803,71 +767,6 @@ object GraphQueries {
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
       .orderBy("round")
-  }
-
-  /** Paired IC cascades: ALL seed strategies advance through ONE
-    * frontier join per round, each carrying a per-strategy membership
-    * flag (the `Gx.standardRanks` array-state trick applied to
-    * cascades). The strategies share the coin by design (common random
-    * numbers — it is keyed (src, dst, round) only), so the per-set
-    * dynamics are EXACTLY those of [[cascadeCounts]] run separately:
-    * a dst activates in set s iff some infector in s's frontier wins
-    * the shared coin and s hasn't activated it yet. Folding k
-    * strategies into flag columns replaces k frontier joins + k
-    * materialize/count pairs per round with one of each — the top
-    * bench line halved when k = 2. Same per-round flattening
-    * discipline as [[cascadeCounts]] (un-flattened loop = 443 s of
-    * pure planning at sf0.1). */
-  private def pairedCascadeTotals(seedSets: Seq[(String, DataFrame)],
-                                  sym: DataFrame, rounds: Int,
-                                  pPct: Int): Seq[(String, Long)] = {
-    val fc = seedSets.indices.map(i => s"f$i")
-    val seeded = seedSets.zipWithIndex.map { case ((_, df), i) =>
-      df.select(col("id") +: fc.map(c => lit(c == s"f$i").as(c)): _*)
-    }.reduce(_ union _)
-    def mergeFlags(df: DataFrame) = df.groupBy("id")
-      .agg(max(fc.head).as(fc.head), fc.tail.map(c => max(c).as(c)): _*)
-    val scope = new graft.Materialize.Scoped
-    var infected = scope.table(mergeFlags(seeded))
-    var frontier = infected
-    val sums = fc.map(c => sum(col(c).cast("long")).as(c))
-    val totals = {
-      val r = infected.agg(sums.head, sums.tail: _*).head()
-      Array.tabulate(fc.size)(i => if (r.isNullAt(i)) 0L else r.getLong(i))
-    }
-    var t = 1
-    var live = true
-    while (t <= rounds && live) {
-      val coin = conv(substring(md5(concat_ws(":", lit("ic"), col("src"),
-        col("dst"), lit(t))), 1, 7), 16, 10).cast("long") % 100
-      val cand = sym
-        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-        .filter(coin < pPct)
-        .groupBy(col("dst").as("id"))
-        .agg(max(fc.head).as(fc.head), fc.tail.map(c => max(c).as(c)): _*)
-      val prior = infected
-        .select(col("id") +: fc.map(c => col(c).as(s"i_$c")): _*)
-      val newly = scope.table(cand
-        .join(prior, Seq("id"), "left")
-        .select(col("id") +: fc.map(c =>
-          (col(c) && !coalesce(col(s"i_$c"), lit(false))).as(c)): _*)
-        .filter(fc.map(col).reduce(_ || _)))
-      val r = newly.agg(sums.head, sums.tail: _*).head()
-      var any = false
-      fc.indices.foreach { i =>
-        val n = if (r.isNullAt(i)) 0L else r.getLong(i)
-        totals(i) += n
-        if (n > 0) any = true
-      }
-      if (!any) live = false // every strategy extinct: rest is zeros
-      else {
-        infected = scope.table(mergeFlags(infected.union(newly)))
-        frontier = newly
-      }
-      t += 1
-    }
-    scope.free() // all consumers were eager aggs; totals live on the driver
-    seedSets.map(_._1).zip(totals.toSeq)
   }
 
   /** Influence-maximization seed comparison (Kempe–Kleinberg–Tardos'
@@ -879,20 +778,24 @@ object GraphQueries {
     * degree on undirected graphs), which is itself the classic
     * finding. p = 2% (vs the spread curve's 20%): the sub-critical
     * regime is where seed choice matters — at 20% ANY seed set
-    * saturates this graph. Output: one exact total per seed set. Both
-    * cascades ride ONE paired loop ([[pairedCascadeTotals]]) — half
-    * the frontier joins and jobs of running them separately. */
+    * saturates this graph. Output: one exact total per seed set.
+    * Both strategies ride ONE [[Gx.cascadeRounds]] kernel run as
+    * bitmask slots — the round-7 paired-flag DataFrame loop folded the
+    * two cascades into one set of frontier joins (halving the top
+    * bench line); the r8 GraphX kernel removes the remaining
+    * per-round plan/persist/count fixed cost on top. */
   def seedComparison(spark: SparkSession, dir: String,
                      rounds: Int = 6, pPct: Int = 2): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
-    val hubSeeds = Iterative.topDegreeLandmarks(g, 4).select(col("id"))
+    import spark.implicits._
+    val hubSeeds = Iterative.topDegreeLandmarks(g, 4)
+      .select(col("id")).as[Long].collect()
     val rndSeeds = g.degrees
       .orderBy(md5(concat(lit("seed:"), col("id"))), col("id")).limit(4)
-      .select(col("id"))
-    val totals = pairedCascadeTotals(
-      Seq("hub" -> hubSeeds, "random" -> rndSeeds),
-      g.symmetrized, rounds, pPct)
-    import spark.implicits._
+      .select(col("id")).as[Long].collect()
+    val newly = Gx.cascadeRounds(g, Seq(hubSeeds, rndSeeds), rounds, pPct)
+    val totals = Seq("hub" -> newly.map(_(0)).sum,
+      "random" -> newly.map(_(1)).sum)
     totals.toDF("seed_set", "total_activated").orderBy("seed_set")
   }
 

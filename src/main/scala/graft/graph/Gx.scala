@@ -1033,4 +1033,92 @@ object Gx {
     multiSourceBfs(g, Seq(far))
       .agg(max("dist").as("diameter_lower_bound"))
   }
+
+  /** Per-triplet MD5 coin for the independent-cascade family — the
+    * EXACT value of the SQL expression
+    * `conv(substring(md5(concat_ws(':','ic',src,dst,t)),1,7),16,10) % 100`
+    * (first 28 bits of the digest, same packing as [[anf]]'s masks),
+    * so the GraphX kernel, the DataFrame loop it replaced, the DuckDB
+    * oracle and the GxSpec local simulations all flip one coin. */
+  private val icMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def icCoin(src: Long, dst: Long, t: Int): Int = {
+    val md = icMd.get()
+    md.reset()
+    val d = md.digest(s"ic:$src:$dst:$t".getBytes("UTF-8"))
+    val h = ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+      ((d(2) & 0xFFL) << 4) | ((d(3) & 0xFFL) >>> 4)
+    (h % 100).toInt
+  }
+
+  /** Independent-cascade rounds for k ≤ 30 seed strategies at once,
+    * on the session-cached GraphX view: vertex state = (active, newly)
+    * strategy bitmasks; each round is ONE aggregateMessages over the
+    * cached canonical edges — a frontier src (either direction, with
+    * its own directed coin, matching the symmetrized DataFrame
+    * semantics) sends its newly-mask when the shared (src, dst, t)
+    * coin wins; new activations are `candidates & ~active`. All
+    * strategies share every coin by construction (common random
+    * numbers — the coin is keyed (src, dst, t) only).
+    *
+    * Returns newly(round)(strategy), round 0 = the seed counts;
+    * extinct tails are zeros without scheduling dead rounds.
+    *
+    * REWORK r8 of the DataFrame frontier loops (cascadeCounts /
+    * pairedCascadeTotals): those paid persist+count+flatten per round
+    * — the per-round planning discipline that fixed the 443 s
+    * unflattened loop still left ~1.5 s/round of fixed cost; a
+    * superstep over the cached, volume-partitioned edge RDD pays
+    * ~0.2 s. Same rework that took bow-tie from 80.6 → 15.5 s.
+    * Message volume is frontier-incident either way; state is two
+    * ints per vertex. */
+  def cascadeRounds(g: Graph, seedSets: Seq[Array[Long]], rounds: Int,
+                    pPct: Int): Array[Array[Long]] = {
+    val k = seedSets.size
+    require(k >= 1 && k <= 30, s"strategy bitmask holds <= 30, got $k")
+    val seedMask: Map[Long, Int] = seedSets.zipWithIndex
+      .flatMap { case (ids, i) => ids.map(_ -> (1 << i)) }
+      .groupBy(_._1).map { case (id, ms) => id -> ms.map(_._2).reduce(_ | _) }
+    val out = Array.fill(rounds + 1)(new Array[Long](k))
+    def counts(v: VertexRDD[(Int, Int)]): Array[Long] =
+      v.aggregate(new Array[Long](k))((acc, p) => {
+        val m = p._2._2
+        var i = 0
+        while (i < k) { if ((m & (1 << i)) != 0) acc(i) += 1; i += 1 }
+        acc
+      }, (a, b) => { var i = 0; while (i < k) { a(i) += b(i); i += 1 }; a })
+    var st: XGraph[(Int, Int), Int] = of(g).mapVertices { (id, _) =>
+      val m = seedMask.getOrElse(id, 0)
+      (m, m)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    out(0) = counts(st.vertices)
+    var t = 1
+    var live = true
+    while (t <= rounds && live) {
+      val (tt, pp) = (t, pPct)
+      val msgs = st.aggregateMessages[Int](ctx => {
+        val fm = ctx.srcAttr._2
+        if (fm != 0 && icCoin(ctx.srcId, ctx.dstId, tt) < pp)
+          ctx.sendToDst(fm)
+        val bm = ctx.dstAttr._2
+        if (bm != 0 && icCoin(ctx.dstId, ctx.srcId, tt) < pp)
+          ctx.sendToSrc(bm)
+      }, _ | _)
+      val next = st.outerJoinVertices(msgs) { (_, attr, m) =>
+        val nw = m.getOrElse(0) & ~attr._1
+        (attr._1 | nw, nw)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      out(t) = counts(next.vertices)
+      st.unpersistVertices(blocking = false)
+      st.edges.unpersist(blocking = false)
+      st = next
+      if (!out(t).exists(_ > 0)) live = false
+      t += 1
+    }
+    st.unpersistVertices(blocking = false)
+    st.edges.unpersist(blocking = false)
+    out
+  }
 }
