@@ -716,20 +716,28 @@ object GraphQueries {
   def percolation(spark: SparkSession, dir: String): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
     val nv = g.vertexCount
-    val frames = Seq(25, 50, 75).map { p =>
-      val coin = conv(substring(md5(concat_ws(":", lit("perc"), col("src"),
-        col("dst"))), 1, 7), 16, 10).cast("long") % 100
-      val se = g.edges.select("src", "dst").filter(coin < p)
-      val cc = Gx.connectedComponents(Graph(GraphBuilder.vertices(se), se))
-      val ne = se.count()
-      cc.groupBy("component").agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("nec"), max("sz").as("giant"),
-          sum("sz").as("nend"))
-        .select(lit(p).as("p_pct"), lit(ne).as("n_edges_kept"),
-          (col("nec") + lit(nv) - col("nend")).as("n_components"),
+    val levels = Seq(25, 50, 75)
+    // REWORK r8: the three retention levels share one coin per edge,
+    // so their kept edge sets are nested — Gx.nestedPercolationCc
+    // converges all three in ONE Pregel run over the session-cached
+    // graph (was: 3 filtered-subgraph builds + 3 CC runs).
+    val scope = new graft.Materialize.Scoped
+    val (kept, lab) = Gx.nestedPercolationCc(g, levels, "perc", scope)
+    val nvGraph = lab.count()
+    val frames = levels.zipWithIndex.map { case (p, i) =>
+      // per-level component sizes over ALL graph vertices: isolated-at-
+      // level vertices are their own singletons, so nec + (nv − nend)
+      // of the old filtered-subgraph form equals the all-vertex
+      // component count plus the vertices g counts but the edge set
+      // never names
+      lab.select(col("labels").getItem(i).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("nec"), max("sz").as("giant"))
+        .select(lit(p).as("p_pct"), lit(kept(i)).as("n_edges_kept"),
+          (col("nec") + lit(nv) - lit(nvGraph)).as("n_components"),
           col("giant").as("giant_size"))
     }
-    frames.reduce(_ union _).orderBy("p_pct")
+    scope.seal(frames.reduce(_ union _).orderBy("p_pct"))
   }
 
   /** Independent-cascade influence spread (the Kempe–Kleinberg–Tardos

@@ -1044,13 +1044,90 @@ object Gx {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private def icCoin(src: Long, dst: Long, t: Int): Int = {
+  private def icCoin(src: Long, dst: Long, t: Int): Int =
+    md5Coin(s"ic:$src:$dst:$t")
+
+  /** `conv(substring(md5(prefix:src:dst),1,7),16,10) % 100` — the
+    * per-EDGE (round-free) coin of the percolation family. */
+  private def prefixCoin(prefix: String, src: Long, dst: Long): Int =
+    md5Coin(s"$prefix:$src:$dst")
+
+  private def md5Coin(s: String): Int = {
     val md = icMd.get()
     md.reset()
-    val d = md.digest(s"ic:$src:$dst:$t".getBytes("UTF-8"))
+    val d = md.digest(s.getBytes("UTF-8"))
     val h = ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
       ((d(2) & 0xFFL) << 4) | ((d(3) & 0xFFL) >>> 4)
     (h % 100).toInt
+  }
+
+  /** Multi-level connected components under NESTED md5 edge retention
+    * (bond percolation): each canonical edge flips ONE coin
+    * (`md5(prefix:src:dst) % 100`), so the kept edge sets at
+    * thresholds p₁ < p₂ < … are nested by construction — and all
+    * levels converge in ONE Pregel run carrying a k-slot min-label
+    * array per vertex (an edge propagates only in the levels its coin
+    * clears). Replaces k separate graph builds + CC runs on filtered
+    * edge sets with one pass over the session-cached graph; supersteps
+    * = the worst single level's diameter either way.
+    *
+    * Returns (edges kept per level, vertices DataFrame
+    * (id, labels array<long>)) — labels are per-level component min
+    * ids, exactly [[connectedComponents]]' convention, so downstream
+    * aggregates (and the union-find replay spec + DuckDB oracle) are
+    * unchanged. */
+  def nestedPercolationCc(g: Graph, levels: Seq[Int], coinPrefix: String,
+                          scope: graft.Materialize.Scoped)
+      : (Array[Long], DataFrame) = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val k = levels.size
+    val lv = levels.toArray
+    val pfx = coinPrefix
+    val init = of(g)
+      .mapVertices((id, _) => Array.fill(k)(id))
+      .mapTriplets(t => prefixCoin(pfx, t.srcId, t.dstId))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = init.edges.aggregate(new Array[Long](k))((acc, e) => {
+      var i = 0
+      while (i < k) { if (e.attr < lv(i)) acc(i) += 1; i += 1 }
+      acc
+    }, (a, b) => { var i = 0; while (i < k) { a(i) += b(i); i += 1 }; a })
+    def minArr(a: Array[Long], b: Array[Long]): Array[Long] =
+      Array.tabulate(k)(i => math.min(a(i), b(i)))
+    val res = Pregel(init, Array.fill(k)(Long.MaxValue),
+      activeDirection = EdgeDirection.Either)(
+      (_, attr, msg) => minArr(attr, msg),
+      t => {
+        var toDst: Array[Long] = null
+        var toSrc: Array[Long] = null
+        var i = 0
+        while (i < k) {
+          if (t.attr < lv(i)) {
+            if (t.srcAttr(i) < t.dstAttr(i)) {
+              if (toDst == null) toDst = Array.fill(k)(Long.MaxValue)
+              toDst(i) = t.srcAttr(i)
+            } else if (t.dstAttr(i) < t.srcAttr(i)) {
+              if (toSrc == null) toSrc = Array.fill(k)(Long.MaxValue)
+              toSrc(i) = t.dstAttr(i)
+            }
+          }
+          i += 1
+        }
+        (if (toDst != null) Iterator((t.dstId, toDst)) else Iterator.empty) ++
+          (if (toSrc != null) Iterator((t.srcId, toSrc)) else Iterator.empty)
+      },
+      minArr)
+    // labels are QUERY-local (freed by the caller's scope), not a
+    // session memo — a per-call Materialize.table here would leak
+    val out = scope.table(
+      res.vertices.map { case (id, ls) => (id, ls.toSeq) }
+        .toDF("id", "labels"))
+    res.unpersistVertices(blocking = false)
+    res.edges.unpersist(blocking = false)
+    init.unpersistVertices(blocking = false)
+    init.edges.unpersist(blocking = false)
+    (kept, out)
   }
 
   /** Independent-cascade rounds for k ≤ 30 seed strategies at once,
