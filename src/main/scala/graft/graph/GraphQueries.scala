@@ -747,19 +747,17 @@ object GraphQueries {
     * newly-activated counts per round — the spread curve an influence-
     * maximization pipeline evaluates seed sets with. Deterministic by
     * construction (the coin is the randomness), so the whole cascade
-    * replays in SQL. Scale: each round is one frontier join against
-    * the symmetrized edges — frontier-sized, not graph-sized; rounds
-    * bounded by the cascade depth. */
-  /** Shared IC loop: per-round newly-activated counts from a seed set.
-    * Every round's output is flattened to a LogicalRDD leaf
-    * (Materialize.table): round t's plan nests rounds 1..t-1 via the
-    * anti-join AND the union, and Catalyst re-walks that shared DAG
-    * as a TREE per action — the un-flattened loop measured 443 s at
-    * sf0.1 (pure planning; ~10 s of executor work), the same failure
-    * mode the session-memo flattening fixed in early round 7. The
-    * coin is keyed (infector, target, round) only — NOT the seed set —
-    * so different seed sets face the same edge randomness (common
-    * random numbers: a paired, variance-free comparison). */
+    * replays in SQL. The coin is keyed (infector, target, round) only
+    * — NOT the seed set — so different seed sets face the same edge
+    * randomness (common random numbers: a paired, variance-free
+    * comparison).
+    *
+    * Execution is [[Gx.cascadeRounds]] (REWORK r8) — one GraphX
+    * superstep per round over the session-cached graph. The r7
+    * DataFrame frontier loop it replaces had already learned the
+    * flatten-every-round lesson (un-flattened: 443 s of pure planning
+    * at sf0.1) but still paid ~1.5 s/round of plan/persist/count fixed
+    * cost; the kernel pays ~0.2 s. */
   def influenceCascade(spark: SparkSession, dir: String,
                        rounds: Int = 6, pPct: Int = 20): DataFrame = {
     val g = GraphBuilder.coPurchase(spark, dir)
@@ -861,36 +859,56 @@ object GraphQueries {
           .agg(max("id")).head().getLong(0)
       }
     }
-    val frames = Seq(1, 5, 10).map { pct =>
+    val levels = Seq(1, 5, 10)
+    // (degree threshold D, boundary id T) per level — driver-tiny
+    val cuts: Array[(Long, Long)] = levels.map { pct =>
       val nRemove = nv * pct / 100 // integer floor, replayed in SQL
-      val keep =
-        if (nRemove == 0) g.degrees.select("id")
-        else {
-          val b = cumHist.filter(col("above") < nRemove &&
-              col("above") + col("cnt") >= nRemove)
-            .select(col("degree"), col("above")).head()
-          val (d, above) = (b.getLong(0), b.getLong(1))
-          val t = boundaryIdThreshold(d, nRemove - above)
-          g.degrees.filter(col("degree") < d ||
-            (col("degree") === d && col("id") > t)).select("id")
+      if (nRemove == 0) (Long.MaxValue, Long.MinValue)
+      else {
+        val b = cumHist.filter(col("above") < nRemove &&
+            col("above") + col("cnt") >= nRemove)
+          .select(col("degree"), col("above")).head()
+        val (d, above) = (b.getLong(0), b.getLong(1))
+        (d, boundaryIdThreshold(d, nRemove - above))
+      }
+    }.toArray
+    // REWORK r8: all three attack levels converge in ONE multi-level
+    // CC run (was: 3 semi-join subgraph builds + 3 CC runs); the keep
+    // predicate is the same map-side threshold filter, evaluated
+    // per-triplet as the level mask
+    val cutsArr = cuts
+    val (_, lab) = Gx.multiLevelCc(g, levels.size, scope,
+      (s, sd, d, dd) => {
+        var m = 0
+        var i = 0
+        while (i < cutsArr.length) {
+          val (cd, ct) = cutsArr(i)
+          // keep(v) = deg < D ∨ (deg == D ∧ id > T), both endpoints
+          if ((sd < cd || (sd == cd && s > ct)) &&
+              (dd < cd || (dd == cd && d > ct))) m |= 1 << i
+          i += 1
         }
-      val se = g.edges.select("src", "dst")
-        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      val cc = Gx.connectedComponents(Graph(GraphBuilder.vertices(se), se))
+        m
+      })
+    val frames = levels.zipWithIndex.map { case (pct, i) =>
+      val nRemove = nv * pct / 100
       val nKept = nv - nRemove
-      cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      val c = cuts(i)
+      // kept vertices only: removed vertices hold singleton labels in
+      // the multi-level table and must not count as components
+      lab.filter(col("degree") < c._1 ||
+          (col("degree") === c._1 && col("id") > c._2))
+        .select(col("labels").getItem(i).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("nec"),
           coalesce(max("sz"), lit(1L)).as("giant"),
-          coalesce(sum("sz"), lit(0L)).as("nend"))
+          coalesce(sum("sz"), lit(0L)).as("nkl"))
         .select(lit(pct).as("removed_pct"),
           lit(nKept).as("n_kept_vertices"),
-          (col("nec") + lit(nKept) - col("nend")).as("n_components"),
+          (col("nec") + lit(nKept) - col("nkl")).as("n_components"),
           col("giant").as("giant_size"))
     }
-    val out = frames.reduce(_ union _).orderBy("removed_pct")
-    scope.free()
-    out
+    scope.seal(frames.reduce(_ union _).orderBy("removed_pct"))
   }
 
   /** ANF neighborhood-function sketch — see [[Gx.anf]]. Emits

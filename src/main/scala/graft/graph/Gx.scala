@@ -1079,37 +1079,59 @@ object Gx {
   def nestedPercolationCc(g: Graph, levels: Seq[Int], coinPrefix: String,
                           scope: graft.Materialize.Scoped)
       : (Array[Long], DataFrame) = {
-    val spark = g.edges.sparkSession
-    import spark.implicits._
-    val k = levels.size
     val lv = levels.toArray
     val pfx = coinPrefix
+    multiLevelCc(g, levels.size, scope, (s, _, d, _) => {
+      val c = prefixCoin(pfx, s, d)
+      var m = 0
+      var i = 0
+      while (i < lv.length) { if (c < lv(i)) m |= 1 << i; i += 1 }
+      m
+    })
+  }
+
+  /** k-level connected components in ONE Pregel run: `edgeMask(srcId,
+    * srcDeg, dstId, dstDeg)` says which levels an edge belongs to
+    * (bit i = level i); vertices carry a k-slot min-label array and an
+    * edge propagates only in its levels. One pass over the
+    * session-cached graph replaces k filtered-subgraph builds + k CC
+    * runs; supersteps = the worst level's diameter either way.
+    * Returns (edges per level, (id, degree, labels) query-scoped
+    * table) — labels are per-level component min ids, exactly
+    * [[connectedComponents]]' convention. Consumers: percolation
+    * (coin mask) and attack robustness (degree/id threshold mask). */
+  def multiLevelCc(g: Graph, k: Int, scope: graft.Materialize.Scoped,
+                   edgeMask: (Long, Int, Long, Int) => Int)
+      : (Array[Long], DataFrame) = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
     val init = of(g)
-      .mapVertices((id, _) => Array.fill(k)(id))
-      .mapTriplets(t => prefixCoin(pfx, t.srcId, t.dstId))
+      .mapVertices((id, d) => (d, Array.fill(k)(id)))
+      .mapTriplets(t =>
+        edgeMask(t.srcId, t.srcAttr._1, t.dstId, t.dstAttr._1))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kept = init.edges.aggregate(new Array[Long](k))((acc, e) => {
       var i = 0
-      while (i < k) { if (e.attr < lv(i)) acc(i) += 1; i += 1 }
+      while (i < k) { if ((e.attr & (1 << i)) != 0) acc(i) += 1; i += 1 }
       acc
     }, (a, b) => { var i = 0; while (i < k) { a(i) += b(i); i += 1 }; a })
-    def minArr(a: Array[Long], b: Array[Long]): Array[Long] =
-      Array.tabulate(k)(i => math.min(a(i), b(i)))
+    val kk = k
     val res = Pregel(init, Array.fill(k)(Long.MaxValue),
       activeDirection = EdgeDirection.Either)(
-      (_, attr, msg) => minArr(attr, msg),
+      (_, attr, msg) => (attr._1,
+        Array.tabulate(kk)(i => math.min(attr._2(i), msg(i)))),
       t => {
         var toDst: Array[Long] = null
         var toSrc: Array[Long] = null
         var i = 0
-        while (i < k) {
-          if (t.attr < lv(i)) {
-            if (t.srcAttr(i) < t.dstAttr(i)) {
-              if (toDst == null) toDst = Array.fill(k)(Long.MaxValue)
-              toDst(i) = t.srcAttr(i)
-            } else if (t.dstAttr(i) < t.srcAttr(i)) {
-              if (toSrc == null) toSrc = Array.fill(k)(Long.MaxValue)
-              toSrc(i) = t.dstAttr(i)
+        while (i < kk) {
+          if ((t.attr & (1 << i)) != 0) {
+            if (t.srcAttr._2(i) < t.dstAttr._2(i)) {
+              if (toDst == null) toDst = Array.fill(kk)(Long.MaxValue)
+              toDst(i) = t.srcAttr._2(i)
+            } else if (t.dstAttr._2(i) < t.srcAttr._2(i)) {
+              if (toSrc == null) toSrc = Array.fill(kk)(Long.MaxValue)
+              toSrc(i) = t.dstAttr._2(i)
             }
           }
           i += 1
@@ -1117,12 +1139,12 @@ object Gx {
         (if (toDst != null) Iterator((t.dstId, toDst)) else Iterator.empty) ++
           (if (toSrc != null) Iterator((t.srcId, toSrc)) else Iterator.empty)
       },
-      minArr)
+      (a, b) => Array.tabulate(kk)(i => math.min(a(i), b(i))))
     // labels are QUERY-local (freed by the caller's scope), not a
     // session memo — a per-call Materialize.table here would leak
     val out = scope.table(
-      res.vertices.map { case (id, ls) => (id, ls.toSeq) }
-        .toDF("id", "labels"))
+      res.vertices.map { case (id, (d, ls)) => (id, d, ls.toSeq) }
+        .toDF("id", "degree", "labels"))
     res.unpersistVertices(blocking = false)
     res.edges.unpersist(blocking = false)
     init.unpersistVertices(blocking = false)

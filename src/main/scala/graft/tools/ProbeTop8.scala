@@ -26,7 +26,7 @@ object ProbeTop8 {
     t("warm:directed")(graft.graph.Scc.lineSequenceEdges(spark, dir).count())
     val names = Seq("g_percolation", "g_seed_comparison", "g_community_nmi",
       "g_influence_cascade", "g_edge_betweenness", "g_scc", "g_core_number",
-      "g_salsa", "g_coloring", "d_threshold_sweep")
+      "g_salsa", "g_coloring", "d_threshold_sweep", "g_attack_robustness")
     for (pass <- 1 to 2; n <- names) {
       t(s"$n#$pass")(SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save())
