@@ -58,6 +58,8 @@ object Bench {
         // e_knn_sq / e_bq_codes) absorbs the whole build
         "pq_index" -> (() =>
           { graft.operators.Ann.knnPq(spark, sfDir).count(); () }),
+        "ivfpq_index" -> (() =>
+          { graft.operators.Ann.knnIvfPq(spark, sfDir).count(); () }),
         "sq_table" -> (() =>
           { graft.operators.Ann.sqDecoded(spark, sfDir).count(); () }),
         "bq_codes" -> (() =>

@@ -163,6 +163,8 @@ object SparkEntry {
     "d_contamination" -> ((s, d) => Curation.contamination(s, d)),
     "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
     "d_doc_chunking" -> ((s, d) => Curation.docChunks(s, d)),
+    "d_chunk_dedup" -> ((s, d) => Curation.chunkDedupReport(s, d)),
+    "q_kmv_distinct" -> ((s, d) => Relational.qKmvDistinct(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue _),
@@ -4331,6 +4333,49 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(t, start, start + 31), ' '))
         |    AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same chunk layout; the report is counts + a scale-0-rounded
+    // exact 1e-4 duplicated fraction
+    "d_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, t, unnest(range(1, len(t) + 1, 24)) AS start
+        |  FROM toks),
+        |ch AS (
+        |  SELECT source,
+        |    md5(array_to_string(list_slice(t, start, start + 31), ' ')) AS h
+        |  FROM st)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique_chunks,
+        |  CAST(round((count(*) - count(DISTINCT h)) * 10000.0 / count(*))
+        |    AS BIGINT) AS dup_per_10k
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+    // the md5 IS the randomness: the KMV estimate replays bit-for-bit
+    // ((k-1)*2^60 is exactly representable; final round at scale 0)
+    "q_kmv_distinct" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS h
+        |  FROM events),
+        |bk AS (
+        |  SELECT max(h) AS hk, count(*) AS kk
+        |  FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+        |ex AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events),
+        |es AS (
+        |  SELECT CAST(64 AS INT) AS k, bk.hk AS kth_min_hash,
+        |    CAST(CASE WHEN bk.kk < 64 THEN bk.kk
+        |      ELSE round(63.0 * 1152921504606846976.0 / bk.hk) END
+        |      AS BIGINT) AS est_distinct,
+        |    ex.exact_distinct
+        |  FROM bk, ex)
+        |SELECT k, kth_min_hash, est_distinct, exact_distinct,
+        |  CAST(round(abs(est_distinct - exact_distinct) * 10000.0
+        |    / exact_distinct) AS BIGINT) AS err_per_10k
+        |FROM es""".stripMargin,
     // md5 k-gram hashes are engine-portable, so the whole winnowing
     // pipeline (3-token grams, min per 4-window, distinct) is oracled
     "d_fingerprint" ->

@@ -394,6 +394,28 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Chunk-level dedup report per source — the redundancy number a
+    * RAG/embedding pipeline reads off the [[docChunks]] layout before
+    * paying for embeddings: how many token-window chunks each source
+    * contributes, how many are content-distinct (md5 key), and the
+    * duplicated fraction in exact 1e-4 units (scale-0 quotient
+    * rounding — the decimal-tie-safe idiom; see Ann.micro). One
+    * source-keyed aggregate with map-side partial distinct; chunking
+    * itself stays row-local. */
+  def chunkDedupReport(spark: SparkSession, dir: String,
+                       window: Int = 32, stride: Int = 24): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    docChunks(docs, window, stride)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("chunk_md5").as("n_unique_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_unique_chunks"),
+        round((col("n_chunks") - col("n_unique_chunks")) * 10000.0
+          / col("n_chunks")).cast("long").as("dup_per_10k"))
+      .orderBy("source")
+  }
+
   /** Deterministic token-weighted subsample: systematic resampling
     * (the particle-filter / data-mixing standard) over an md5-shuffled
     * doc order — k evenly spaced points on the cumulative TOKEN line

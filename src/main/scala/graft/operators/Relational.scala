@@ -669,6 +669,42 @@ object Relational {
       .orderBy(col("exact_cnt").desc, col("item").asc)
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch over the
+    * event user set — the order-statistics member of the sketch family
+    * (HLL = bitmap, Count-Min = counters, GK = quantiles, Misra–Gries
+    * = frequencies, KMV = minima; Bar-Yossef et al. 2002). Users hash
+    * to 60-bit uniform values (first 15 hex chars of md5 — the repo's
+    * portable-coin idiom), and the k-th smallest hash estimates
+    * D ≈ (k−1)·2⁶⁰ / h_k. The md5 IS the randomness, so the sketch —
+    * including the estimate itself — replays bit-for-bit in SQL:
+    * (k−1)·2⁶⁰ is exactly representable in double (small odd × power
+    * of two) and the final round is at scale 0 (tie-safe).
+    *
+    * Scale shape: the bottom-k is distinct-hash → TakeOrdered (per-
+    * partition top-k, driver merge of k·parts rows — never a global
+    * sort); at stream scale the same sketch is a k-slot heap per
+    * partition (the TopKByScore shape). The exact side rides one
+    * map-side-combined distinct for the driver-gatable compare, like
+    * every approx sketch here. */
+  def qKmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id"))), 1, 15),
+      16, 10).cast("long")
+    val bottom = ev.select(h.as("h")).distinct()
+      .orderBy("h").limit(k)
+      .agg(max("h").as("hk"), count(lit(1)).as("kk")).head()
+    val (hk, kk) = (bottom.getLong(0), bottom.getLong(1))
+    val exact = ev.select("user_id").distinct().count()
+    val est =
+      if (kk < k) kk // saw fewer than k values: the sketch IS exact
+      else math.round((k - 1).toDouble * math.pow(2, 60) / hk.toDouble)
+    val errPer10k = math.round(math.abs(est - exact) * 10000.0 / exact)
+    Seq((k, hk, est, exact, errPer10k))
+      .toDF("k", "kth_min_hash", "est_distinct", "exact_distinct",
+        "err_per_10k")
+  }
+
   /** Exponential-decay (half-life) weighted activity per event type:
     * score = Σ value·2^(−age/7d), age measured from the stream's max
     * timestamp — the recency-weighted counter semantics behind
