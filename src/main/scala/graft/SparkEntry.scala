@@ -85,6 +85,7 @@ object SparkEntry {
     "g_community_graph" -> (GraphQueries.communityGraph _),
     "d_minhash_est_error" -> (Dedup.minhashEstError _),
     "m_avg_hash" -> (Multimodal.avgHashBuckets _),
+    "m_media_neardup" -> ((s, d) => Multimodal.mediaNearDups(s, d)),
     "d_bigram_logprob" -> (TextAnalysis.bigramLogProb _),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
@@ -288,6 +289,34 @@ object SparkEntry {
     * id-ordered triangle enumeration (each triangle a<b<c once). The
     * Spark side enumerates via degree-ordered orientation instead —
     * different traversal, identical counts. */
+  /** Shared avg-hash (aHash) CTEs ending in `h` (doc_id, ahash as a
+    * 64-char bit string) — consumed by m_avg_hash and m_media_neardup,
+    * mirroring the one AvgHash64 expression both Spark queries share. */
+  private val AvgHashCtes: String =
+    """WITH cs AS (
+      |  SELECT doc_id, string_split(text, '') AS chars FROM documents),
+      |by AS (
+      |  SELECT doc_id,
+      |    CAST(((generate_subscripts(chars, 1) - 1) * 64)
+      |      // len(chars) AS INT) AS b,
+      |    unicode(unnest(chars)) AS v
+      |  FROM cs),
+      |agg AS (
+      |  SELECT doc_id, b, sum(v) AS s, count(*) AS c
+      |  FROM by GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, sum(v) AS st, count(*) AS lt FROM by GROUP BY 1),
+      |bits AS (
+      |  SELECT t.doc_id, g.b,
+      |    CASE WHEN ag.s IS NOT NULL AND ag.s * t.lt > t.st * ag.c
+      |      THEN '1' ELSE '0' END AS bit
+      |  FROM tot t CROSS JOIN range(64) g(b)
+      |  LEFT JOIN agg ag ON ag.doc_id = t.doc_id AND ag.b = g.b),
+      |h AS (
+      |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
+      |  FROM bits GROUP BY doc_id)
+      |""".stripMargin
+
   private val GraphCte: String =
     """WITH e AS (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -4425,32 +4454,28 @@ object SparkEntry {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // aHash bits are pure integer cross-multiplies (s_b·L > S·c_b) over
     // the ASCII byte view — no floats, bit-exact in any engine
-    "m_avg_hash" ->
-      """WITH cs AS (
-        |  SELECT doc_id, string_split(text, '') AS chars FROM documents),
-        |by AS (
-        |  SELECT doc_id,
-        |    CAST(((generate_subscripts(chars, 1) - 1) * 64)
-        |      // len(chars) AS INT) AS b,
-        |    unicode(unnest(chars)) AS v
-        |  FROM cs),
-        |agg AS (
-        |  SELECT doc_id, b, sum(v) AS s, count(*) AS c
-        |  FROM by GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT doc_id, sum(v) AS st, count(*) AS lt FROM by GROUP BY 1),
-        |bits AS (
-        |  SELECT t.doc_id, g.b,
-        |    CASE WHEN ag.s IS NOT NULL AND ag.s * t.lt > t.st * ag.c
-        |      THEN '1' ELSE '0' END AS bit
-        |  FROM tot t CROSS JOIN range(64) g(b)
-        |  LEFT JOIN agg ag ON ag.doc_id = t.doc_id AND ag.b = g.b),
-        |h AS (
-        |  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
-        |  FROM bits GROUP BY doc_id)
-        |SELECT doc_id, ahash,
+    "m_avg_hash" -> (AvgHashCtes +
+      """SELECT doc_id, ahash,
         |  count(*) OVER (PARTITION BY ahash) AS bucket_size
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |FROM h ORDER BY doc_id""".stripMargin),
+    // band-bucketed perceptual near-dup shortlist: 8×8-bit bands
+    // guarantee a candidate for every pair with hamming <= 7; DuckDB's
+    // hamming() ranks the candidates
+    "m_media_neardup" -> (AvgHashCtes +
+      """, bd AS (
+        |  SELECT doc_id, ahash, CAST(r.b AS INT) AS band,
+        |    substr(ahash, CAST(r.b AS INT) * 8 + 1, 8) AS key
+        |  FROM h CROSS JOIN range(8) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b,
+        |    la.ahash AS ha, lb.ahash AS hb
+        |  FROM bd la JOIN bd lb
+        |    ON la.band = lb.band AND la.key = lb.key
+        |    AND la.doc_id < lb.doc_id)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY hamming(ha, hb), a, b) AS INT) AS rank,
+        |  a, b, CAST(hamming(ha, hb) AS BIGINT) AS hdist
+        |FROM cand ORDER BY rank LIMIT 10""".stripMargin),
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem

@@ -219,7 +219,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * triangle stream joins adjacency co-partitioned on c (broadcast
     * under the usual vertex-count gate), then one global sum — no
     * wedge materialization, no 4-way join. */
-  @transient lazy val clique4Count: DataFrame = {
+  @transient lazy val clique4Count: DataFrame = graft.Materialize.table {
     val triC = orientedCommon
       .filter(size(col("common")) >= 2)
       .select(col("common"), explode(col("common")).as("c"))
@@ -245,7 +245,10 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * endpoint pair; counts stay exact longs. Hub skew bounds each
     * center's fan-out at C(maxDeg, 2) — AQE's skew split handles the
     * tail; nothing is ever collected. */
-  @transient lazy val squareCount: DataFrame = {
+  // Materialize.table: both counts are 1-row results of expensive
+  // kernels consumed by their own query AND the graphlet census —
+  // the lazy val alone memoizes the PLAN, not the result
+  @transient lazy val squareCount: DataFrame = graft.Materialize.table {
     val spark = edges.sparkSession
     import spark.implicits._
     if (vertexCount <= 500000) {

@@ -155,6 +155,47 @@ object Multimodal {
     * shuffle, never payload×payload. Integer-only math end to end
     * (see AvgHash64), so the whole operator hash-checks against a
     * DuckDB oracle recomputing the bits from the text view. */
+  /** Perceptual near-duplicate MEDIA shortlist: the SimHash band trick
+    * applied to the 64-bit average hash — 8 bands of 8 bits bucket the
+    * corpus, candidates share ≥1 band, and the k closest candidate
+    * pairs by Hamming distance come out (rank, a, b, hdist).
+    * Pigeonhole makes the shortlist EXACT whenever true near-dups
+    * exist: any pair with Hamming ≤ 7 (8 differing bits can't cover
+    * all 8 bands) is guaranteed a candidate; beyond that the list is
+    * the band-sharing review queue a dedup operator eyeballs. This is
+    * image/audio near-dup dedup at corpus scale: the band join is an
+    * equi-join on (band, 8-bit key) — never |media|² — the Hamming
+    * verify runs on candidates only as 8 codegen'd bit_count(xor)
+    * terms over band ints, and the top-k is a TakeOrdered, never a
+    * global sort. Same structure as d_simhash_dups one modality over:
+    * text → SimHash, embeddings → hyperplane LSH, media → aHash. */
+  def mediaNearDups(spark: SparkSession, dir: String,
+                    k: Int = 10): DataFrame = {
+    val h = mediaTable(spark, dir).toDF()
+      .select(col("doc_id"),
+        graft.functions.ByteColumns.avgHash64(col("payload")).as("ahash"))
+    val banded = h.select(col("doc_id"), col("ahash"), posexplode(
+      array((0 until 8).map(i =>
+        substring(col("ahash"), i * 8 + 1, 8)): _*)).as(Seq("band", "key")))
+    def bandInt(c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(c, i * 8 + 1, 8), 2, 10).cast("int")
+    val hamming = (0 until 8).map(i =>
+      bit_count(bandInt(col("ha"), i).bitwiseXOR(bandInt(col("hb"), i))))
+      .reduce(_ + _)
+    val ranked = banded.select(col("band"), col("key"), col("doc_id").as("a"),
+        col("ahash").as("ha"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("b"),
+        col("ahash").as("hb")), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .select(col("a"), col("b"), hamming.cast("long").as("hdist"))
+      .orderBy(col("hdist"), col("a"), col("b")).limit(k)
+    import spark.implicits._
+    ranked.collect().zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toSeq.toDF("rank", "a", "b", "hdist")
+  }
+
   def avgHashBuckets(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).toDF()
       .select(col("doc_id"),
