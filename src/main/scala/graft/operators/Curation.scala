@@ -377,7 +377,14 @@ object Curation {
                 window: Int = 32, stride: Int = 24): DataFrame =
     docChunks(Tables(spark, dir).documents, window, stride)
 
-  def docChunks(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+  def docChunks(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    chunkRows(docs, window, stride).orderBy("doc_id", "chunk_idx")
+
+  /** The row-local chunking core WITHOUT the deterministic output sort
+    * — directly usable on a STREAMING frame (ingest-time chunking:
+    * sorts are illegal on unbounded input, and chunking a doc never
+    * needs to leave its row anyway). */
+  def chunkRows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride >= 1 && window >= stride,
       s"need window >= stride >= 1, got window=$window stride=$stride")
     docs
@@ -391,7 +398,6 @@ object Curation {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("ct")).as("n_tokens"),
         md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Chunk-level dedup report per source — the redundancy number a

@@ -121,6 +121,41 @@ object EventStreams {
         col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"),
         col("n_events"))
 
+  /** Streaming KMV distinct-user sketch per tumbling window — the
+    * streaming twin of the batch `Relational.qKmvDistinct` (and the
+    * order-statistics sibling of [[windowedApproxUsers]]'s HLL). Two
+    * chained stateful aggregations, both watermark-bounded: stage 1
+    * dedups to distinct (window, type, 60-bit md5 hash) — KMV is a
+    * sketch of the value SET; stage 2 keeps the bottom-k hashes via
+    * the bounded TopKByScore aggregate (score = −hash, so the k
+    * minima survive and a double-granularity tie keeps the SMALLER
+    * hash — the correct KMV preference). State per open group is O(k)
+    * in stage 2 and O(distinct hashes in-window) in stage 1; the
+    * estimate (k−1)·2⁶⁰ / h_k rides the same exactly-representable
+    * arithmetic as the batch sketch. */
+  def windowedKmvUsers(events: DataFrame,
+                       window: String = "1 hour",
+                       watermark: String = "10 minutes",
+                       k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id"))), 1, 15),
+      16, 10).cast("long")
+    val perHash = events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"), h.as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val hk = element_at(col("bk"), size(col("bk"))).getField("neighbor_id")
+    perHash
+      .groupBy(col("window"), col("event_type"))
+      .agg(graft.functions.TopKByScore
+        .topK(col("h"), -col("h").cast("double"), k).as("bk"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        hk.as("kth_min_hash"),
+        when(size(col("bk")) < k, size(col("bk")).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60))
+            / hk.cast("double")).cast("long")).as("est_distinct"))
+  }
+
   /** Streaming exact dedup: drop events with a duplicate `event_id`
     * arriving within the watermark window — the streaming twin of
     * `Dedup.exactDedup`. State is bounded: ids older than the watermark
@@ -130,6 +165,17 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Ingest-time chunking — the streaming twin of `d_doc_chunking`:
+    * arriving documents emit their overlapping token-window chunk rows
+    * (same layout, same md5 content keys as the batch chunker, by
+    * sharing `Curation.chunkRows`) straight into the embedding /
+    * indexing queue. Purely row-local (split + sequence + slice), so
+    * it is stateless — no watermark, no store, works in append mode at
+    * ingest throughput. */
+  def chunkStream(docs: DataFrame, window: Int = 32,
+                  stride: Int = 24): DataFrame =
+    graft.operators.Curation.chunkRows(docs, window, stride)
 
   /** Streaming NEAR-dup filtering — the streaming twin of the MinHash
     * pipeline: each document's portable MinHash signature is computed

@@ -437,4 +437,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last._3 - want) < 1e-9,
       s"streamed ${last._3} vs batch $want")
   }
+
+  test("streaming chunking emits the batch chunk rows (stateless, append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")),
+      (2L, "alpha beta gamma"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = EventStreams.chunkStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("chunk_out")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val want = graft.operators.Curation
+      .docChunks(docs.toDF("doc_id", "text"), 32, 24)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got.count(_._1 == 1L) == 4) // ceil(80/24)
+  }
+
+  test("windowed KMV distinct: streaming bottom-k equals the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 30 users in the 10:00 window (ids interleaved so hashes spread),
+    // repeated events per user — the dedup stage must collapse them
+    val evs = (1 to 60).map(i =>
+      Event(i.toLong, ts(i % 10), 100L + (i % 30), "click", 1.0))
+    in.addData(evs: _*)
+    val q = EventStreams.windowedKmvUsers(in.toDF(),
+      window = "10 minutes", watermark = "5 minutes", k = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmv_out").start()
+    q.processAllAvailable()
+    in.addData(Event(999, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("kmv_out")
+      .filter($"event_type" === "click")
+      .as[(Timestamp, String, Long, Long)].collect()
+    assert(got.length == 1, s"got ${got.toSeq}")
+    val (_, _, hk, est) = got.head
+    // batch replay of the identical sketch on the same 30 users
+    import org.apache.spark.sql.functions._
+    val hashes = spark.createDataset(evs).toDF()
+      .select(conv(substring(md5(concat(lit("kmv:"), col("user_id"))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .distinct().orderBy("h").limit(8)
+      .as[Long].collect()
+    assert(hashes.length == 8)
+    val wantHk = hashes.max
+    val wantEst = math.round(7.0 * math.pow(2, 60) / wantHk.toDouble)
+    assert(hk == wantHk, s"kth hash $hk vs $wantHk")
+    assert(est == wantEst, s"est $est vs $wantEst")
+    // 30 true distinct users: a k=8 sketch should land the right decade
+    assert(est > 5 && est < 300, s"est $est implausible for 30 users")
+  }
 }
