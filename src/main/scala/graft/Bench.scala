@@ -51,6 +51,7 @@ object Bench {
         "community_sample" -> (() =>
           { graft.graph.CommunitySample.sample(spark, g).count(); () }),
         "louvain_phase1" -> (() => { GraphQueries.louvainPhase1(spark, sfDir).count(); () }),
+        "louvain_two_level" -> (() => { GraphQueries.louvain2(spark, sfDir).count(); () }),
         "lsh_pairs" -> (() => { Dedup.cachedMinhashPairs(sfDir, docs, 0.8).count(); () }),
         "lsh_components" -> (() => { Dedup.nearDupComponents(spark, docs, sfDir, 0.8).count(); () }),
         // ANN index trainings are session memos too (r8): without
