@@ -222,6 +222,7 @@ object SparkEntry {
     "d_holdout_split" -> (Curation.holdoutSplit _),
     "d_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
     "d_hash_embedding" -> ((s, d) => TextAnalysis.hashEmbedding(s, d)),
+    "d_chunk_retrieval" -> ((s, d) => TextAnalysis.chunkRetrieval(s, d)),
     "e_random_projection" -> ((s, d) => Ann.randomProjection(s, d)),
     "e_norm_stats" -> (Ann.normStats _),
     "g_link_prediction" -> ((s, d) => GraphQueries.linkPrediction(s, d)),
@@ -2459,6 +2460,51 @@ object SparkEntry {
         |  FROM tok WHERE token <> '')
         |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS value
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+    // chunk-level retrieval: integer sign-sum chunk vectors in the same
+    // fh:/fhs: hash space as d_hash_embedding; `dot` is exact BIGINT,
+    // ranking consults the engine-identical cosine doubles only
+    "d_chunk_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start
+        |  FROM toks),
+        |ctk AS (
+        |  SELECT doc_id, CAST((start - 1) // 24 AS INT) AS chunk_idx,
+        |    unnest(list_slice(t, start, start + 31)) AS token
+        |  FROM st),
+        |ts2 AS (
+        |  SELECT doc_id, chunk_idx,
+        |    ('0x' || substr(md5('fh:' || token), 1, 7))::BIGINT % 16 AS dim,
+        |    ('0x' || substr(md5('fhs:' || token), 1, 7))::BIGINT % 2 * 2 - 1
+        |      AS sign
+        |  FROM ctk WHERE token <> ''),
+        |emb AS MATERIALIZED (
+        |  SELECT doc_id, chunk_idx, dim, CAST(sum(sign) AS BIGINT) AS v
+        |  FROM ts2 GROUP BY 1, 2, 3 HAVING sum(sign) <> 0),
+        |n2 AS MATERIALIZED (
+        |  SELECT doc_id, chunk_idx, sum(v * v) AS n2
+        |  FROM emb GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+        |    e.doc_id AS n_doc, e.chunk_idx AS n_chunk,
+        |    CAST(sum(q.v * e.v) AS BIGINT) AS dot
+        |  FROM emb q JOIN emb e ON e.dim = q.dim AND e.doc_id <> q.doc_id
+        |  WHERE q.doc_id < 3
+        |  GROUP BY 1, 2, 3, 4),
+        |rr AS (
+        |  SELECT d.*, row_number() OVER (
+        |    PARTITION BY d.q_doc, d.q_chunk
+        |    ORDER BY d.dot / (sqrt(nq.n2 * 1.0) * sqrt(ne.n2 * 1.0)) DESC,
+        |      d.n_doc, d.n_chunk) AS rank
+        |  FROM dots d
+        |  JOIN n2 nq ON nq.doc_id = d.q_doc AND nq.chunk_idx = d.q_chunk
+        |  JOIN n2 ne ON ne.doc_id = d.n_doc AND ne.chunk_idx = d.n_chunk)
+        |SELECT q_doc, q_chunk, CAST(rank AS INT) AS rank,
+        |  n_doc, n_chunk, dot
+        |FROM rr WHERE rank <= 5
+        |ORDER BY q_doc, q_chunk, rank""".stripMargin,
     "d_holdout_split" ->
       """SELECT
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'

@@ -407,6 +407,75 @@ object TextAnalysis {
       .agg(sum("sign").as("value"))
       .orderBy("doc_id", "dim")
 
+  /** Chunk-level retrieval — the RAG end-to-end composed from this
+    * round's pieces: overlapping token-window chunks (the
+    * `d_doc_chunking` layout), a feature-hash embedding per CHUNK
+    * (same fh:/fhs: hash space as [[hashEmbedding]], so chunks and
+    * whole docs share one vocabulary-free vector space), and exact
+    * cosine top-k of every query-doc chunk against the rest of the
+    * corpus. Chunk vectors are exact integer sign-sums, so every dot
+    * product is an exact long — the output carries `dot` as exact
+    * BIGINT and only the RANKING consults the (engine-identical)
+    * cosine doubles.
+    *
+    * Scale: embeddings are two map-side hash projections + one
+    * (chunk, dim)-keyed aggregate; the scoring join is dim-bucketed
+    * brute force over a DENSE 16-dim space — the honest baseline shape
+    * (queries bounded, corpus streamed once); the IVF/PQ/BQ family is
+    * the scale path once vectors come from a real encoder. Zero-vector
+    * chunks drop out on both engines (no zero-norm cosine). */
+  def chunkRetrieval(spark: SparkSession, dir: String, nQueryDocs: Int = 3,
+                     k: Int = 5, window: Int = 32, stride: Int = 24,
+                     dims: Int = 16): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val ctoks = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(slice(col("toks"), col("start"), lit(window))).as("token"))
+      .filter(col("token") =!= "")
+    val scope = new graft.Materialize.Scoped
+    val emb = scope.table(ctoks
+      .select(col("doc_id"), col("chunk_idx"),
+        (conv(substring(md5(concat(lit("fh:"), col("token"))), 1, 7), 16, 10)
+          .cast("long") % dims).as("dim"),
+        (conv(substring(md5(concat(lit("fhs:"), col("token"))), 1, 7), 16, 10)
+          .cast("long") % 2 * 2 - 1).as("sign"))
+      .groupBy("doc_id", "chunk_idx", "dim")
+      .agg(sum("sign").as("v"))
+      .filter(col("v") =!= 0))
+    val norms = emb.groupBy("doc_id", "chunk_idx")
+      .agg(sum(col("v") * col("v")).as("n2"))
+    val dots = emb.filter(col("doc_id") < nQueryDocs)
+      .select(col("doc_id").as("q_doc"), col("chunk_idx").as("q_chunk"),
+        col("dim"), col("v").as("qv"))
+      .join(emb.select(col("doc_id").as("n_doc"),
+        col("chunk_idx").as("n_chunk"), col("dim"), col("v").as("nv")),
+        Seq("dim"))
+      .filter(col("n_doc") =!= col("q_doc"))
+      .groupBy("q_doc", "q_chunk", "n_doc", "n_chunk")
+      .agg(sum(col("qv") * col("nv")).as("dot"))
+    val ranked = dots
+      .join(norms.select(col("doc_id").as("q_doc"),
+        col("chunk_idx").as("q_chunk"), col("n2").as("qn2")),
+        Seq("q_doc", "q_chunk"))
+      .join(norms.select(col("doc_id").as("n_doc"),
+        col("chunk_idx").as("n_chunk"), col("n2").as("nn2")),
+        Seq("n_doc", "n_chunk"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_doc", "q_chunk")
+          .orderBy((col("dot") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+            .desc, col("n_doc"), col("n_chunk"))))
+      .filter(col("rank") <= k)
+      .select(col("q_doc"), col("q_chunk"), col("rank"),
+        col("n_doc"), col("n_chunk"), col("dot"))
+      .orderBy("q_doc", "q_chunk", "rank")
+    scope.seal(ranked)
+  }
+
   /** Word-level Shannon entropy + type-token ratio per document — the
     * classic repetitiveness/quality pair (low entropy ≈ boilerplate or
     * degenerate repetition; the compression-ratio proxy without a
