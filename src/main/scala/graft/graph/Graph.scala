@@ -219,7 +219,10 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * triangle stream joins adjacency co-partitioned on c (broadcast
     * under the usual vertex-count gate), then one global sum — no
     * wedge materialization, no 4-way join. */
-  @transient lazy val clique4Count: DataFrame = graft.Materialize.table {
+  @transient lazy val clique4Count: DataFrame =
+    graft.Materialize.table(clique4Plan)
+
+  private[graft] def clique4Plan: DataFrame = {
     val triC = orientedCommon
       .filter(size(col("common")) >= 2)
       .select(col("common"), explode(col("common")).as("c"))
@@ -247,8 +250,12 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     * tail; nothing is ever collected. */
   // Materialize.table: both counts are 1-row results of expensive
   // kernels consumed by their own query AND the graphlet census —
-  // the lazy val alone memoizes the PLAN, not the result
-  @transient lazy val squareCount: DataFrame = graft.Materialize.table {
+  // the lazy val alone memoizes the PLAN, not the result (plan-quality
+  // gates assert on the *Plan builders, the leaves hide the kernels)
+  @transient lazy val squareCount: DataFrame =
+    graft.Materialize.table(squareCountPlan)
+
+  private[graft] def squareCountPlan: DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     if (vertexCount <= 500000) {

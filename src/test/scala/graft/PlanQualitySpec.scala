@@ -347,8 +347,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // local merge — the ONLY exchange allowed is the 1-row final sum.
     // (Materializing the wedge stream as rows measured 70-280 s at
     // sf0.1; the row-free merge does the same arithmetic in ~4 s.)
+    // assert on the BUILD plan — the memoized squareCount is a leaf
     val plan = graft.graph.GraphBuilder.coPurchase(spark, sf)
-      .squareCount.queryExecution.executedPlan
+      .squareCountPlan.queryExecution.executedPlan
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
@@ -358,7 +359,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("clique4 joins adjacency broadcast under the vertex gate") {
     val plan = graft.graph.GraphBuilder.coPurchase(spark, sf)
-      .clique4Count.queryExecution.sparkPlan.treeString
+      .clique4Plan.queryExecution.sparkPlan.treeString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
