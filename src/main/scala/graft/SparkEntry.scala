@@ -207,6 +207,7 @@ object SparkEntry {
     "g_local_bridges" -> (GraphQueries.localBridges _),
     "d_dup_cluster_sizes" -> ((s, d) =>
       Dedup.dupClusterSizes(s, Tables(s, d).documents, cacheKey = d)),
+    "d_dup_cluster_purity" -> ((s, d) => Dedup.dupClusterPurity(s, d)),
     "q_cohort_retention" -> (Relational.qCohortRetention _),
     "g_coloring" -> (GraphQueries.coloring _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -4069,6 +4070,36 @@ object SparkEntry {
         |         GROUP BY lbl HAVING count(*) > 1)
         |SELECT m AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM sz GROUP BY m ORDER BY m""".stripMargin),
+    // exact-dup fraction inside each LSH cluster: the dedup-quality
+    // split between hash-catchable copies and true near-dups
+    "d_dup_cluster_purity" -> (MinhashCte +
+      """, pe AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
+        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+        |psymp AS MATERIALIZED (
+        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+        |  UNION ALL SELECT id, id FROM pv),
+        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
+      (1 to 16).map { i =>
+        s""", pc$i AS (
+           |  SELECT s.src AS id, min(n.lbl) AS lbl
+           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
+           |""".stripMargin
+      }.mkString +
+      """, wt AS (
+        |  SELECT p.lbl AS cluster, md5(d.text) AS h
+        |  FROM pc16 p JOIN documents d ON d.doc_id = p.id),
+        |g AS (SELECT cluster, h, count(*) AS c FROM wt GROUP BY 1, 2),
+        |per AS (
+        |  SELECT cluster, CAST(sum(c) AS BIGINT) AS n_members,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |      AS n_exact_dup_members
+        |  FROM g GROUP BY 1)
+        |SELECT cluster, n_members, n_distinct_texts, n_exact_dup_members,
+        |  CAST(round(n_exact_dup_members * 10000.0 / n_members) AS BIGINT)
+        |    AS dup_per_10k
+        |FROM per WHERE n_members > 1 ORDER BY cluster""".stripMargin),
     // the per-doc curation decision composes the already-oracled
     // building blocks: minhash CC labels + exact window-min + quality +
     // langid — same CTEs, one decision row per document

@@ -302,6 +302,36 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** Near-dup cluster PURITY — the dedup-quality evaluation separating
+    * exact copies from true near-duplicates inside each LSH cluster:
+    * per multi-member cluster, member count, distinct-text count (md5
+    * key) and how many members are byte-identical to another member.
+    * A cluster that is all exact copies needed only the cheap hash
+    * dedup; a low-purity cluster is where MinHash EARNS its cost — the
+    * number that justifies (or kills) the near-dup stage on a new
+    * corpus. Rides the session-cached CC labels; one md5-keyed
+    * aggregate within clusters, one cluster rollup. The duplicated
+    * fraction is exact 1e-4 units via scale-0 quotient rounding. */
+  def dupClusterPurity(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cc = nearDupComponents(spark, docs, dir, threshold)
+    cc.join(docs.select(col("doc_id").as("id"), col("text")), "id")
+      .groupBy(col("component"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("component")
+      .agg(sum("c").as("n_members"),
+        count(lit(1)).as("n_distinct_texts"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("n_exact_dup_members"))
+      .filter(col("n_members") > 1)
+      .select(col("component").as("cluster"), col("n_members"),
+        col("n_distinct_texts"), col("n_exact_dup_members"),
+        round(col("n_exact_dup_members") * 10000.0 / col("n_members"))
+          .cast("long").as("dup_per_10k"))
+      .orderBy("cluster")
+  }
+
   /** Near-dup cluster SIZE distribution — the corpus-health summary a
     * dedup run reports (how much boilerplate, how big the worst groups
     * are). One tiny aggregate over the session-cached CC labels. */
