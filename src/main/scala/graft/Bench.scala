@@ -121,11 +121,22 @@ object Bench {
     // `value` = builds + queries: the same wall-clock work the suite
     // always paid, now split so shared-cache cost reads separately
     val total = results.collect { case (_, v, None, _) => v }.sum + buildTotal
+    // top-5 slowest query lines, duplicated into the tail summary
+    val top5 = results.collect { case (k, v, None, _) => (k, v) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // KEY ORDER IS THE ARTIFACT CONTRACT: the driver records only the
+    // LAST 2,000 characters of stdout (BENCH_r08 lost its own totals
+    // and the whole g_* map that way). The big per-query/build maps go
+    // FIRST and every summary field (metric/value/steal/failures/top5)
+    // goes LAST, so the truncated tail alone answers "total, failures,
+    // steal, top-5 lines".
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""shared_build":$sb,"shared_build_sec":$buildTotal,""" +
+      s"""{"queries":$qs,"shared_build":$sb,"errors":$errs,""" +
+        s""""sf":"$sfDir","shared_build_sec":$buildTotal,""" +
         s""""steal_pct":$runSteal,"steal_hot":$stealHot,""" +
-        s""""failures":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
+        s""""failures":${failed.size},"top5":$top5,""" +
+        s""""metric":"total","unit":"sec","value":$total}"""
     println(json)
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${failed.size}")

@@ -1152,6 +1152,67 @@ object Gx {
     (kept, out)
   }
 
+  /** k-level connected components over an EXPLICIT (src, dst, mask)
+    * pair-edge DataFrame — the attribute-carrying twin of
+    * [[multiLevelCc]]. That kernel derives its masks from vertex
+    * ids/degrees because the session graph cache ([[of]]) is
+    * attribute-free; near-dup threshold refinement needs the mask to
+    * come from an edge COLUMN (`est_jaccard` level bits), so this
+    * variant builds a one-shot GraphX graph whose edge attribute IS
+    * the caller's bitmask and runs the identical k-slot min-label
+    * Pregel. Partitioned by edge volume (~250k edges/partition, the
+    * pair-graph rule). Returns a query-scoped (id, labels array<long>)
+    * table — per-level component min ids, [[connectedComponents]]'
+    * convention. Consumer: the dedup threshold sweep's
+    * giant-component gate (operators/Dedup.scala). */
+  def maskedPairCc(edges: DataFrame, k: Int,
+                   scope: graft.Materialize.Scoped): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nEdges = edges.count()
+    val parts = math.max(2L, nEdges / 250000L + 1L).toInt
+    val ed = edges.select(col("src"), col("dst"), col("mask").cast("int"))
+      .as[(Long, Long, Int)].rdd
+      .map { case (s, d, m) => Edge(s, d, m) }
+    val sized = if (ed.getNumPartitions > parts) ed.coalesce(parts) else ed
+    val kk = k
+    val init = XGraph.fromEdges(sized, 0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => Array.fill(kk)(id))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val res = Pregel(init, Array.fill(kk)(Long.MaxValue),
+      activeDirection = EdgeDirection.Either)(
+      (_, attr, msg) => Array.tabulate(kk)(i => math.min(attr(i), msg(i))),
+      t => {
+        var toDst: Array[Long] = null
+        var toSrc: Array[Long] = null
+        var i = 0
+        while (i < kk) {
+          if ((t.attr & (1 << i)) != 0) {
+            if (t.srcAttr(i) < t.dstAttr(i)) {
+              if (toDst == null) toDst = Array.fill(kk)(Long.MaxValue)
+              toDst(i) = t.srcAttr(i)
+            } else if (t.dstAttr(i) < t.srcAttr(i)) {
+              if (toSrc == null) toSrc = Array.fill(kk)(Long.MaxValue)
+              toSrc(i) = t.dstAttr(i)
+            }
+          }
+          i += 1
+        }
+        (if (toDst != null) Iterator((t.dstId, toDst)) else Iterator.empty) ++
+          (if (toSrc != null) Iterator((t.srcId, toSrc)) else Iterator.empty)
+      },
+      (a, b) => Array.tabulate(kk)(i => math.min(a(i), b(i))))
+    val out = scope.table(
+      res.vertices.map { case (id, ls) => (id, ls.toSeq) }
+        .toDF("id", "labels"))
+    res.unpersistVertices(blocking = false)
+    res.edges.unpersist(blocking = false)
+    init.unpersistVertices(blocking = false)
+    init.edges.unpersist(blocking = false)
+    out
+  }
+
   /** Independent-cascade rounds for k ≤ 30 seed strategies at once,
     * on the session-cached GraphX view: vertex state = (active, newly)
     * strategy bitmasks; each round is ONE aggregateMessages over the
@@ -1192,7 +1253,21 @@ object Gx {
       val m = seedMask.getOrElse(id, 0)
       (m, m)
     }.persist(StorageLevel.MEMORY_AND_DISK)
-    out(0) = counts(st.vertices)
+    // round 0 counts the SEED SETS directly (driver-side over the
+    // already-built mask map), not the vertex view: a seed id absent
+    // from the GraphX vertex set (a degree-0 vertex has no edge, hence
+    // no GraphX row) must still count as activated in round 0 — the
+    // DataFrame loop this kernel replaced counted all seeds. Such a
+    // seed has no edges so it cannot activate anyone nor be
+    // re-activated: rounds ≥ 1 are unaffected.
+    out(0) = {
+      val a = new Array[Long](k)
+      seedMask.valuesIterator.foreach { m =>
+        var i = 0
+        while (i < k) { if ((m & (1 << i)) != 0) a(i) += 1; i += 1 }
+      }
+      a
+    }
     var t = 1
     var live = true
     while (t <= rounds && live) {

@@ -387,20 +387,39 @@ object Dedup {
     * scan IS the algorithm, and a group is one near-dup cluster),
     * and a 3-row aggregate collects the curve. Replaces 3 GraphX
     * Pregel CC runs + 3 count jobs — measured 12.8-21.5 s → ~2 s at
-    * sf0.1. State per group = one dup cluster's pairs; a pathological
-    * giant template-cluster at 100 TB would gate back to the
-    * distributed-CC path (the [[nearDupComponents]] machinery, which
-    * this reuses for the 0.8 level's labels). */
-  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    * sf0.1. State per group = one dup cluster's pairs, GATED (r9): a
+    * component whose pair count exceeds `bigComponentPairCap` (a
+    * pathological giant template cluster — 100k boilerplate members =
+    * up to C(k,2) pairs in one task) is routed through the distributed
+    * multi-level CC kernel ([[graft.graph.Gx.maskedPairCc]], the
+    * est_jaccard-masked twin of the percolation kernel) instead of the
+    * local union-find; both paths produce identical curves
+    * (ThresholdSweepGateSpec forces the gate both ways). */
+  def dedupThresholdSweep(spark: SparkSession, dir: String,
+                          bigComponentPairCap: Int = 250000): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val nDocs = docs.count()
     val pairs = cachedMinhashPairs(dir, docs, 0.8)
     val comp = nearDupComponents(spark, docs, dir, 0.8)
     val levels = Seq(80, 90, 95)
-    val perComp = pairs
+    val scope = new graft.Materialize.Scoped
+    val withComp = scope.table(pairs
       .join(comp.select(col("id").as("a"), col("component")), "a")
-      .select(col("component"), col("a"), col("b"), col("est_jaccard"))
+      .select(col("component"), col("a"), col("b"), col("est_jaccard")))
+    // THE GATE: one map-side-combined aggregate over the scoped cache
+    // counts each 0.8-component's pairs; oversized components leave
+    // the local-union-find path. The big list is tiny by construction
+    // (each member carries > cap pairs of a bounded total) — broadcast.
+    val bigComps = withComp.groupBy("component")
+      .agg(count(lit(1)).as("np"))
+      .filter(col("np") > bigComponentPairCap)
+      .select("component")
+    val nBig = bigComps.count()
+    val smallPairs =
+      if (nBig == 0) withComp
+      else withComp.join(broadcast(bigComps), Seq("component"), "left_anti")
+    val perComp = smallPairs
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -430,10 +449,48 @@ object Dedup {
         }
       }
       .toDF("threshold_pct", "pairs", "clusters", "dup_docs")
+    // distributed path for the oversized components: per-edge level
+    // bitmask (bit i = est ≥ levelᵢ — nested by construction), ONE
+    // k-slot min-label Pregel over all big components at once, then a
+    // ≤ 3·|levels|-row label rollup. A level-i singleton (vertex with
+    // no level-i edge) keeps its own id as label and is dropped by the
+    // m > 1 filter — identical counting to the local union-find.
+    val bigRows: DataFrame =
+      if (nBig == 0) perComp.limit(0)
+      else {
+        val bigPairs = scope.table(
+          withComp.join(broadcast(bigComps), Seq("component"), "left_semi"))
+        val mask = levels.zipWithIndex.map { case (pct, i) =>
+          when(col("est_jaccard") >= pct / 100.0, 1 << i).otherwise(0)
+        }.reduce(_ + _)
+        val labels = graft.graph.Gx.maskedPairCc(
+          bigPairs.select(col("a").as("src"), col("b").as("dst"),
+            mask.as("mask")),
+          levels.size, scope)
+        val perLevel = labels
+          .select(posexplode(col("labels")).as(Seq("li", "label")))
+          .groupBy("li", "label").agg(count(lit(1)).as("m"))
+          .filter(col("m") > 1)
+          .groupBy("li")
+          .agg(count(lit(1)).as("clusters"), sum("m").as("dup_docs"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val pc = bigPairs.agg(
+          sum(when(col("est_jaccard") >= levels(0) / 100.0, 1L)
+            .otherwise(0L)),
+          sum(when(col("est_jaccard") >= levels(1) / 100.0, 1L)
+            .otherwise(0L)),
+          sum(when(col("est_jaccard") >= levels(2) / 100.0, 1L)
+            .otherwise(0L))).head()
+        levels.zipWithIndex.map { case (pct, i) =>
+          val (cl, dd) = perLevel.getOrElse(i, (0L, 0L))
+          (pct, pc.getLong(i), cl, dd)
+        }.toDF("threshold_pct", "pairs", "clusters", "dup_docs")
+      }
     // the levels spine keeps a 3-row curve even when a level (or the
     // whole pair set) is empty
-    levels.toDF("threshold_pct")
-      .join(perComp.groupBy("threshold_pct")
+    val curve = levels.toDF("threshold_pct")
+      .join(perComp.union(bigRows).groupBy("threshold_pct")
         .agg(sum("pairs").as("n_pairs"), sum("clusters").as("n_clusters"),
           sum("dup_docs").as("n_dup_docs")),
         Seq("threshold_pct"), "left")
@@ -443,6 +500,7 @@ object Dedup {
         (lit(nDocs) - col("n_dup_docs") + col("n_clusters"))
           .as("n_survivors"))
       .orderBy("threshold_pct")
+    scope.seal(curve)
   }
 
   // ---------- substring-level dedup ----------

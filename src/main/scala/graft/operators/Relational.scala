@@ -694,12 +694,17 @@ object Relational {
     val bottom = ev.select(h.as("h")).distinct()
       .orderBy("h").limit(k)
       .agg(max("h").as("hk"), count(lit(1)).as("kk")).head()
-    val (hk, kk) = (bottom.getLong(0), bottom.getLong(1))
+    // empty-stream guard: max(h) is NULL and exact = 0 — emit the
+    // zero sketch instead of an NPE / divide-by-zero
+    val kk = bottom.getLong(1)
+    val hk = if (kk == 0) 0L else bottom.getLong(0)
     val exact = ev.select("user_id").distinct().count()
     val est =
       if (kk < k) kk // saw fewer than k values: the sketch IS exact
       else math.round((k - 1).toDouble * math.pow(2, 60) / hk.toDouble)
-    val errPer10k = math.round(math.abs(est - exact) * 10000.0 / exact)
+    val errPer10k =
+      if (exact == 0) 0L
+      else math.round(math.abs(est - exact) * 10000.0 / exact)
     Seq((k, hk, est, exact, errPer10k))
       .toDF("k", "kth_min_hash", "est_distinct", "exact_distinct",
         "err_per_10k")
