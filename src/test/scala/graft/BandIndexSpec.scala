@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the persisted band-index dataflow (VERDICT r8 "What's missing
+  * #1" / "Next #2"):
+  *
+  *   1. write → load → delta-join produces EXACTLY the dup set the
+  *      session-cached symmetric pair simulation produced (the r8
+  *      implementation of `d_incremental_dedup`), at sf0.001 — so the
+  *      rework could not move the driver's oracle;
+  *   2. the delta path never re-pairs (or even re-reads) the base
+  *      corpus: with an in-memory delta, every file the output plan
+  *      scans lives under the index path — the base corpus enters
+  *      through the persisted artifact alone.
+  */
+class BandIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.operators.Dedup
+
+  test("delta-vs-loaded-index equals the session-cache simulation") {
+    val docs = Tables(spark, sf).documents
+    def isDelta(c: org.apache.spark.sql.Column) = pmod(c, lit(7)) === 3
+    // the r8 semantics, recomputed here from the shared pair cache:
+    // delta doc d is a dup iff some x with est ≥ 0.8 exists, x base or
+    // an earlier delta arrival (x < d)
+    val pairs = Dedup.cachedMinhashPairs(sf, docs, 0.8)
+    val sym = pairs.select(col("a").as("d"), col("b").as("x"))
+      .union(pairs.select(col("b").as("d"), col("a").as("x")))
+    val expected = sym
+      .filter(isDelta(col("d")) && (!isDelta(col("x")) || col("x") < col("d")))
+      .select(col("d")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // the r9 production dataflow, end-to-end through parquet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-band-index-spec").toString
+    Dedup.writeBandIndex(docs.filter(!isDelta(col("doc_id"))), path)
+    val idx = Dedup.loadBandIndex(spark, path)
+    val delta = docs.filter(isDelta(col("doc_id")))
+    val got = Dedup.deltaDupPairs(idx, delta, 0.8)
+      .select(col("delta_id").as("d"))
+      .union(Dedup.minhashDupPairs(delta, 0.8).select(col("b").as("d")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"index path diverges: only-index=${got.diff(expected)}, " +
+        s"only-cache=${expected.diff(got)}")
+    assert(got.nonEmpty, "degenerate test: no incremental dups at sf0.001")
+  }
+
+  test("delta probe scans ONLY the index artifact, never the base docs") {
+    import spark.implicits._
+    val base = (0L until 40L)
+      .map(i => (i, (0 until 20).map(j => s"b${i % 5}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, (0 until 20).map(j => s"b0t$j").mkString(" ")), // dup of base
+      (101L, (0 until 20).map(j => s"freshx$j").mkString(" "))) // novel
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-band-index-spec2").toString
+    Dedup.writeBandIndex(base, path)
+    val idx = Dedup.loadBandIndex(spark, path)
+    val out = Dedup.deltaDupPairs(idx, delta, 0.8)
+    // delta is an in-memory relation ⇒ every scanned FILE must belong
+    // to the index artifact: the base corpus is reachable only through
+    // what writeBandIndex persisted
+    val canon = java.nio.file.Paths.get(path).toRealPath().toString
+    val files = out.inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val p = f.replaceFirst("^file:/+", "/")
+      assert(p.startsWith(canon) || p.startsWith(path),
+        s"plan scans non-index file: $f")
+    }
+    // and the probe found exactly the planted near-dup: doc 100
+    // against the 8 identical-signature base members of template b0
+    val got = out.select("delta_id", "base_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._1 == 100L), s"novel doc matched: ${got.toSeq}")
+    assert(got.map(_._2).toSet == (0L until 40L by 5L).toSet,
+      s"wrong base members: ${got.toSeq}")
+  }
+}
