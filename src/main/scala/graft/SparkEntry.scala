@@ -281,6 +281,7 @@ object SparkEntry {
     "q_value_deciles" -> (Relational.qValueDeciles _),
     "q_event_type_overlap" -> (Relational.qEventTypeOverlap _),
     "e_ivf_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
+    "e_ivfpq_probe_sweep" -> ((s, d) => Ann.ivfpqProbeSweep(s, d)),
     "d_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_value_gini" -> (Relational.qValueGini _),
     "e_bq_rerank" -> ((s, d) => Ann.bqRerank(s, d)),
@@ -1886,6 +1887,79 @@ object SparkEntry {
       |  round(count(p.neighbor_id) / 10.0, 4) AS recall_at_10
       |FROM brt b LEFT JOIN ipt p USING (query_id, neighbor_id)
       |GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  /** IVF-PQ probe sweep oracle (exactly `Ann.ivfpqProbeSweep`): on top
+    * of [[ivfpqCore]]'s trained coarse index + residual codebooks +
+    * encoded corpus, a probe ranking kept to the DEEPEST sweep level
+    * with its rank retained (`pall2`), one rk-carrying residual LUT,
+    * and per level an ADC scoring + top-10 + recall against the exact
+    * cosine baseline. hits·50 is an integer so the 4-dp mean_recall is
+    * engine-exact; n_candidates and adc_d2 are exact BIGINTs. */
+  private def ivfpqSweepUnrolled(ivfIters: Int, pqIters: Int, sub: Int,
+                                 probes: Seq[Int]): String = {
+    val levels = probes.sorted
+    val maxP = levels.max
+    val cN = s"c$ivfIters"
+    ivfpqCore(ivfIters, pqIters, sub) +
+    s""", pall2 AS MATERIALIZED (
+       |  SELECT query_id, cell, rk FROM (
+       |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
+       |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
+       |    WHERE d.vec_id < 20)
+       |  WHERE rk <= $maxP)
+       |, qrv2 AS (
+       |  SELECT p.query_id, p.cell, p.rk, e.i,
+       |    CAST(round((e.x - c.c) * 1000000) AS BIGINT) AS qxi
+       |  FROM pall2 p JOIN ev e ON e.vec_id = p.query_id
+       |  JOIN $cN c ON c.cell = p.cell AND c.i = e.i)
+       |, qsv2 AS (
+       |  SELECT query_id, cell, rk, CAST((i - 1) // $sub AS INT) AS m,
+       |         CAST((i - 1) % $sub AS INT) AS j, qxi
+       |  FROM qrv2)
+       |, lut2 AS MATERIALIZED (
+       |  SELECT q.query_id, q.cell, q.rk, c.m, c.code,
+       |    sum((q.qxi - c.ci) * (q.qxi - c.ci)) AS d2
+       |  FROM qsv2 q JOIN rpc$pqIters c ON c.m = q.m AND c.j = q.j
+       |  GROUP BY q.query_id, q.cell, q.rk, c.m, c.code)
+       |, swq AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 20)
+       |, swbs AS (
+       |  SELECT swq.query_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(swq.q_emb, e.embedding) AS sim
+       |  FROM embeddings e CROSS JOIN swq WHERE e.vec_id <> swq.query_id)
+       |, swbr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM swbs)
+       |, swbt AS (SELECT query_id, neighbor_id FROM swbr WHERE rank <= 10)
+       |""".stripMargin +
+    levels.map { p =>
+      s""", scp$p AS MATERIALIZED (
+         |  SELECT l.query_id, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM renc e JOIN idx x ON x.vec_id = e.vec_id
+         |  JOIN lut2 l ON l.cell = x.cell AND l.m = e.m
+         |    AND l.code = e.code AND l.rk <= $p
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id)
+         |, rrp$p AS (
+         |  SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+         |  FROM scp$p)
+         |, tpp$p AS (SELECT query_id, neighbor_id FROM rrp$p WHERE rank <= 10)
+         |, aggp$p AS (
+         |  SELECT CAST($p AS INT) AS n_probe,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM scp$p) AS n_candidates,
+         |    round(count(t.neighbor_id) / 200.0, 4) AS mean_recall
+         |  FROM swbt b LEFT JOIN tpp$p t USING (query_id, neighbor_id))
+         |""".stripMargin
+    }.mkString +
+    levels.map(p => s"SELECT * FROM aggp$p")
+      .mkString("", " UNION ALL ", " ORDER BY n_probe")
+  }
 
   /** Unrolled BPE training (exactly `Bpe.train`): word-frequency dict
     * with marker-prefixed symbol strings, then per round count adjacent
@@ -5515,6 +5589,7 @@ object SparkEntry {
     // one trained index (iters=3, the e_knn_ivf configuration), probe
     // ranking filtered per level; hit counts exact ints
     "e_ivf_probe_sweep" -> ivfSweepUnrolled(3, Seq(1, 2, 4, 8)),
+    "e_ivfpq_probe_sweep" -> ivfpqSweepUnrolled(3, 2, 16, Seq(1, 2, 4, 8)),
     // delta = doc_id % 7 == 3 (coprime with the 20-source cycle, so
     // every source contributes); dup iff a ≥0.8 pair links it to a
     // base doc or an earlier delta doc — the est pair set IS the oracle

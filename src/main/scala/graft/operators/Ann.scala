@@ -1367,6 +1367,75 @@ object Ann {
     rows.toDF("n_probe", "n_candidates", "mean_recall").orderBy("n_probe")
   }
 
+  /** IVF-PQ accuracy/cost sweep — [[ivfProbeSweep]]'s nProbe curve on
+    * the PRODUCTION index (coarse cells + residual PQ codes) instead of
+    * raw-vector IVF: recall@k and scored-candidate count per nProbe
+    * level, where scoring is the all-integer ADC ranking of
+    * [[knnIvfPq]]. IVF-only sweeps OVERSTATE recall at equal nProbe
+    * (they score exact vectors); this is the dial a deployment actually
+    * tunes. One more consumer of the session-memoized [[ivfpqIndex]]
+    * (training never re-runs); the probe ranking and the per-(query,
+    * probed cell) residual LUT are computed ONCE to the deepest level
+    * and filtered per level — each level's marginal cost is one
+    * broadcast-LUT join over the probed code streams. Output |probes|
+    * rows (n_probe, n_candidates, mean_recall); hit counts are exact
+    * integers so the 4-dp mean is engine-exact. */
+  def ivfpqProbeSweep(spark: SparkSession, dir: String,
+                      probes: Seq[Int] = Seq(1, 2, 4, 8),
+                      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val (dim, m, cells, codes) = (64, 4, 16, 16)
+    val sub = dim / m
+    val (centroids, assigned, cb, enc) = ivfpqIndex(spark, dir, cells, m, codes, dim)
+    val emb = Tables(spark, dir).embeddings
+    val q = queriesOf(emb, nQueries)
+    val maxP = probes.max
+    val probeRank = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"), col("centroid"),
+        cosineSim(col("q_emb"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rk") <= maxP)
+    val qsub = probeRank.select(col("query_id"), col("cell"), col("rk"),
+      zip_with(col("q_emb"), col("centroid"),
+        (x, c) => x.cast("double") - c.cast("double")).as("qr"))
+      .select(col("query_id"), col("cell"), col("rk"), posexplode(
+        array((0 until m).map(i =>
+          slice(col("qr"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
+      .withColumn("qi", transform(col("qv"), micro(_)))
+    // |queries|·maxP·m·codes rows — tiny; rk rides along so each sweep
+    // level is a filter of the one LUT
+    val lut = qsub
+      .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
+        Seq("m"))
+      .select(col("query_id"), col("cell"), col("rk"), col("m"), col("code"),
+        aggregate(zip_with(col("qi"), col("cbi"),
+          (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val encCells = enc.join(assigned, "vec_id")
+    val rows = probes.sorted.map { p =>
+      val scored = encCells
+        .join(broadcast(lut.filter(col("rk") <= p).drop("rk")),
+          Seq("cell", "m", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum("d2").as("adc_d2"))
+      val nCand = scored.count()
+      val top = scored.groupBy("query_id")
+        .agg(topK(col("vec_id"), -col("adc_d2").cast("double"), k).as("nn"))
+        .select(col("query_id"),
+          explode(col("nn.neighbor_id")).as("neighbor_id"),
+          lit(1).as("hit"))
+      val hits = brute.join(top, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit"))).collect()(0).getLong(0)
+      (p, nCand, math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
+    }
+    import spark.implicits._
+    rows.toDF("n_probe", "n_candidates", "mean_recall").orderBy("n_probe")
+  }
+
   /** Maximum-inner-product search: top-k by RAW dot product, no
     * normalization — the recommender-retrieval ranking, where item
     * popularity lives in the vector norm and cosine would erase it.
