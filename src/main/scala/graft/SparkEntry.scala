@@ -282,6 +282,8 @@ object SparkEntry {
     "q_event_type_overlap" -> (Relational.qEventTypeOverlap _),
     "e_ivf_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
     "e_ivfpq_probe_sweep" -> ((s, d) => Ann.ivfpqProbeSweep(s, d)),
+    "q_day_partition_pruning" ->
+      ((s, d) => graft.sources.ZOrder.dayPruningReport(s, d)),
     "d_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_value_gini" -> (Relational.qValueGini _),
     "e_bq_rerank" -> ((s, d) => Ann.bqRerank(s, d)),
@@ -5590,6 +5592,19 @@ object SparkEntry {
     // ranking filtered per level; hit counts exact ints
     "e_ivf_probe_sweep" -> ivfSweepUnrolled(3, Seq(1, 2, 4, 8)),
     "e_ivfpq_probe_sweep" -> ivfpqSweepUnrolled(3, 2, 16, Seq(1, 2, 4, 8)),
+    // the one-file-per-day layout contract lets the oracle derive the
+    // MEASURED post-pruning file counts from the raw dates alone: a
+    // hash match proves Catalyst's PartitionFilters pruned the listing
+    // to exactly the predicate's directories
+    "q_day_partition_pruning" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS ed FROM events),
+        |lo AS (SELECT min(ed) AS mn FROM d),
+        |sel AS (SELECT count(*) AS c FROM d, lo
+        |        WHERE ed BETWEEN lo.mn AND lo.mn + 6)
+        |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS days_total,
+        |  CAST((SELECT count(*) FROM d) AS BIGINT) AS files_total,
+        |  CAST((SELECT c FROM sel) AS BIGINT) AS days_selected,
+        |  CAST((SELECT c FROM sel) AS BIGINT) AS files_pruned""".stripMargin,
     // delta = doc_id % 7 == 3 (coprime with the 20-source cycle, so
     // every source contributes); dup iff a ≥0.8 pair links it to a
     // base doc or an earlier delta doc — the est pair set IS the oracle
