@@ -46,6 +46,12 @@ object Bench {
         "co_purchase_graph" -> (() => { g.degrees.count(); () }),
         "directed_edges" -> (() =>
           { graft.graph.Scc.lineSequenceEdges(spark, sfDir).count(); () }),
+        // force the SCC labels build HERE so (a) the g_scc query line
+        // reads as the thin memo consumer it is and (b) the run's
+        // trim/color/settle phase split lands in `scc_phases` (r8's
+        // 13.8 s top line was unattributed variance folklore)
+        "scc_labels" -> (() =>
+          { graft.graph.Scc.labels(spark, sfDir).count(); () }),
         "edge_common_stats" -> (() => { g.edgeCommonStats.count(); () }),
         "lpa_communities" -> (() => { GraphBuilder.communities(spark, g).count(); () }),
         "community_sample" -> (() =>
@@ -95,6 +101,44 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err, stealPct(cpu0, cpuSample()))
     }
     val runSteal = stealPct(runStart, cpuSample())
+    // FALLBACK PROBES (r9): the >500k-vertex branches — the plans a
+    // 100 TB graph actually runs — executed end-to-end on a REAL
+    // 600k-vertex synthetic graph (ring + two multiplicative-hash
+    // chord families; deterministic, no RNG). sf0.1's ~20k vertices
+    // always broadcast, so without these lines the wide wedge-stream
+    // square count, the shuffle-join clique4 and the no-broadcast
+    // triangle estimate had never run outside toy specs.
+    val fallbackProbes: Seq[(String, Double, Option[String])] = {
+      import graft.graph.{Graph, GraphBuilder, GraphQueries}
+      val n = 600000L
+      val ring = spark.range(n)
+        .selectExpr("id AS src", s"(id + 1) % $n AS dst")
+      val chords1 = spark.range(n)
+        .selectExpr("id AS src", s"(id * 2654435761) % $n AS dst")
+      val chords2 = spark.range(n)
+        .selectExpr("id AS src", s"(id * 40503 + 12345) % $n AS dst")
+      val edges = ring.union(chords1).union(chords2)
+        .selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
+        .filter("src <> dst").distinct()
+      val g = Graph(spark.range(n).toDF("id"), edges)
+      // the probes are only probes if the graph really clears the gate
+      require(g.vertexCount > Graph.broadcastVertexGate,
+        s"probe graph (${g.vertexCount}) must exceed the broadcast gate")
+      Seq[(String, () => Unit)](
+        "fb_square_count_wide" ->
+          (() => { g.squareCountPlan.head(); () }),
+        "fb_clique4_shuffle" ->
+          (() => { g.clique4Plan.head(); () }),
+        "fb_triangle_estimate_nobroadcast" ->
+          (() => { GraphQueries.triangleEstimateOn(g, 4, 42L).head(); () })
+      ).map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val err = try { f(); None } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    }
     // truncate BEFORE escaping (truncating after could cut an escape
     // sequence in half) and blank ALL control chars, not just \r\n\t
     def jstr(s: String): String =
@@ -111,7 +155,8 @@ object Bench {
       s"\"" + k + "\":" + s
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e), _) => (k, e) } ++
-      builds.collect { case (k, _, Some(e)) => (s"build:$k", e) }
+      builds.collect { case (k, _, Some(e)) => (s"build:$k", e) } ++
+      fallbackProbes.collect { case (k, _, Some(e)) => (s"probe:$k", e) }
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val sb = builds.collect { case (k, v, None) =>
@@ -131,10 +176,18 @@ object Bench {
     // FIRST and every summary field (metric/value/steal/failures/top5)
     // goes LAST, so the truncated tail alone answers "total, failures,
     // steal, top-5 lines".
+    val fb = fallbackProbes.collect { case (k, v, None) =>
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     val json =
       s"""{"queries":$qs,"shared_build":$sb,"errors":$errs,""" +
         s""""sf":"$sfDir","shared_build_sec":$buildTotal,""" +
         s""""steal_pct":$runSteal,"steal_hot":$stealHot,""" +
+        s""""fallback_probes":$fb,""" +
+        s""""scc_phases":${
+          graft.graph.Scc.lastPhaseTimings.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"\"" + k + "\":" + v }
+            .mkString("{", ",", "}")},""" +
         s""""failures":${failed.size},"top5":$top5,""" +
         s""""metric":"total","unit":"sec","value":$total}"""
     println(json)

@@ -801,7 +801,20 @@ object SparkEntry {
     * the already-oracled building blocks composed once, consumed by
     * both the per-doc decision and the corpus-level report oracles.
     * Ends inside the WITH clause (callers append `dec`/final SELECT). */
-  private lazy val CurationCte: String = MinhashCte +
+  /** Min-label CC replay over the ≥0.8 LSH pair graph, as CTEs ending
+    * in `pcf` (id, lbl) — the shared skeleton of the six near-dup
+    * cluster oracles: 16 unrolled propagation rounds PLUS a
+    * convergence assertion (ADVICE r9). `pcguard` raises a DuckDB
+    * error('pc16 CC replay not converged') whenever pc16 still
+    * differs from pc15, so a cluster whose min-label radius exceeds
+    * the unroll turns from a silently-diverging oracle into a loud
+    * self-identifying failure (the `WHERE ok = 1` keeps the guard
+    * column LIVE — an unreferenced column falls to projection
+    * pushdown and the CASE never evaluates); on every converged
+    * input `pcf` is
+    * byte-identical to the old raw pc16. pc15/pc16 are MATERIALIZED
+    * because the guard reads both a second time. */
+  private lazy val PairCcCte: String =
     """, pe AS MATERIALIZED (
       |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
       |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
@@ -810,14 +823,25 @@ object SparkEntry {
       |  UNION ALL SELECT id, id FROM pv),
       |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
     (1 to 16).map { i =>
-      s""", pc$i AS (
+      val mat = if (i >= 15) "MATERIALIZED " else ""
+      s""", pc$i AS $mat(
          |  SELECT s.src AS id, min(n.lbl) AS lbl
          |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
          |""".stripMargin
     }.mkString +
+    """, pcguard AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM pc16 p
+      |      JOIN pc15 q ON q.id = p.id AND q.lbl <> p.lbl) = 0 THEN 1
+      |    ELSE CAST(error('pc16 CC replay not converged') AS INT)
+      |  END AS ok),
+      |pcf AS (SELECT p.id, p.lbl FROM pc16 p CROSS JOIN pcguard
+      |        WHERE pcguard.ok = 1)""".stripMargin
+
+  private lazy val CurationCte: String = MinhashCte +
+    PairCcCte +
     """, nearf AS (
       |  SELECT id AS doc_id,
-      |    CASE WHEN id <> lbl THEN 1 ELSE 0 END AS near_dup FROM pc16),
+      |    CASE WHEN id <> lbl THEN 1 ELSE 0 END AS near_dup FROM pcf),
       |exactf AS (
       |  SELECT doc_id, CASE WHEN doc_id <> min(doc_id)
       |    OVER (PARTITION BY text) THEN 1 ELSE 0 END AS exact_dup
@@ -4072,37 +4096,13 @@ object SparkEntry {
         |    / (count(*) * 1.0)) / 1000000.0 AS avg_exact
         |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin),
     "d_dup_clusters" -> (MinhashCte +
-      """, pe AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
-        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
-        |psymp AS MATERIALIZED (
-        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
-        |  UNION ALL SELECT id, id FROM pv),
-        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
-      (1 to 16).map { i =>
-        s""", pc$i AS (
-           |  SELECT s.src AS id, min(n.lbl) AS lbl
-           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
-           |""".stripMargin
-      }.mkString +
+      PairCcCte +
       """SELECT lbl AS cluster, min(id) AS survivor, count(*) AS n_members
-        |FROM pc16 GROUP BY lbl HAVING count(*) > 1 ORDER BY cluster""".stripMargin),
-    // quality-ranked retention: pc16 CC replay + the d_quality_score
+        |FROM pcf GROUP BY lbl HAVING count(*) > 1 ORDER BY cluster""".stripMargin),
+    // quality-ranked retention: pcf CC replay + the d_quality_score
     // blend, survivor = row_number 1 by (quality DESC, id ASC)
     "d_dup_survivors" -> (MinhashCte +
-      """, pe AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
-        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
-        |psymp AS MATERIALIZED (
-        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
-        |  UNION ALL SELECT id, id FROM pv),
-        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
-      (1 to 16).map { i =>
-        s""", pc$i AS (
-           |  SELECT s.src AS id, min(n.lbl) AS lbl
-           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
-           |""".stripMargin
-      }.mkString +
+      PairCcCte +
       """, qmm AS (
         |  SELECT doc_id,
         |    length(text)::DOUBLE AS n_chars,
@@ -4117,54 +4117,30 @@ object SparkEntry {
         |      + (n_alpha / n_chars) * 0.3
         |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality
         |  FROM qmm),
-        |cl AS (SELECT lbl, count(*) AS n_members FROM pc16
+        |cl AS (SELECT lbl, count(*) AS n_members FROM pcf
         |       GROUP BY lbl HAVING count(*) > 1),
         |ranked AS (
         |  SELECT p.lbl AS cluster, p.id, q.quality,
         |    row_number() OVER (PARTITION BY p.lbl
         |      ORDER BY q.quality DESC, p.id ASC) AS rk
-        |  FROM pc16 p JOIN qm q ON q.doc_id = p.id)
+        |  FROM pcf p JOIN qm q ON q.doc_id = p.id)
         |SELECT r.cluster, r.id AS survivor, r.quality AS survivor_quality,
         |  c.n_members
         |FROM ranked r JOIN cl c ON c.lbl = r.cluster
         |WHERE r.rk = 1 ORDER BY r.cluster""".stripMargin),
     "d_dup_cluster_sizes" -> (MinhashCte +
-      """, pe AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
-        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
-        |psymp AS MATERIALIZED (
-        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
-        |  UNION ALL SELECT id, id FROM pv),
-        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
-      (1 to 16).map { i =>
-        s""", pc$i AS (
-           |  SELECT s.src AS id, min(n.lbl) AS lbl
-           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
-           |""".stripMargin
-      }.mkString +
-      """, sz AS (SELECT lbl, count(*) AS m FROM pc16
+      PairCcCte +
+      """, sz AS (SELECT lbl, count(*) AS m FROM pcf
         |         GROUP BY lbl HAVING count(*) > 1)
         |SELECT m AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM sz GROUP BY m ORDER BY m""".stripMargin),
     // exact-dup fraction inside each LSH cluster: the dedup-quality
     // split between hash-catchable copies and true near-dups
     "d_dup_cluster_purity" -> (MinhashCte +
-      """, pe AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
-        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
-        |psymp AS MATERIALIZED (
-        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
-        |  UNION ALL SELECT id, id FROM pv),
-        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
-      (1 to 16).map { i =>
-        s""", pc$i AS (
-           |  SELECT s.src AS id, min(n.lbl) AS lbl
-           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
-           |""".stripMargin
-      }.mkString +
+      PairCcCte +
       """, wt AS (
         |  SELECT p.lbl AS cluster, md5(d.text) AS h
-        |  FROM pc16 p JOIN documents d ON d.doc_id = p.id),
+        |  FROM pcf p JOIN documents d ON d.doc_id = p.id),
         |g AS (SELECT cluster, h, count(*) AS c FROM wt GROUP BY 1, 2),
         |per AS (
         |  SELECT cluster, CAST(sum(c) AS BIGINT) AS n_members,
@@ -5535,23 +5511,11 @@ object SparkEntry {
         |  round(s2 * 2 / CAST(n * s1 AS DOUBLE)
         |    - (n + 1) / CAST(n AS DOUBLE), 6) AS degree_gini
         |FROM a""".stripMargin),
-    // CC labels replayed to convergence (pc16, the d_dup_clusters
+    // CC labels replayed to convergence (pcf, the d_dup_clusters
     // idiom); removed = non-min members; token counts row-local
     "d_dup_inflation" -> (MinhashCte +
-      """, pe AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst FROM est WHERE est >= 0.8),
-        |pv AS MATERIALIZED (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
-        |psymp AS MATERIALIZED (
-        |  SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
-        |  UNION ALL SELECT id, id FROM pv),
-        |pc0 AS (SELECT id, id AS lbl FROM pv)""".stripMargin +
-      (1 to 16).map { i =>
-        s""", pc$i AS (
-           |  SELECT s.src AS id, min(n.lbl) AS lbl
-           |  FROM psymp s JOIN pc${i - 1} n ON n.id = s.dst GROUP BY s.src)
-           |""".stripMargin
-      }.mkString +
-      """, cl AS (SELECT id AS doc_id, lbl FROM pc16),
+      PairCcCte +
+      """, cl AS (SELECT id AS doc_id, lbl FROM pcf),
         |sv AS (SELECT lbl, min(doc_id) AS survivor FROM cl GROUP BY lbl),
         |rem AS (
         |  SELECT c.doc_id FROM cl c JOIN sv s USING (lbl)

