@@ -1414,14 +1414,20 @@ object Ann {
           lit(0L), (acc, x) => acc + x).as("d2"))
     val brute = knnBrute(spark, dir, nQueries, k)
       .select("query_id", "neighbor_id")
-    val encCells = enc.join(assigned, "vec_id")
+    // score ONCE at the deepest level: every vector lives in exactly
+    // one cell, so its level-p ADC distance is the same wherever its
+    // cell is probed — the rk of the candidate's cell rides along and
+    // each sweep level is a pure FILTER of the one scored table (the
+    // r9 first cut re-scored the code streams per level: 4 scans
+    // where one suffices)
+    val scope = new graft.Materialize.Scoped
+    val scoredAll = scope.table(enc.join(assigned, "vec_id")
+      .join(broadcast(lut), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id", "rk")
+      .agg(sum("d2").as("adc_d2")))
     val rows = probes.sorted.map { p =>
-      val scored = encCells
-        .join(broadcast(lut.filter(col("rk") <= p).drop("rk")),
-          Seq("cell", "m", "code"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(sum("d2").as("adc_d2"))
+      val scored = scoredAll.filter(col("rk") <= p)
       val nCand = scored.count()
       val top = scored.groupBy("query_id")
         .agg(topK(col("vec_id"), -col("adc_d2").cast("double"), k).as("nn"))
@@ -1432,6 +1438,7 @@ object Ann {
         .agg(count(col("hit"))).collect()(0).getLong(0)
       (p, nCand, math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
     }
+    scope.free()
     import spark.implicits._
     rows.toDF("n_probe", "n_candidates", "mean_recall").orderBy("n_probe")
   }

@@ -403,19 +403,25 @@ object Dedup {
     val pairs = cachedMinhashPairs(dir, docs, 0.8)
     val comp = nearDupComponents(spark, docs, dir, 0.8)
     val levels = Seq(80, 90, 95)
-    val scope = new graft.Materialize.Scoped
-    val withComp = scope.table(pairs
+    val joined = pairs
       .join(comp.select(col("id").as("a"), col("component")), "a")
-      .select(col("component"), col("a"), col("b"), col("est_jaccard")))
-    // THE GATE: one map-side-combined aggregate over the scoped cache
-    // counts each 0.8-component's pairs; oversized components leave
-    // the local-union-find path. The big list is tiny by construction
-    // (each member carries > cap pairs of a bounded total) — broadcast.
-    val bigComps = withComp.groupBy("component")
+      .select(col("component"), col("a"), col("b"), col("est_jaccard"))
+    // THE GATE: one map-side-combined aggregate over the lazy join of
+    // two session-cached tables counts each 0.8-component's pairs;
+    // oversized components leave the local-union-find path. The big
+    // list is tiny by construction (each member carries > cap pairs
+    // of a bounded total) — broadcast.
+    val bigComps = joined.groupBy("component")
       .agg(count(lit(1)).as("np"))
       .filter(col("np") > bigComponentPairCap)
       .select("component")
     val nBig = bigComps.count()
+    val scope = new graft.Materialize.Scoped
+    // no oversized component — the overwhelmingly common case: skip
+    // the scoped materialization and run the r8 single-pass plan (the
+    // first r9 cut scoped-cached unconditionally and paid ~2 s extra
+    // at sf0.1 for a cache only the gated path reads twice)
+    val withComp = if (nBig == 0) joined else scope.table(joined)
     val smallPairs =
       if (nBig == 0) withComp
       else withComp.join(broadcast(bigComps), Seq("component"), "left_anti")
@@ -500,7 +506,7 @@ object Dedup {
         (lit(nDocs) - col("n_dup_docs") + col("n_clusters"))
           .as("n_survivors"))
       .orderBy("threshold_pct")
-    scope.seal(curve)
+    if (nBig == 0) curve else scope.seal(curve)
   }
 
   // ---------- substring-level dedup ----------
