@@ -195,6 +195,45 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
 
+  /** Streaming delta-vs-PERSISTED-INDEX near-dup probe — the streaming
+    * twin of the r9 `Dedup.deltaDupPairs` nightly operation, and the
+    * production shape for ingest-time corpus dedup: each arriving doc
+    * computes its portable MinHash signature and band keys MAP-SIDE
+    * (the same compiled expressions as the batch index writer, so
+    * stream and index agree bit-for-bit on candidacy), stream-static
+    * joins the LOADED band-index buckets on (band, bucket), verifies
+    * candidates by signature equal-fraction against the index's rep
+    * signatures, and emits one hit row per dup arrival
+    * (`dropDuplicatesWithinWatermark` collapses the multi-band hits;
+    * state = watermark-bounded doc ids). The static side is the
+    * persisted parquet artifact — re-read per micro-batch by Spark,
+    * broadcast when small — so the probe's cost is ∝ batch size and
+    * the base corpus is never re-signed, exactly the batch probe's
+    * contract. Output (doc_id, ts, est_jaccard). */
+  def indexProbeStream(docs: DataFrame, index: graft.operators.Dedup.BandIndex,
+                       threshold: Double = 0.8, numPerm: Int = 128,
+                       bands: Int = 8,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigs = docs
+      .withColumn("sig", graft.functions.HashColumns.minhashSig(
+        split(col("text"), " "), numPerm, portable = true))
+      .withWatermark("ts", watermark)
+    val banded = sigs.select(col("doc_id"), col("ts"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+      }: _*)).as(Seq("band", "bucket")))
+    banded
+      .join(index.buckets, Seq("band", "bucket"))
+      .join(index.sigs.select(col("rep"), col("sig").as("sig_r")), "rep")
+      .select(col("doc_id"), col("ts"),
+        graft.functions.HashColumns
+          .equalFraction(col("sig"), col("sig_r")).as("est"))
+      .filter(col("est") >= threshold)
+      .select(col("doc_id"), col("ts"), round(col("est"), 4).as("est_jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Stream-STREAM interval join: match each click to the view by the
     * same user that happened at most `horizon` BEFORE it (attribution —
     * the canonical two-stream shape). Both sides carry watermarks and
