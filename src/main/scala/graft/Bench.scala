@@ -135,7 +135,14 @@ object Bench {
         "fb_clique4_shuffle" ->
           (() => { g.clique4Plan.head(); () }),
         "fb_triangle_estimate_nobroadcast" ->
-          (() => { GraphQueries.triangleEstimateOn(g, 4, 42L).head(); () })
+          (() => { GraphQueries.triangleEstimateOn(g, 4, 42L).head(); () }),
+        // the r9 threshold-sweep gate's DISTRIBUTED branch on the real
+        // sf corpus: cap forced low so actual giant components route
+        // through Gx.maskedPairCc (rides the session pair cache)
+        "fb_threshold_sweep_gated" ->
+          (() => { graft.operators.Dedup
+            .dedupThresholdSweep(spark, sfDir, bigComponentPairCap = 1000)
+            .head(); () })
       ).map { case (name, f) =>
         val t0 = System.nanoTime()
         val err = try { f(); None } catch { case e: Throwable =>

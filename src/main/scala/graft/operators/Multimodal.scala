@@ -37,18 +37,56 @@ object Multimodal {
       i == 8
     }
 
-  /** REAL pixel decode for PNG payloads via the JDK's own
+  /** JPEG SOI marker (FF D8 FF) — 0xFF bytes are invalid in UTF-8, so
+    * a text payload can never false-positive here. */
+  def isJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 3 && payload(0) == 0xFF.toByte &&
+      payload(1) == 0xD8.toByte && payload(2) == 0xFF.toByte
+
+  /** GIF87a / GIF89a signature. */
+  def isGif(payload: Array[Byte]): Boolean =
+    payload.length >= 6 && {
+      val s = new String(payload, 0, 6, "ISO-8859-1")
+      s == "GIF87a" || s == "GIF89a"
+    }
+
+  private def sniffImage(payload: Array[Byte]): Boolean =
+    isPng(payload) || isJpeg(payload) || isGif(payload)
+
+  /** REAL pixel decode for image payloads via the JDK's own
     * `javax.imageio` (no external codec needed — r9, closing VERDICT
-    * r8 "What's missing #2"): features are the mean luma of a 4×2
-    * grid of the decoded image — the thumbnail-pooling shape every
-    * perceptual pipeline starts from (aHash's precursor). Accumulation
-    * is integer (BT.601 luma ×1000 per pixel, Long sums per cell), one
-    * divide per cell at the end — bit-deterministic for a given
-    * payload, like the stub. */
+    * r8 "What's missing #2"; PNG, JPEG and GIF all ship with the
+    * JDK): features are the mean luma of a 4×2 grid of the decoded
+    * image — the thumbnail-pooling shape every perceptual pipeline
+    * starts from (aHash's precursor). Accumulation is integer (BT.601
+    * luma ×1000 per pixel, Long sums per cell), one divide per cell
+    * at the end — bit-deterministic for a given payload, like the
+    * stub. Returns None when ImageIO cannot decode (a sniff
+    * false-positive — e.g. a text that happens to start with "GIF89a"
+    * — must degrade to the stub, never crash the pipeline). */
+  def decodeImage(row: MediaRow): Option[MediaFeatures] =
+    try {
+      // ImageIO returns null for unrecognized data but THROWS on data
+      // that matches a reader's signature and is then malformed (e.g.
+      // text starting "GIF89a") — both are the same outcome here
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload)))
+        .map(gridLumaFeatures(row, _))
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** PNG entry kept for its strict contract: a payload that carries
+    * the 8-byte PNG signature MUST decode. */
   def decodePng(row: MediaRow): MediaFeatures = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(row.payload))
-    require(img != null, s"undecodable PNG payload for doc ${row.doc_id}")
+    require(isPng(row.payload), s"doc ${row.doc_id}: not a PNG payload")
+    decodeImage(row).getOrElse(
+      throw new IllegalArgumentException(
+        s"undecodable PNG payload for doc ${row.doc_id}"))
+  }
+
+  private def gridLumaFeatures(row: MediaRow,
+                               img: java.awt.image.BufferedImage): MediaFeatures = {
     val (w, h) = (img.getWidth, img.getHeight)
     val sum = new Array[Long](8)
     val cnt = new Array[Long](8)
@@ -79,12 +117,15 @@ object Multimodal {
   }
 
   /** Decode + feature-extract: REAL pixel decode for payloads that
-    * carry the PNG signature ([[decodePng]]), deterministic stub for
-    * everything else (this container ships no other codecs; the test
-    * corpus's text-byte payloads all route to the stub, which keeps
-    * the m_* queries DuckDB-oracle-checkable). */
+    * sniff as a JDK-supported image (PNG/JPEG/GIF → [[decodeImage]]),
+    * deterministic stub for everything else — audio/video have no
+    * in-container codec, and the test corpus's text-byte payloads all
+    * route to the stub, which keeps the m_* queries
+    * DuckDB-oracle-checkable. A sniff false-positive degrades to the
+    * stub instead of failing the task. */
   def decodeMedia(row: MediaRow): MediaFeatures =
-    if (isPng(row.payload)) decodePng(row) else decodeStub(row)
+    if (sniffImage(row.payload)) decodeImage(row).getOrElse(decodeStub(row))
+    else decodeStub(row)
 
   /** Deterministic stand-in for the decode + feature-extract step on
     * formats without an in-container codec. Features are 8 floats

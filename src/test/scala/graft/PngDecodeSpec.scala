@@ -56,6 +56,42 @@ class PngDecodeSpec extends AnyFunSuite {
     assert(out(1).features.toSeq == stub.features.toSeq)
   }
 
+  test("JPEG and GIF payloads decode through the same real-pixel path") {
+    // uniform mid-gray: survives JPEG's lossy roundtrip within a small
+    // tolerance; GIF's palette roundtrip is exact for one color
+    def uniform(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      img
+    }
+    def enc(fmt: String, img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val jpeg = enc("jpg", uniform(0x808080))
+    val gif = enc("gif", uniform(0x808080))
+    assert(Multimodal.isJpeg(jpeg) && !Multimodal.isPng(jpeg))
+    assert(Multimodal.isGif(gif) && !Multimodal.isJpeg(gif))
+    Seq("jpeg" -> jpeg, "gif" -> gif).foreach { case (fmt, bytes) =>
+      val f = Multimodal.decodeMedia(Multimodal.MediaRow(7L, "image", bytes))
+      // mean luma of uniform 0x808080 = 128/255 ≈ 0.50196 in all cells
+      f.features.zipWithIndex.foreach { case (v, c) =>
+        assert(math.abs(v - 128.0 / 255.0) < 0.02,
+          s"$fmt cell $c: got $v, want ~0.502")
+      }
+    }
+  }
+
+  test("a sniff false-positive degrades to the stub, never crashes") {
+    val fake = Multimodal.MediaRow(9L, "image",
+      "GIF89a but actually just text".getBytes("UTF-8"))
+    assert(Multimodal.isGif(fake.payload))
+    val got = Multimodal.decodeMedia(fake)
+    assert(got.features.toSeq == Multimodal.decodeStub(fake).features.toSeq)
+  }
+
   test("the m_* corpus payloads (utf-8 text) all route to the stub") {
     val anyPng = Multimodal.mediaTable(spark, sf)
       .collect().exists(r => Multimodal.isPng(r.payload))
