@@ -53,6 +53,12 @@ object Bench {
         "scc_labels" -> (() =>
           { graft.graph.Scc.labels(spark, sfDir).count(); () }),
         "edge_common_stats" -> (() => { g.edgeCommonStats.count(); () }),
+        // the two 1-row kernel memos behind g_square_count / g_clique4
+        // AND the graphlet census — without attribution the
+        // alphabetically-first consumer (g_clique4, then
+        // g_graphlet_census) absorbs each build
+        "square_count_kernel" -> (() => { g.squareCount.count(); () }),
+        "clique4_kernel" -> (() => { g.clique4Count.count(); () }),
         "lpa_communities" -> (() => { GraphBuilder.communities(spark, g).count(); () }),
         "community_sample" -> (() =>
           { graft.graph.CommunitySample.sample(spark, g).count(); () }),
