@@ -406,14 +406,20 @@ object Dedup {
     val joined = pairs
       .join(comp.select(col("id").as("a"), col("component")), "a")
       .select(col("component"), col("a"), col("b"), col("est_jaccard"))
-    // THE GATE: one map-side-combined aggregate over the lazy join of
-    // two session-cached tables counts each 0.8-component's pairs;
-    // oversized components leave the local-union-find path. The big
-    // list is tiny by construction (each member carries > cap pairs
-    // of a bounded total) — broadcast.
-    val bigComps = joined.groupBy("component")
-      .agg(count(lit(1)).as("np"))
-      .filter(col("np") > bigComponentPairCap)
+    // THE GATE, member-denominated: a component's pairs are bounded by
+    // C(m, 2), so any component that COULD exceed the pair cap has
+    // more than ⌊√(2·cap)⌋ members — which the session-cached label
+    // table answers with one tiny aggregate, no pair join, no extra
+    // corpus pass (the first r9 cut counted pairs exactly and paid a
+    // full join+aggregate pass for it; a sparse big component routed
+    // distributedly by the over-approximation is merely a correct
+    // plan choice, while every local task stays ≤ cap pairs). The big
+    // list is tiny by construction — broadcast.
+    val memberCap = math.max(2L,
+      math.sqrt(2.0 * bigComponentPairCap).toLong)
+    val bigComps = comp.groupBy("component")
+      .agg(count(lit(1)).as("nm"))
+      .filter(col("nm") > memberCap)
       .select("component")
     val nBig = bigComps.count()
     val scope = new graft.Materialize.Scoped
