@@ -59,6 +59,10 @@ object Bench {
         // g_graphlet_census) absorbs each build
         "square_count_kernel" -> (() => { g.squareCount.count(); () }),
         "clique4_kernel" -> (() => { g.clique4Count.count(); () }),
+        // r9: ONE Brandes sweep now serves both betweenness rankings —
+        // attribute it so neither query line absorbs the shared run
+        "brandes_sweep" -> (() =>
+          { graft.graph.GxBetweenness.run(g, 8).count(); () }),
         "lpa_communities" -> (() => { GraphBuilder.communities(spark, g).count(); () }),
         "community_sample" -> (() =>
           { graft.graph.CommunitySample.sample(spark, g).count(); () }),

@@ -36,7 +36,7 @@ object GxBetweenness {
   }
 
   def run(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame =
-    sweep(g, numSources, seed, edgeOut = false)
+    sweep(g, numSources, seed)._1
 
   /** EDGE betweenness (nx.edge_betweenness_centrality / the
     * Girvan–Newman splitting criterion), same seeded Brandes estimator:
@@ -45,10 +45,21 @@ object GxBetweenness {
     * accumulation already routes — one extra triplets pass per level,
     * same fixed-point micro-longs, same n/k extrapolation. */
   def edgeRun(g: Graph, numSources: Int = 8, seed: Long = 42L): DataFrame =
-    sweep(g, numSources, seed, edgeOut = true)
+    sweep(g, numSources, seed)._2
 
-  private def sweep(g: Graph, numSources: Int, seed: Long,
-                    edgeOut: Boolean): DataFrame = {
+  // ONE sweep serves both rankings (r9): vertex and edge betweenness
+  // share the forward (dist, sigma) Pregel and the entire backward
+  // dependency recursion — r8 ran the full sweep twice (2.0 s + 5.9 s
+  // at sf0.1); the edge variant's extra per-level triplets pass is the
+  // only marginal cost. Memoized per (graph identity, sources, seed);
+  // both outputs are materialized tables.
+  private val sweepCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def sweep(g: Graph, numSources: Int,
+                    seed: Long): (DataFrame, DataFrame) =
+    sweepCache.getOrElseUpdate(
+      s"${System.identityHashCode(g)}:$numSources:$seed", {
     val Inf = Int.MaxValue // local: closures must not capture the module
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -155,7 +166,7 @@ object GxBetweenness {
     for (level <- maxDist to 1 by -1) {
       val bg = forward.outerJoinVertices(delta)((_, ds, d) =>
         (ds, d.getOrElse(new Array[Long](sources.size)))).cache()
-      if (edgeOut) {
+      locally {
         val lvl = level // avoid capturing the loop var reference
         val nSlots = sources.size
         val levelEdges = bg.triplets.flatMap { t =>
@@ -238,28 +249,25 @@ object GxBetweenness {
       bg.unpersistVertices(blocking = false)
     }
 
-    if (edgeOut) {
-      val all =
-        if (edgeLevels.isEmpty)
-          spark.sparkContext.emptyRDD[((Long, Long), Long)]
-        else spark.sparkContext.union(edgeLevels.toSeq)
-      val eb = all.reduceByKey(_ + _)
-        .map { case ((lo, hi), m) => (lo, hi, m) }
-        .toDF("src", "dst", "depmicro")
-      // canonicalize defensively: co-purchase edges are src<dst by
-      // construction, but Graph accepts any orientation
-      val out = g.edges
-        .select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst"))
-        .join(eb, Seq("src", "dst"), "left")
-        .na.fill(0L, Seq("depmicro"))
-        .select(col("src"), col("dst"),
-          ((col("depmicro") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
-            .as("edge_betweenness"))
-      val materialized = graft.Materialize.table(out)
-      edgeLevels.foreach(_.unpersist(blocking = false))
-      return materialized
-    }
+    val all =
+      if (edgeLevels.isEmpty)
+        spark.sparkContext.emptyRDD[((Long, Long), Long)]
+      else spark.sparkContext.union(edgeLevels.toSeq)
+    val eb = all.reduceByKey(_ + _)
+      .map { case ((lo, hi), m) => (lo, hi, m) }
+      .toDF("src", "dst", "depmicro")
+    // canonicalize defensively: co-purchase edges are src<dst by
+    // construction, but Graph accepts any orientation
+    val edgeOut = g.edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .join(eb, Seq("src", "dst"), "left")
+      .na.fill(0L, Seq("depmicro"))
+      .select(col("src"), col("dst"),
+        ((col("depmicro") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
+          .as("edge_betweenness"))
+    val edgeTable = graft.Materialize.table(edgeOut)
+    edgeLevels.foreach(_.unpersist(blocking = false))
 
     val srcArr = sources.toArray
     val dep = forward.vertices.leftJoin(delta) { (id, ds, dOpt) =>
@@ -277,11 +285,13 @@ object GxBetweenness {
     // no final round(): see Betweenness.run — the exact rational
     // depMicro·n/(k·2·1e9) is bit-identical across engines, a decimal
     // rounding of micro-grid values is not (.5-tie divergence)
-    g.vertices.select("id")
-      .join(dep, Seq("id"), "left")
-      .na.fill(0L, Seq("dep"))
-      .select(col("id"),
-        ((col("dep") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
-          .as("betweenness"))
-  }
+    val vtxTable = graft.Materialize.table(
+      g.vertices.select("id")
+        .join(dep, Seq("id"), "left")
+        .na.fill(0L, Seq("dep"))
+        .select(col("id"),
+          ((col("dep") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
+            .as("betweenness")))
+    (vtxTable, edgeTable)
+  })
 }
