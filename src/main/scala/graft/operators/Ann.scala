@@ -1345,15 +1345,22 @@ object Ann {
           .orderBy(col("csim").desc, col("cell").asc)))
     val brute = knnBrute(spark, dir, nQueries, k)
       .select("query_id", "neighbor_id")
+    // score ONCE at the deepest level (r9, the ivfpq-sweep lesson):
+    // a candidate lives in exactly one cell, so its cosine is
+    // level-invariant — the probing rank of its cell rides along and
+    // every sweep level is a pure filter of the one scored table
+    val maxP = probes.max
+    val scope = new graft.Materialize.Scoped
+    val scoredAll = scope.table(probeRank.filter(col("rk") <= maxP)
+      .select("query_id", "q_emb", "cell", "rk")
+      .join(index, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("rk"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim")))
     val rows = probes.sorted.map { p =>
-      val cand = probeRank.filter(col("rk") <= p)
-        .select("query_id", "q_emb", "cell")
-        .join(index, "cell")
-        .filter(col("vec_id") =!= col("query_id"))
+      val cand = scoredAll.filter(col("rk") <= p)
       val nCand = cand.count()
       val top = cand
-        .select(col("query_id"), col("vec_id"),
-          cosineSim(col("q_emb"), col("embedding")).as("sim"))
         .groupBy("query_id")
         .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
         .select(col("query_id"),
@@ -1363,6 +1370,7 @@ object Ann {
         .agg(count(col("hit"))).collect()(0).getLong(0)
       (p, nCand, math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
     }
+    scope.free()
     import spark.implicits._
     rows.toDF("n_probe", "n_candidates", "mean_recall").orderBy("n_probe")
   }
