@@ -317,6 +317,9 @@ object Gx {
       // check loses nothing, and the driver pays half the job-scheduling
       // round trips of the 19-38-round fixpoint (the per-round work
       // itself is a cheap 2·|E|-int traversal).
+      // batch size re-measured r9: 2/4/6 rounds per job read 7.3/8.1/
+      // 10.3 s at sf0.1 — wasted post-fixpoint rounds beat the saved
+      // driver round trips well before 4
       val batch = 2
       while (changed > 0 && iter < maxIter) {
         var next = values
