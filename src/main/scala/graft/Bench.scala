@@ -123,7 +123,7 @@ object Bench {
     // always broadcast, so without these lines the wide wedge-stream
     // square count, the shuffle-join clique4 and the no-broadcast
     // triangle estimate had never run outside toy specs.
-    val fallbackProbes: Seq[(String, Double, Option[String])] = {
+    val fallbackProbes: Seq[(String, Double, Option[String])] = try {
       import graft.graph.{Graph, GraphBuilder, GraphQueries}
       val n = 600000L
       val ring = spark.range(n)
@@ -160,6 +160,11 @@ object Bench {
         }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
+    } catch { case e: Throwable =>
+      // a probe-graph build failure must never cost the whole bench
+      // artifact — record it as one failed probe line instead
+      Seq(("fb_probe_setup", 0.0,
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
     }
     // truncate BEFORE escaping (truncating after could cut an escape
     // sequence in half) and blank ALL control chars, not just \r\n\t

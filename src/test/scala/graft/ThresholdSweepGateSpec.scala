@@ -70,6 +70,20 @@ class ThresholdSweepGateSpec extends AnyFunSuite {
     assert(at80(2).asInstanceOf[Long] >= 2L, s"n_clusters(80) = ${at80(2)}")
   }
 
+  test("REAL corpus: fully-gated and local curves are identical at sf0.001") {
+    // cap 2 ⇒ memberCap 2 ⇒ every multi-member component routes
+    // through the distributed kernel — the whole real curve computed
+    // by the 100 TB path must equal the local-union-find curve
+    val local = graft.operators.Dedup
+      .dedupThresholdSweep(spark, sf, bigComponentPairCap = Int.MaxValue)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val gated = graft.operators.Dedup
+      .dedupThresholdSweep(spark, sf, bigComponentPairCap = 2)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(local.toSeq == gated.toSeq,
+      s"real-corpus curves diverge:\n local=${local.toSeq}\n gated=${gated.toSeq}")
+  }
+
   test("the synthetic giant exceeds the cap; post-gate locals are bounded") {
     val docs = Tables(spark, dir).documents
     val pairs = graft.operators.Dedup.cachedMinhashPairs(dir, docs, 0.8)
