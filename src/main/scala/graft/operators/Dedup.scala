@@ -697,6 +697,41 @@ object Dedup {
     sigs.unpersist(blocking = false)
   }
 
+  /** Incremental index UPDATE — the step after the nightly probe:
+    * append the delta's (typically dup-filtered) documents to an
+    * existing [[writeBandIndex]] artifact, at cost ∝ |delta| (the
+    * base is never re-read, let alone re-signed — this plus
+    * [[deltaDupPairs]] closes the probe → filter → append cycle a
+    * daily-crawl pipeline schedules). Rep collapse is
+    * GENERATION-LOCAL: a delta doc whose signature already exists in
+    * the base gets its own rep row rather than joining the base
+    * group. Probe semantics are unchanged — candidacy and est-Jaccard
+    * depend only on signatures, and a probe hitting both generations'
+    * reps of one signature expands to both member sets (the union a
+    * full rebuild would give; BandIndexSpec pins dup-set equality
+    * against a from-scratch rebuild). A periodic compaction (full
+    * [[writeBandIndex]] over the accumulated corpus) re-collapses
+    * cross-generation groups when bucket-row growth warrants it. */
+  def appendToBandIndex(newDocs: DataFrame, path: String,
+                        numPerm: Int = 128, bands: Int = 8): Unit = {
+    val rowsPerBand = numPerm / bands
+    val sigs = minhashSignatures(newDocs, numPerm)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = sigs.groupBy("sig").agg(min("doc_id").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = sigs.join(groups, "sig").select(col("rep"), col("doc_id"))
+    val repSigs = groups.select(col("rep"), col("sig"))
+    repSigs.select(col("rep"), posexplode(
+      array((0 until bands).map { b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+      }: _*)).as(Seq("band", "bucket")))
+      .write.mode("append").parquet(s"$path/buckets")
+    repSigs.write.mode("append").parquet(s"$path/sigs")
+    members.write.mode("append").parquet(s"$path/members")
+    groups.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+  }
+
   /** Load a [[writeBandIndex]] artifact: three lazy parquet scans. */
   def loadBandIndex(spark: SparkSession, path: String): BandIndex =
     BandIndex(spark.read.parquet(s"$path/buckets"),

@@ -48,6 +48,39 @@ class BandIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "degenerate test: no incremental dups at sf0.001")
   }
 
+  test("append-updated index probes identically to a full rebuild") {
+    import spark.implicits._
+    def corpus(ids: Range, tmpl: Long => Long) = ids
+      .map(i => (i.toLong,
+        (0 until 20).map(j => s"t${tmpl(i)}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = corpus(0 until 30, _ % 3)       // templates 0, 1, 2
+    val day1 = corpus(100 until 110, i => 2 + i % 2) // templates 2, 3
+    val probes = corpus(500 until 504, _ % 4)  // one probe per template
+    // nightly cycle: base index, then APPEND day1 (cost ∝ |day1|)
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft-band-inc").toString
+    Dedup.writeBandIndex(base, inc)
+    Dedup.appendToBandIndex(day1, inc)
+    // reference: full rebuild over base ∪ day1
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-band-full").toString
+    Dedup.writeBandIndex(base.union(day1), full)
+    def hits(path: String) = Dedup
+      .deltaDupPairs(Dedup.loadBandIndex(spark, path), probes, 0.8)
+      .select("delta_id", "base_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = hits(inc)
+    val hf = hits(full)
+    assert(hi == hf,
+      s"probe diverges: only-inc=${hi.diff(hf)}, only-full=${hf.diff(hi)}")
+    // template 3 exists ONLY via the appended generation: the probe
+    // for it must hit day1 members — proof the append is live
+    val t3probe = 503L
+    assert(hi.exists(_._1 == t3probe), "appended-generation template not probed")
+    assert(hi.filter(_._1 == t3probe).forall(_._2 >= 100L))
+  }
+
   test("delta probe scans ONLY the index artifact, never the base docs") {
     import spark.implicits._
     val base = (0L until 40L)
