@@ -382,7 +382,13 @@ object GraphQueries {
           struct(least(col("hi"), col("w")).as("src"),
             greatest(col("hi"), col("w")).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .join(we, Seq("src", "dst"))
+      // broadcast the weight table under an EDGE-count gate (r9): the
+      // probe side is 3 rows per triangle — an order of magnitude
+      // wider than |E| — and Catalyst's size estimate of the memoized
+      // weight table defeats auto-broadcast, so the un-hinted plan
+      // shuffled the whole triangle stream to meet a 30 MB table
+      .join(if (we.count() <= 5000000L) broadcast(we) else we,
+        Seq("src", "dst"))
     val triW = triEdges
       .select(explode(array(col("src"), col("dst"))).as("id"), col("weight"))
       .groupBy("id").agg(sum("weight").as("tri_w2"))

@@ -276,12 +276,16 @@ object Multimodal {
     * text → SimHash, embeddings → hyperplane LSH, media → aHash. */
   def mediaNearDups(spark: SparkSession, dir: String,
                     k: Int = 10): DataFrame = {
-    val h = mediaTable(spark, dir).toDF()
+    val scope = new graft.Materialize.Scoped
+    // scoped cache (r9): both sides of the band self-join read the
+    // banded hashes — uncached, the aHash byte loop re-hashed every
+    // payload TWICE (measured ~4.5 s line; the hash is the cost)
+    val banded = scope.table(mediaTable(spark, dir).toDF()
       .select(col("doc_id"),
         graft.functions.ByteColumns.avgHash64(col("payload")).as("ahash"))
-    val banded = h.select(col("doc_id"), col("ahash"), posexplode(
-      array((0 until 8).map(i =>
-        substring(col("ahash"), i * 8 + 1, 8)): _*)).as(Seq("band", "key")))
+      .select(col("doc_id"), col("ahash"), posexplode(
+        array((0 until 8).map(i =>
+          substring(col("ahash"), i * 8 + 1, 8)): _*)).as(Seq("band", "key"))))
     def bandInt(c: org.apache.spark.sql.Column, i: Int) =
       conv(substring(c, i * 8 + 1, 8), 2, 10).cast("int")
     val hamming = (0 until 8).map(i =>
@@ -296,7 +300,9 @@ object Multimodal {
       .select(col("a"), col("b"), hamming.cast("long").as("hdist"))
       .orderBy(col("hdist"), col("a"), col("b")).limit(k)
     import spark.implicits._
-    ranked.collect().zipWithIndex.map { case (r, i) =>
+    val rows = ranked.collect()
+    scope.free()
+    rows.zipWithIndex.map { case (r, i) =>
       (i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
     }.toSeq.toDF("rank", "a", "b", "hdist")
   }
