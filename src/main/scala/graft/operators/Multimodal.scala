@@ -296,8 +296,13 @@ object Multimodal {
       .join(banded.select(col("band"), col("key"), col("doc_id").as("b"),
         col("ahash").as("hb")), Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "ha", "hb").distinct()
+      // hamming BEFORE distinct (r9): the dedup key shrinks from two
+      // 64-char hash strings to three longs — the bit_count terms are
+      // cheap codegen per candidate row, the wide-string shuffle was
+      // not (hdist is a function of the pair, so the distinct is the
+      // same set either way)
       .select(col("a"), col("b"), hamming.cast("long").as("hdist"))
+      .distinct()
       .orderBy(col("hdist"), col("a"), col("b")).limit(k)
     import spark.implicits._
     val rows = ranked.collect()
