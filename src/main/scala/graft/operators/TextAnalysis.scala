@@ -106,6 +106,21 @@ object TextAnalysis {
     * stopword hits; `keep` is their conjunction. Pure row-local
     * projection — zero shuffles, runs at scan speed at any corpus
     * size. Flags are 0/1 ints for cross-engine hash stability. */
+  /** The Gopher keep-gate as ONE reusable boolean Column over a text
+    * column — the same three rules (word count, mean word length,
+    * stopword evidence) the batch report flags, shared by the
+    * streaming ingest gate so stream and batch agree doc-for-doc
+    * (QualityGateStreamSpec pins the equality). */
+  def gopherKeep(text: Column): Column = {
+    val tk = split(text, "\\s+")
+    val nChars = length(text).cast("double")
+    val nWords = size(tk)
+    val meanLen = (nChars - nWords + 1) / nWords
+    val stopHits = size(filter(tk, t => t.isin(LangStopwords("en"): _*)))
+    nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 && stopHits >= 2
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val nWords = size(toks)

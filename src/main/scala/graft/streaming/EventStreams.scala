@@ -195,6 +195,18 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
 
+  /** Ingest-time QUALITY gate — the streaming twin of `d_gopher_rules`'
+    * keep flag, and the first stage a training-data ingest runs (drop
+    * obvious junk BEFORE it costs dedup signatures, embeddings or
+    * storage): row-local Gopher rules (word count, mean word length,
+    * stopword evidence) as a pure filter. Stateless — no watermark, no
+    * store — append mode at scan speed for any ingest rate. The
+    * predicate is the SAME Column as the batch report
+    * ([[graft.operators.TextAnalysis.gopherKeep]]), so stream and
+    * batch agree doc-for-doc. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    docs.filter(graft.operators.TextAnalysis.gopherKeep(col("text")))
+
   /** Streaming delta-vs-PERSISTED-INDEX near-dup probe — the streaming
     * twin of the r9 `Dedup.deltaDupPairs` nightly operation, and the
     * production shape for ingest-time corpus dedup: each arriving doc
