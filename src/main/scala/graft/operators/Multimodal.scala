@@ -296,13 +296,12 @@ object Multimodal {
       .join(banded.select(col("band"), col("key"), col("doc_id").as("b"),
         col("ahash").as("hb")), Seq("band", "key"))
       .filter(col("a") < col("b"))
-      // hamming BEFORE distinct (r9): the dedup key shrinks from two
-      // 64-char hash strings to three longs — the bit_count terms are
-      // cheap codegen per candidate row, the wide-string shuffle was
-      // not (hdist is a function of the pair, so the distinct is the
-      // same set either way)
+      // distinct BEFORE hamming (measured both ways r9: the reverse
+      // order read 11.1 s vs 4.7 — the 16 conv(substring) terms per
+      // CANDIDATE row dwarf the wide-string shuffle of the distinct,
+      // which collapses multi-band hits to one row per pair first)
+      .select("a", "b", "ha", "hb").distinct()
       .select(col("a"), col("b"), hamming.cast("long").as("hdist"))
-      .distinct()
       .orderBy(col("hdist"), col("a"), col("b")).limit(k)
     import spark.implicits._
     val rows = ranked.collect()
