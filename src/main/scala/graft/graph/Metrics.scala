@@ -161,7 +161,7 @@ object Metrics {
   def coreNumbers(g: Graph, maxIter: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = g.symmetrized.persist(StorageLevel.MEMORY_AND_DISK)
-    val broadcastable = g.vertexCount <= 500000
+    val broadcastable = g.vertexCount <= Graph.broadcastVertexGate
     var state = g.degrees
       .select(col("id"), col("degree").cast("long").as("c"))
       .localCheckpoint(true)

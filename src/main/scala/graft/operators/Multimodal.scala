@@ -53,6 +53,36 @@ object Multimodal {
   private def sniffImage(payload: Array[Byte]): Boolean =
     isPng(payload) || isJpeg(payload) || isGif(payload)
 
+  /** Decompression-bomb gate: a hostile web-crawl image can declare
+    * enormous dimensions in a tiny payload (a 100k×100k PNG header is
+    * bytes; the decode is width·height pixels of heap) and the
+    * resulting OutOfMemoryError is an Error, not an Exception — it
+    * would sail past decodeImage's catch and kill the executor task.
+    * 64M pixels (a 8192×8192 frame) is far above any legitimate
+    * thumbnail-feature input and far below the heap. */
+  private[graft] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Header-only dimension peek through the matching ImageReader —
+    * reads IHDR/SOF/logical-screen metadata, never pixel data, so the
+    * gate itself is O(header) whatever the declared dimensions. */
+  private[graft] def peekPixels(payload: Array[Byte]): Option[Long] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some(r.getWidth(0).toLong * r.getHeight(0).toLong)
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
+    } finally iis.close()
+  }
+
   /** REAL pixel decode for image payloads via the JDK's own
     * `javax.imageio` (no external codec needed — r9, closing VERDICT
     * r8 "What's missing #2"; PNG, JPEG and GIF all ship with the
@@ -63,15 +93,19 @@ object Multimodal {
     * at the end — bit-deterministic for a given payload, like the
     * stub. Returns None when ImageIO cannot decode (a sniff
     * false-positive — e.g. a text that happens to start with "GIF89a"
-    * — must degrade to the stub, never crash the pipeline). */
+    * — must degrade to the stub, never crash the pipeline) or when
+    * the declared dimensions exceed [[MaxDecodePixels]] (decompression
+    * bomb — the allocation would OOM the task before any catch). */
   def decodeImage(row: MediaRow): Option[MediaFeatures] =
     try {
-      // ImageIO returns null for unrecognized data but THROWS on data
-      // that matches a reader's signature and is then malformed (e.g.
-      // text starting "GIF89a") — both are the same outcome here
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(row.payload)))
-        .map(gridLumaFeatures(row, _))
+      peekPixels(row.payload).filter(_ <= MaxDecodePixels).flatMap { _ =>
+        // ImageIO returns null for unrecognized data but THROWS on data
+        // that matches a reader's signature and is then malformed (e.g.
+        // text starting "GIF89a") — both are the same outcome here
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload)))
+          .map(gridLumaFeatures(row, _))
+      }
     } catch {
       case _: java.io.IOException | _: RuntimeException => None
     }

@@ -98,45 +98,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Gopher-style document filter rules (Rae et al. 2021 §A1.1, the
-    * threshold table a web-scale curation stack applies before any
-    * model-based scoring — complements [[repetitionSignals]], which
-    * covers the repetition rules, and [[qualityScores]]' continuous
-    * signals): word-count bounds, mean-word-length bounds, minimum
-    * stopword hits; `keep` is their conjunction. Pure row-local
-    * projection — zero shuffles, runs at scan speed at any corpus
-    * size. Flags are 0/1 ints for cross-engine hash stability. */
-  /** The Gopher keep-gate as ONE reusable boolean Column over a text
-    * column — the same three rules (word count, mean word length,
-    * stopword evidence) the batch report flags, shared by the
-    * streaming ingest gate so stream and batch agree doc-for-doc
-    * (QualityGateStreamSpec pins the equality). */
-  def gopherKeep(text: Column): Column = {
+  /** The three Gopher signals and rule flags over a text column — the
+    * SINGLE source the batch report ([[gopherRules]]) and the streaming
+    * ingest gate ([[gopherKeep]]) are both built from, so the two
+    * surfaces cannot drift when a threshold is edited. */
+  private final case class GopherSignals(nWords: Column, meanLen: Column,
+                                         stopHits: Column, rWordCount: Column,
+                                         rMeanLen: Column, rStopwords: Column)
+
+  private def gopherSignals(text: Column): GopherSignals = {
     val tk = split(text, "\\s+")
     val nChars = length(text).cast("double")
     val nWords = size(tk)
     val meanLen = (nChars - nWords + 1) / nWords
     val stopHits = size(filter(tk, t => t.isin(LangStopwords("en"): _*)))
-    nWords >= 50 && nWords <= 100000 &&
-      meanLen >= 3.0 && meanLen <= 10.0 && stopHits >= 2
+    GopherSignals(nWords, meanLen, stopHits,
+      nWords >= 50 && nWords <= 100000,
+      meanLen >= 3.0 && meanLen <= 10.0,
+      stopHits >= 2)
   }
 
+  /** The Gopher keep-gate as ONE reusable boolean Column over a text
+    * column — the conjunction of [[gopherSignals]]' three rule flags,
+    * shared by the streaming ingest gate so stream and batch agree
+    * doc-for-doc (QualityGateStreamSpec pins the equality). */
+  def gopherKeep(text: Column): Column = {
+    val s = gopherSignals(text)
+    s.rWordCount && s.rMeanLen && s.rStopwords
+  }
+
+  /** Gopher-style document filter rules (Rae et al. 2021 §A1.1, the
+    * threshold table a web-scale curation stack applies before any
+    * model-based scoring — complements [[repetitionSignals]], which
+    * covers the repetition rules, and [[qualityScores]]' continuous
+    * signals): word-count bounds, mean-word-length bounds, minimum
+    * stopword hits; `keep` is their conjunction ([[gopherKeep]], the
+    * identical Column). Pure row-local projection — zero shuffles, runs
+    * at scan speed at any corpus size. Flags are 0/1 ints for
+    * cross-engine hash stability. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val nChars = length(col("text")).cast("double")
-    val nWords = size(toks)
-    val meanLen = (nChars - nWords + 1) / nWords
-    val stopHits = size(filter(toks, t => t.isin(LangStopwords("en"): _*)))
+    val s = gopherSignals(col("text"))
     Tables(spark, dir).documents.select(
       col("doc_id"),
-      nWords.as("n_words"),
-      round(meanLen, 4).as("mean_word_len"),
-      stopHits.as("stop_hits"),
-      (nWords >= 50 && nWords <= 100000).cast("int").as("r_word_count"),
-      (meanLen >= 3.0 && meanLen <= 10.0).cast("int").as("r_mean_len"),
-      (stopHits >= 2).cast("int").as("r_stopwords"),
-      (nWords >= 50 && nWords <= 100000 &&
-        meanLen >= 3.0 && meanLen <= 10.0 &&
-        stopHits >= 2).cast("int").as("keep"))
+      s.nWords.as("n_words"),
+      round(s.meanLen, 4).as("mean_word_len"),
+      s.stopHits.as("stop_hits"),
+      s.rWordCount.cast("int").as("r_word_count"),
+      s.rMeanLen.cast("int").as("r_mean_len"),
+      s.rStopwords.cast("int").as("r_stopwords"),
+      gopherKeep(col("text")).cast("int").as("keep"))
       .orderBy("doc_id")
   }
 

@@ -70,4 +70,14 @@ class FallbackGateSpec extends AnyFunSuite {
     assert(small == wide)
     assert(small.nonEmpty)
   }
+
+  test("coreNumbers twin: shuffle-join state branch equals broadcast branch") {
+    def run(): Map[Long, Long] =
+      graft.graph.Metrics.coreNumbers(freshGraph(), maxIter = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = withGate(Long.MaxValue)(run())
+    val wide = withGate(0L)(run())
+    assert(small == wide, "core numbers diverge between join branches")
+    assert(small.values.max > 1L, "degenerate graph: max coreness <= 1")
+  }
 }

@@ -92,6 +92,33 @@ class PngDecodeSpec extends AnyFunSuite {
     assert(got.features.toSeq == Multimodal.decodeStub(fake).features.toSeq)
   }
 
+  test("a decompression bomb (huge declared dimensions) routes to the stub") {
+    // hand-built PNG: real signature + IHDR declaring 100000×100000
+    // (1e10 pixels — a ~40 GB decode) and nothing else. The dimension
+    // peek must reject it from the header alone, BEFORE any pixel
+    // allocation, and the router must degrade to the stub.
+    def be(i: Int): Array[Byte] = Array(
+      (i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    val ihdrBody = be(100000) ++ be(100000) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII"))
+    crc.update(ihdrBody)
+    val bomb =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        be(13) ++ "IHDR".getBytes("US-ASCII") ++ ihdrBody ++
+        be(crc.getValue.toInt)
+    assert(Multimodal.isPng(bomb))
+    assert(Multimodal.peekPixels(bomb).contains(100000L * 100000L))
+    val row = Multimodal.MediaRow(11L, "image", bomb)
+    assert(Multimodal.decodeImage(row).isEmpty)
+    assert(Multimodal.decodeMedia(row).features.toSeq ==
+      Multimodal.decodeStub(row).features.toSeq)
+    // the gate must NOT reject legitimate sizes: the 4×4 still decodes
+    assert(Multimodal.decodeImage(
+      Multimodal.MediaRow(12L, "image", png4x4())).nonEmpty)
+  }
+
   test("the m_* corpus payloads (utf-8 text) all route to the stub") {
     val anyPng = Multimodal.mediaTable(spark, sf)
       .collect().exists(r => Multimodal.isPng(r.payload))
