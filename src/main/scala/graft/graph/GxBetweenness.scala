@@ -51,15 +51,62 @@ object GxBetweenness {
   // share the forward (dist, sigma) Pregel and the entire backward
   // dependency recursion — r8 ran the full sweep twice (2.0 s + 5.9 s
   // at sf0.1); the edge variant's extra per-level triplets pass is the
-  // only marginal cost. Memoized per (graph identity, sources, seed);
-  // both outputs are materialized tables.
-  private val sweepCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  // only marginal cost, which is why the edge table is computed
+  // EAGERLY with the vertex table rather than lazily: the production
+  // suite always consumes both, and a vertex-only first pass would
+  // re-run the whole forward+backward sweep when the edge ranking is
+  // asked for next (r8's exact double cost back again).
+  //
+  // Keying (r10, closes the ADVICE r9 medium): the memo key is the
+  // Graph VALUE — a case class over DataFrames whose equals is the
+  // frames' reference identity — inside an access-ordered LRU, so (a)
+  // two live graphs can never collide the way identityHashCode
+  // strings could, and (b) fresh-Graph-per-call patterns (the
+  // FallbackGateSpec shape) evict their oldest persisted tables
+  // instead of retaining every sweep for the session lifetime.
+  private final case class SweepTables(vtxHandle: DataFrame,
+                                       edgeHandle: DataFrame,
+                                       vtx: DataFrame, edge: DataFrame)
 
+  private val sweepCap = 8
+  private val sweepCache =
+    new java.util.LinkedHashMap[(Graph, Int, Long), SweepTables](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Graph, Int, Long), SweepTables]): Boolean =
+        if (size > sweepCap) {
+          e.getValue.vtxHandle.unpersist(blocking = false)
+          e.getValue.edgeHandle.unpersist(blocking = false)
+          true
+        } else false
+    }
+
+  /** persist → count → flatten like Materialize.table, but KEEPS the
+    * persisted handle so LRU eviction can free the blocks. */
+  private def matKeep(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    (cached, org.apache.spark.sql.graft.Bridge.flatten(cached))
+  }
+
+  // the lock is held across the sweep computation — same per-key
+  // blocking the TrieMap memo had; all callers are sequential queries
   private def sweep(g: Graph, numSources: Int,
                     seed: Long): (DataFrame, DataFrame) =
-    sweepCache.getOrElseUpdate(
-      s"${System.identityHashCode(g)}:$numSources:$seed", {
+    sweepCache.synchronized {
+      val key = (g, numSources, seed)
+      val hit = sweepCache.get(key)
+      val entry = if (hit != null) hit else {
+        val built = computeSweep(g, numSources, seed)
+        sweepCache.put(key, built)
+        built
+      }
+      (entry.vtx, entry.edge)
+    }
+
+  private def computeSweep(g: Graph, numSources: Int,
+                           seed: Long): SweepTables = {
     val Inf = Int.MaxValue // local: closures must not capture the module
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -266,7 +313,7 @@ object GxBetweenness {
       .select(col("src"), col("dst"),
         ((col("depmicro") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
           .as("edge_betweenness"))
-    val edgeTable = graft.Materialize.table(edgeOut)
+    val (edgeHandle, edgeTable) = matKeep(edgeOut)
     edgeLevels.foreach(_.unpersist(blocking = false))
 
     val srcArr = sources.toArray
@@ -285,13 +332,18 @@ object GxBetweenness {
     // no final round(): see Betweenness.run — the exact rational
     // depMicro·n/(k·2·1e9) is bit-identical across engines, a decimal
     // rounding of micro-grid values is not (.5-tie divergence)
-    val vtxTable = graft.Materialize.table(
+    val (vtxHandle, vtxTable) = matKeep(
       g.vertices.select("id")
         .join(dep, Seq("id"), "left")
         .na.fill(0L, Seq("dep"))
         .select(col("id"),
           ((col("dep") * lit(n)).cast("double") / lit(k * 2.0 * 1.0e9))
             .as("betweenness")))
-    (vtxTable, edgeTable)
-  })
+    // both outputs are materialized leaves now — the sweep's vertex
+    // state can go. Edges stay: forward shares the session-cached
+    // Gx.of(g) edge partitions (Pregel only rewrites vertices).
+    delta.unpersist(blocking = false)
+    forward.unpersistVertices(blocking = false)
+    SweepTables(vtxHandle, edgeHandle, vtxTable, edgeTable)
+  }
 }

@@ -314,6 +314,40 @@ class GxSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == 2.0 && got((2L, 3L)) == 2.0)
   }
 
+  test("betweenness sweep memo: value-keyed, collision-free, survives eviction") {
+    // two DISTINCT live graphs must never serve each other's memoized
+    // tables (the r9 identityHashCode key could collide); the memo key
+    // is the Graph value (frame reference identity), so same-value
+    // lookups hit and different graphs always miss
+    def mk(edges: Seq[(Long, Long)]): graph.Graph = {
+      val e = edges.toDF("src", "dst")
+      graph.Graph(graph.GraphBuilder.vertices(e), e)
+    }
+    val p3 = mk(Seq((1L, 2L), (2L, 3L)))
+    val star = mk(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    val bP3 = graph.GxBetweenness.run(p3, numSources = 3)
+      .as[(Long, Double)].collect().toMap
+    val bStar = graph.GxBetweenness.run(star, numSources = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(bP3(2L) == 1.0 && bP3(1L) == 0.0) // middle of the chain
+    assert(bStar(10L) == 3.0 && bStar(1L) == 0.0) // the hub
+    // same Graph VALUE (same frames): cache hit, identical rows
+    val again = graph.GxBetweenness.run(p3, numSources = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(again == bP3)
+    // churn past the LRU cap with fresh graphs, then re-query the
+    // first: the evicted entry recomputes to the same answer (and the
+    // evicted persisted blocks were freed, not leaked)
+    (0 until 9).foreach { i =>
+      graph.GxBetweenness.run(
+        mk(Seq((100L + i, 200L + i), (200L + i, 300L + i))), numSources = 3)
+        .count()
+    }
+    val after = graph.GxBetweenness.run(mk(Seq((1L, 2L), (2L, 3L))),
+      numSources = 3).as[(Long, Double)].collect().toMap
+    assert(after == bP3)
+  }
+
   test("svdPlusPlus learns a rating graph: RMSE bounded, factors finite") {
     // bipartite users 1-3 rating items 101-103 in [1,5]; enough signal
     // that 10 gradient sweeps beat the trivial predictor by a wide margin
