@@ -54,15 +54,27 @@ object Dedup {
     * texts, never by copy counts — the exact-dup pre-pass below is what
     * keeps a 100k-copy boilerplate group from turning one band bucket
     * into a C(k,2) join task. */
+  /** The banded LSH key generator — ONE definition of the band slice,
+    * shared by the candidate join, the index writer/appender, the
+    * batch delta probe and the streaming probe, so no two surfaces can
+    * disagree on candidacy (they previously re-inlined it — ADVICE
+    * r9). Bucket key = the raw signature slice (not a hash of it):
+    * same shuffle width for the long arrays, zero bucket collisions,
+    * and the SQL oracle can reproduce the exact candidate set. Use in
+    * a select: `.select(col("rep"), bandKeys(col("sig"), numPerm,
+    * bands).as(Seq("band", "bucket")))`. */
+  private[graft] def bandKeys(sig: Column, numPerm: Int, bands: Int): Column = {
+    val rowsPerBand = numPerm / bands
+    posexplode(array((0 until bands).map { b =>
+      slice(sig, b * rowsPerBand + 1, rowsPerBand)
+    }: _*))
+  }
+
   private[graft] def repBandCandidates(repSigs: DataFrame, bands: Int,
                                        rowsPerBand: Int): DataFrame = {
-    // bucket key = the raw signature slice (not a hash of it): same
-    // shuffle width for 16 longs, zero bucket collisions, and the SQL
-    // oracle can reproduce the exact candidate set
-    val banded = repSigs.select(col("doc_id"), posexplode(
-      array((0 until bands).map { b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = repSigs.select(col("doc_id"),
+      bandKeys(col("sig"), bands * rowsPerBand, bands)
+        .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
     l.join(r, Seq("band", "bucket"))
@@ -653,9 +665,13 @@ object Dedup {
   // ---------- persisted band index (the daily-crawl artifact) ----------
 
   /** Loaded handles of a persisted LSH band index (see
-    * [[writeBandIndex]]): `buckets` (band, bucket, rep) is the probe
-    * target, `sigs` (rep, sig) verifies candidates, `members`
-    * (rep, doc_id) expands rep hits back to documents. */
+    * [[writeBandIndex]]): `buckets` (gen, band, bucket, rep) is the
+    * probe target, `sigs` (gen, rep, sig) verifies candidates,
+    * `members` (gen, rep, doc_id) expands rep hits back to documents.
+    * Rep collapse is generation-local, so every rep-keyed lookup is on
+    * (gen, rep) — a rep id reused across generations (overlapping
+    * doc_id spaces) can never attach the other generation's members to
+    * a hit its own signature check produced (ADVICE r9). */
   final case class BandIndex(buckets: DataFrame, sigs: DataFrame,
                              members: DataFrame)
 
@@ -678,21 +694,30 @@ object Dedup {
     * portable here and the probe join still shuffles only |delta| +
     * |index| rows on the bucket key. */
   def writeBandIndex(docs: DataFrame, path: String, numPerm: Int = 128,
-                     bands: Int = 8): Unit = {
-    val rowsPerBand = numPerm / bands
+                     bands: Int = 8): Unit =
+    writeBandIndexTables(docs, path, generation = 0L, numPerm, bands,
+      mode = "overwrite")
+
+  /** The one writer behind [[writeBandIndex]] (generation 0,
+    * overwrite) and [[appendToBandIndex]] (next generation, append):
+    * sign, collapse reps WITHIN this generation, stamp every row with
+    * the generation id, write the three tables. */
+  private def writeBandIndexTables(docs: DataFrame, path: String,
+                                   generation: Long, numPerm: Int,
+                                   bands: Int, mode: String): Unit = {
     val sigs = minhashSignatures(docs, numPerm)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val groups = sigs.groupBy("sig").agg(min("doc_id").as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val members = sigs.join(groups, "sig").select(col("rep"), col("doc_id"))
-    val repSigs = groups.select(col("rep"), col("sig"))
-    repSigs.select(col("rep"), posexplode(
-      array((0 until bands).map { b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*)).as(Seq("band", "bucket")))
-      .write.mode("overwrite").parquet(s"$path/buckets")
-    repSigs.write.mode("overwrite").parquet(s"$path/sigs")
-    members.write.mode("overwrite").parquet(s"$path/members")
+    val gen = lit(generation).as("gen")
+    val members = sigs.join(groups, "sig")
+      .select(gen, col("rep"), col("doc_id"))
+    val repSigs = groups.select(gen, col("rep"), col("sig"))
+    repSigs.select(col("gen"), col("rep"),
+      bandKeys(col("sig"), numPerm, bands).as(Seq("band", "bucket")))
+      .write.mode(mode).parquet(s"$path/buckets")
+    repSigs.write.mode(mode).parquet(s"$path/sigs")
+    members.write.mode(mode).parquet(s"$path/members")
     groups.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
   }
@@ -705,31 +730,25 @@ object Dedup {
     * daily-crawl pipeline schedules). Rep collapse is
     * GENERATION-LOCAL: a delta doc whose signature already exists in
     * the base gets its own rep row rather than joining the base
-    * group. Probe semantics are unchanged — candidacy and est-Jaccard
-    * depend only on signatures, and a probe hitting both generations'
-    * reps of one signature expands to both member sets (the union a
-    * full rebuild would give; BandIndexSpec pins dup-set equality
-    * against a from-scratch rebuild). A periodic compaction (full
-    * [[writeBandIndex]] over the accumulated corpus) re-collapses
-    * cross-generation groups when bucket-row growth warrants it. */
+    * group, and every row carries the new generation id (max existing
+    * gen + 1 — one column-pruned scan of the rep-sized sigs table, ≪
+    * the delta's signing cost), so rep-keyed lookups are on (gen, rep)
+    * and overlapping doc_id spaces across generations cannot
+    * cross-contaminate member expansion. Probe semantics are unchanged
+    * — candidacy and est-Jaccard depend only on signatures, and a
+    * probe hitting both generations' reps of one signature expands to
+    * both member sets (the union a full rebuild would give;
+    * BandIndexSpec pins dup-set equality against a from-scratch
+    * rebuild). A periodic compaction (full [[writeBandIndex]] over the
+    * accumulated corpus) re-collapses cross-generation groups when
+    * bucket-row growth warrants it. */
   def appendToBandIndex(newDocs: DataFrame, path: String,
                         numPerm: Int = 128, bands: Int = 8): Unit = {
-    val rowsPerBand = numPerm / bands
-    val sigs = minhashSignatures(newDocs, numPerm)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val groups = sigs.groupBy("sig").agg(min("doc_id").as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val members = sigs.join(groups, "sig").select(col("rep"), col("doc_id"))
-    val repSigs = groups.select(col("rep"), col("sig"))
-    repSigs.select(col("rep"), posexplode(
-      array((0 until bands).map { b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*)).as(Seq("band", "bucket")))
-      .write.mode("append").parquet(s"$path/buckets")
-    repSigs.write.mode("append").parquet(s"$path/sigs")
-    members.write.mode("append").parquet(s"$path/members")
-    groups.unpersist(blocking = false)
-    sigs.unpersist(blocking = false)
+    val spark = newDocs.sparkSession
+    val nextGen = spark.read.parquet(s"$path/sigs")
+      .agg(max("gen")).head().getLong(0) + 1L
+    writeBandIndexTables(newDocs, path, nextGen, numPerm, bands,
+      mode = "append")
   }
 
   /** Load a [[writeBandIndex]] artifact: three lazy parquet scans. */
@@ -737,6 +756,54 @@ object Dedup {
     BandIndex(spark.read.parquet(s"$path/buckets"),
       spark.read.parquet(s"$path/sigs"),
       spark.read.parquet(s"$path/members"))
+
+  // ---------- generation-dir layout (the nightly rotation artifact) ----------
+  //
+  // `root/gen=N/` each holds one complete writeBandIndex artifact of
+  // ONE ingest slice (gen 1 = the base corpus, gen N>1 = night N's
+  // survivors). The live index is the UNION of all generations — a
+  // rotation writes gen=N+1 (signing ONLY that slice) and re-loads;
+  // nothing existing is rewritten, so a concurrent reader of the old
+  // generation set never sees a partial file, and the streaming probe
+  // restarts onto the new set (EventStreams.rotateIndexProbe). The
+  // (gen, rep) keying above is what makes the union correct without a
+  // cross-generation rep collapse.
+
+  /** Largest `gen=N` under `root` (0 when none): one FileSystem
+    * listing — driver metadata, no data read. */
+  def latestGeneration(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.drop(4).toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Write the NEXT index generation under `root/gen=N+1` from `docs`
+    * (the slice being rotated in — only IT is signed; the base corpus
+    * is never re-read). Returns the new generation id. */
+  def writeIndexGeneration(docs: DataFrame, root: String,
+                           numPerm: Int = 128, bands: Int = 8): Long = {
+    val next = latestGeneration(docs.sparkSession, root) + 1L
+    writeBandIndexTables(docs, s"$root/gen=$next", next, numPerm, bands,
+      mode = "overwrite")
+    next
+  }
+
+  /** The live index = union of every generation under `root`. Lazy
+    * scans like [[loadBandIndex]]; the per-generation dirs are listed
+    * once at load, so a later rotation requires a re-load (that is the
+    * rotation contract — see EventStreams.rotateIndexProbe). */
+  def loadBandIndexGenerations(spark: SparkSession, root: String): BandIndex = {
+    val gens = (1L to latestGeneration(spark, root))
+      .map(n => s"$root/gen=$n")
+    require(gens.nonEmpty, s"no gen=N directories under $root")
+    BandIndex(spark.read.parquet(gens.map(_ + "/buckets"): _*),
+      spark.read.parquet(gens.map(_ + "/sigs"): _*),
+      spark.read.parquet(gens.map(_ + "/members"): _*))
+  }
 
   /** Near-dup pairs of a DELTA against a LOADED band index — the
     * nightly operation: band the delta's signatures, equi-join the
@@ -751,21 +818,19 @@ object Dedup {
   def deltaDupPairs(index: BandIndex, delta: DataFrame,
                     threshold: Double = 0.8, numPerm: Int = 128,
                     bands: Int = 8): DataFrame = {
-    val rowsPerBand = numPerm / bands
     val dsigs = minhashSignatures(delta, numPerm)
-    val dband = dsigs.select(col("doc_id"), posexplode(
-      array((0 until bands).map { b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*)).as(Seq("band", "bucket")))
+    val dband = dsigs.select(col("doc_id"),
+      bandKeys(col("sig"), numPerm, bands).as(Seq("band", "bucket")))
     dband.join(index.buckets, Seq("band", "bucket"))
-      .select(col("doc_id").as("d"), col("rep")).distinct()
+      .select(col("doc_id").as("d"), col("gen"), col("rep")).distinct()
       .join(dsigs.select(col("doc_id").as("d"), col("sig").as("sig_d")), "d")
-      .join(index.sigs.select(col("rep"), col("sig").as("sig_r")), "rep")
-      .select(col("d"), col("rep"),
+      .join(index.sigs.select(col("gen"), col("rep"),
+        col("sig").as("sig_r")), Seq("gen", "rep"))
+      .select(col("d"), col("gen"), col("rep"),
         graft.functions.HashColumns
           .equalFraction(col("sig_d"), col("sig_r")).as("est"))
       .filter(col("est") >= threshold)
-      .join(index.members, "rep")
+      .join(index.members, Seq("gen", "rep"))
       .select(col("d").as("delta_id"), col("doc_id").as("base_id"),
         round(col("est"), 4).as("est_jaccard"))
   }

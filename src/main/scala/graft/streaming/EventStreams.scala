@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import java.sql.Timestamp
 
 /** Structured Streaming surface over the events stream: watermarked
@@ -216,34 +216,62 @@ object EventStreams {
     * joins the LOADED band-index buckets on (band, bucket), verifies
     * candidates by signature equal-fraction against the index's rep
     * signatures, and emits one hit row per dup arrival
-    * (`dropDuplicatesWithinWatermark` collapses the multi-band hits;
-    * state = watermark-bounded doc ids). The static side is the
-    * persisted parquet artifact — re-read per micro-batch by Spark,
-    * broadcast when small — so the probe's cost is ∝ batch size and
-    * the base corpus is never re-signed, exactly the batch probe's
-    * contract. Output (doc_id, ts, est_jaccard). */
+    * (a per-(doc_id, ts) max-aggregate collapses the multi-band /
+    * multi-rep hits to the SINGLE best estimate — deterministic
+    * run-to-run, unlike keeping an arbitrary qualifying row (ADVICE
+    * r9); the hit row emits once the watermark passes its event time,
+    * and state is watermark-bounded). The static side is the persisted
+    * parquet artifact — re-read per micro-batch by Spark, broadcast
+    * when small — so the probe's cost is ∝ batch size and the base
+    * corpus is never re-signed, exactly the batch probe's contract.
+    * Output (doc_id, ts, est_jaccard). Band keys come from the SAME
+    * [[graft.operators.Dedup.bandKeys]] the index writer used, so
+    * stream and index agree bit-for-bit on candidacy. */
   def indexProbeStream(docs: DataFrame, index: graft.operators.Dedup.BandIndex,
                        threshold: Double = 0.8, numPerm: Int = 128,
                        bands: Int = 8,
                        watermark: String = "10 minutes"): DataFrame = {
-    val rowsPerBand = numPerm / bands
     val sigs = docs
       .withColumn("sig", graft.functions.HashColumns.minhashSig(
         split(col("text"), " "), numPerm, portable = true))
       .withWatermark("ts", watermark)
     val banded = sigs.select(col("doc_id"), col("ts"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*)).as(Seq("band", "bucket")))
+      graft.operators.Dedup.bandKeys(col("sig"), numPerm, bands)
+        .as(Seq("band", "bucket")))
     banded
       .join(index.buckets, Seq("band", "bucket"))
-      .join(index.sigs.select(col("rep"), col("sig").as("sig_r")), "rep")
+      .join(index.sigs.select(col("gen"), col("rep"),
+        col("sig").as("sig_r")), Seq("gen", "rep"))
       .select(col("doc_id"), col("ts"),
         graft.functions.HashColumns
           .equalFraction(col("sig"), col("sig_r")).as("est"))
       .filter(col("est") >= threshold)
-      .select(col("doc_id"), col("ts"), round(col("est"), 4).as("est_jaccard"))
-      .dropDuplicatesWithinWatermark("doc_id")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(round(max(col("est")), 4).as("est_jaccard"))
+      .select(col("doc_id"), col("ts"), col("est_jaccard"))
+  }
+
+  /** Generation rotation for the streaming probe — the nightly index
+    * swap WITHOUT a stream gap: stop the running query (it commits its
+    * offsets), re-load the live generation set from the `gen=N` layout
+    * ([[graft.operators.Dedup.loadBandIndexGenerations]]), and restart
+    * through the caller's `start` closure. With a replayable source
+    * and a fixed checkpoint location the restarted query resumes from
+    * the last committed offset — nothing is re-processed and nothing
+    * is lost; the static join side is not part of streaming state, so
+    * swapping it across a restart is checkpoint-compatible
+    * (IndexProbeStreamSpec drives the full cycle through parquet
+    * files + a checkpoint). Returns the new running query. */
+  def rotateIndexProbe(running: Option[StreamingQuery],
+                       spark: org.apache.spark.sql.SparkSession,
+                       indexRoot: String,
+                       start: graft.operators.Dedup.BandIndex => StreamingQuery)
+      : StreamingQuery = {
+    running.foreach { q =>
+      q.stop()
+      q.awaitTermination()
+    }
+    start(graft.operators.Dedup.loadBandIndexGenerations(spark, indexRoot))
   }
 
   /** Stream-STREAM interval join: match each click to the view by the
