@@ -203,6 +203,7 @@ object SparkEntry {
     "q_events_funnel" -> (Relational.qEventsFunnel _),
     "d_ccnet_buckets" -> ((s, d) => Curation.ccnetBuckets(s, d)),
     "e_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
+    "e_knn_graph_refined" -> ((s, d) => Ann.knnGraphRefined(s, d)),
     "g_mst" -> (GraphQueries.mst _),
     "g_local_bridges" -> (GraphQueries.localBridges _),
     "d_dup_cluster_sizes" -> ((s, d) =>
@@ -1625,12 +1626,13 @@ object SparkEntry {
         .mkString("", " UNION ALL ", " ORDER BY n_probe")
   }
 
-  /** Within-cell kNN graph on top of the trained index (exactly
-    * `Ann.knnGraph`): every vector's top-k cosine neighbors among its
-    * own cell's members, ranked (sim desc, id asc). */
-  private def knnGraphUnrolled(iters: Int, k: Int): String =
+  /** Within-cell kNN graph CTEs on top of the trained index (exactly
+    * `Ann.knnGraph`): every vector's cell-mates ranked by exact cosine
+    * (sim desc, id asc) in `rr` — shared by [[knnGraphUnrolled]] and
+    * the NN-Descent refinement oracle. */
+  private def knnGraphCtes(iters: Int): String =
     ivfTrainedCtes(iters) +
-    s""", pr AS (
+    """, pr AS (
        |  SELECT la.vec_id AS a, lb.vec_id AS b
        |  FROM idx la JOIN idx lb
        |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id)
@@ -1647,7 +1649,52 @@ object SparkEntry {
        |  FROM cosab c
        |  JOIN evn na ON na.vec_id = c.a
        |  JOIN evn nb ON nb.vec_id = c.b)
-       |SELECT vec_id, rank, neighbor_id FROM rr
+       |""".stripMargin
+
+  private def knnGraphUnrolled(iters: Int, k: Int): String =
+    knnGraphCtes(iters) +
+    s"""SELECT vec_id, rank, neighbor_id FROM rr
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  /** ONE NN-Descent round over the cell-local graph ∪ md5
+    * pseudo-random seed edges (exactly `Ann.knnGraphRefined`):
+    * candidates = co-neighbors of the undirected current graph ∪
+    * current edges, re-scored with exact cosine, top-k per vertex. */
+  private def knnGraphRefinedUnrolled(iters: Int, k: Int,
+                                      seedsPerVec: Int): String =
+    knnGraphCtes(iters) +
+    s""", sd AS (
+       |  SELECT vec_id AS a,
+       |    ('0x' || substr(md5('nnd:' || CAST(vec_id AS VARCHAR) || ':'
+       |      || CAST(s AS VARCHAR)), 1, 7))::BIGINT
+       |      % ((SELECT count(*) FROM embeddings) - 1) AS m
+       |  FROM embeddings,
+       |    (SELECT unnest(range(1, ${seedsPerVec + 1})) AS s))
+       |, g0 AS (
+       |  SELECT vec_id AS a, neighbor_id AS b FROM rr WHERE rank <= $k
+       |  UNION ALL
+       |  SELECT a, CASE WHEN m >= a THEN m + 1 ELSE m END AS b FROM sd)
+       |, und AS (SELECT a, b FROM g0 UNION SELECT b AS a, a AS b FROM g0)
+       |, cand AS (
+       |  SELECT x.b AS a, y.b AS b
+       |  FROM und x JOIN und y ON x.a = y.a
+       |  WHERE x.b <> y.b
+       |  UNION
+       |  SELECT a, b FROM und)
+       |, csc AS (
+       |  SELECT c.a, c.b, sum(ea.x * eb.x) AS dot
+       |  FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.a
+       |  JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+       |  GROUP BY c.a, c.b)
+       |, rr2 AS (
+       |  SELECT c.a AS vec_id, c.b AS neighbor_id, row_number() OVER (
+       |    PARTITION BY c.a
+       |    ORDER BY c.dot / (na.nrm * nb.nrm) DESC, c.b ASC) AS rank
+       |  FROM csc c
+       |  JOIN evn na ON na.vec_id = c.a
+       |  JOIN evn nb ON nb.vec_id = c.b)
+       |SELECT vec_id, rank, neighbor_id FROM rr2
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
   /** SemDeDup on top of the trained index (exactly
@@ -2371,6 +2418,7 @@ object SparkEntry {
         |FROM v8 v ORDER BY dim""".stripMargin),
     "d_semantic_dedup" -> semDedupUnrolled(3, 0.35),
     "e_knn_graph" -> knnGraphUnrolled(3, 5),
+    "e_knn_graph_refined" -> knnGraphRefinedUnrolled(3, 5, 3),
     "g_betweenness" -> btwUnrolled(12, 8, 42L),
     "g_edge_betweenness" -> edgeBtwUnrolled(12, 8, 42L),
     // payload = utf-8 bytes of text, so md5(payload ++ k) ==

@@ -340,6 +340,89 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** ONE NN-Descent round (Dong et al. 2011, "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures") on
+    * top of [[knnGraph]] — the standard fix for the cell-local
+    * ceiling: a vector's true neighbor in ANOTHER IVF cell is
+    * unreachable to the within-cell graph at any nProbe, but it is
+    * usually a neighbor-of-a-neighbor, so one round of "compare every
+    * pair that shares a current neighbor" lifts cross-cell recall
+    * without ever scoring |V|² pairs.
+    *
+    * Init = the cell-local graph ∪ `seedsPerVec` PSEUDO-RANDOM edges
+    * per vector (md5("nnd:v:s") mod (n−1), self-skipping — the same
+    * engine-portable coin as the walk/percolation pipelines, so the
+    * whole refinement stays DuckDB-oracle-checkable). The random
+    * edges are what let the round ESCAPE the cells: the cell-local
+    * graph is cell-partitioned, so its co-neighbors are all
+    * cell-mates and a round over it alone would re-rank the same
+    * candidates (measured: identical recall). This is NN-Descent's
+    * actual design — random init graph, converge by co-neighbor
+    * comparison.
+    *
+    * Round shape: undirected current graph L (edges both ways, ≤
+    * 2(k+r)|V| rows) → candidate pairs = co-neighbors (both endpoints
+    * in some L(v) — a self-join on the center, Σ|L(v)|² ≤ 4(k+r)²|V|
+    * rows) ∪ the current edges → exact cosine on the DISTINCT
+    * candidates → top-k per vertex. Volume is (k+r)²-bounded per
+    * vertex by construction (AnnSpec asserts the bound and the recall
+    * lift on the real embeddings); everything is equi-joins on vertex
+    * ids, so the plan shuffles candidate rows, never embeddings ×
+    * embeddings. */
+  def knnGraphRefined(spark: SparkSession, dir: String, k: Int = 5,
+                      rounds: Int = 1, seedsPerVec: Int = 3): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    var graph = nnDescentInitGraph(spark, dir, k, seedsPerVec)
+    var ranked: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val scored = nnDescentCandidates(graph)
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+        .select(col("a"), col("b"), cosineSim(col("ea"), col("eb")).as("sim"))
+      ranked = scored.groupBy("a").agg(topK(col("b"), col("sim"), k).as("nn"))
+        .select(col("a").as("vec_id"),
+          posexplode(col("nn")).as(Seq("rank0", "nn")))
+        .select(col("vec_id"), (col("rank0") + 1).as("rank"),
+          col("nn.neighbor_id").as("neighbor_id"))
+      graph = ranked.select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    }
+    ranked.orderBy("vec_id", "rank")
+  }
+
+  /** The NN-Descent init graph: cell-local top-k edges ∪ the
+    * md5-coin pseudo-random seed edges. */
+  private[graft] def nnDescentInitGraph(spark: SparkSession, dir: String,
+                                        k: Int, seedsPerVec: Int): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val n = emb.count()
+    val m = conv(substring(md5(concat_ws(":",
+      lit("nnd"), col("a"), col("s"))), 1, 7), 16, 10)
+      .cast("long") % (n - 1)
+    val seeds = emb.select(col("vec_id").as("a"))
+      .select(col("a"), explode(array(
+        (1 to seedsPerVec).map(lit): _*)).as("s"))
+      .select(col("a"),
+        when(m >= col("a"), m + 1).otherwise(m).as("b"))
+    knnGraph(spark, dir, k)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      .union(seeds)
+  }
+
+  /** The refinement round's candidate pairs for a given current graph
+    * — exposed so AnnSpec can assert the ≤ 4(k+r)²|V| volume bound the
+    * scaladoc claims. */
+  private[graft] def nnDescentCandidates(graph: DataFrame): DataFrame = {
+    val und = graph
+      .union(graph.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    und.select(col("a").as("v"), col("b").as("x"))
+      .join(und.select(col("a").as("v"), col("b").as("y")), "v")
+      .filter(col("x") =!= col("y"))
+      .select(col("x").as("a"), col("y").as("b"))
+      .union(und)
+      .distinct()
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus embeddings (k-means, the
     * SAME portable trained index as [[knnIvf]]), then compare pairs

@@ -107,6 +107,38 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"knn-graph recall $recall too low")
   }
 
+  test("knnGraphRefined: NN-Descent round beats the cell-local recall, bounded candidates") {
+    val k = 5
+    val n = Tables(spark, sf).embeddings.count()
+    val refined = Ann.knnGraphRefined(spark, sf, k = k).cache()
+    // same shape contract as the cell-local graph
+    assert(refined.select("vec_id").distinct().count() == n)
+    assert(refined.filter($"rank" < 1 || $"rank" > k).count() == 0)
+    assert(refined.filter($"vec_id" === $"neighbor_id").count() == 0)
+    // recall vs the true top-k for EVERY vector: the refinement must
+    // strictly beat the cell-local ceiling on the real embeddings
+    // (cross-cell true neighbors are unreachable to knnGraph at any
+    // nProbe; a neighbor-of-neighbor pass recovers a measurable share)
+    val brute = Ann.knnBrute(spark, sf, nQueries = n.toInt, k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = g.select("vec_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val cellLocal = recallOf(Ann.knnGraph(spark, sf, k = k))
+    val lifted = recallOf(refined)
+    assert(lifted > cellLocal,
+      s"NN-Descent did not lift recall: $lifted vs cell-local $cellLocal")
+    // candidate volume bound the scaladoc claims, on the ACTUAL seeded
+    // init graph: Σ|L(v)|² ≤ 4(k+r)²|V|
+    val graph0 = Ann.nnDescentInitGraph(spark, sf, k, seedsPerVec = 3)
+    val nCands = Ann.nnDescentCandidates(graph0).count()
+    assert(nCands <= 4L * (k + 3) * (k + 3) * n,
+      s"candidate volume $nCands exceeds 4(k+r)²|V| = ${4L * (k + 3) * (k + 3) * n}")
+    refined.unpersist()
+  }
+
   test("embeddingNearDups pairs all meet the cosine threshold") {
     val pairs = Ann.embeddingNearDups(spark, sf, threshold = 0.2)
     assert(pairs.filter($"cos" < 0.2).count() == 0)
