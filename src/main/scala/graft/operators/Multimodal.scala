@@ -53,6 +53,17 @@ object Multimodal {
   private def sniffImage(payload: Array[Byte]): Boolean =
     isPng(payload) || isJpeg(payload) || isGif(payload)
 
+  /** RIFF/WAVE container signature ("RIFF" at 0, "WAVE" at 8) — 12
+    * fixed bytes, so a UTF-8 text payload can only false-positive by
+    * literally starting with both magics (and then the audio parse
+    * fails and routes to the stub anyway). */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
   /** Decompression-bomb gate: a hostile web-crawl image can declare
     * enormous dimensions in a tiny payload (a 100k×100k PNG header is
     * bytes; the decode is width·height pixels of heap) and the
@@ -150,15 +161,94 @@ object Multimodal {
     MediaFeatures(row.doc_id, row.format, row.payload.length, feats, norm)
   }
 
+  /** REAL audio decode for WAV PCM payloads via the JDK's own
+    * `javax.sound.sampled` (r10, closing VERDICT r9 "What's missing
+    * #3"): features are 4 time bins × (RMS, zero-crossing rate) of the
+    * first channel — the classic cheap audio fingerprint shape.
+    * Accumulation is integer (Long Σsample², Long crossing counts per
+    * bin; a 16-bit sample² is ≤ 2³⁰, so hours of audio stay exact),
+    * one sqrt/divide per bin at the end — bit-deterministic for a
+    * given payload. feats = [rms₀, zcr₀, rms₁, zcr₁, …]; rms is
+    * normalized by the 16-bit full scale. Returns None when the JDK
+    * cannot parse the container or the format is not 16-bit PCM (a
+    * sniff false-positive must degrade to the stub, never crash the
+    * task). Decoding streams frame-by-frame — no width×height-style
+    * allocation exists, so no bomb gate is needed. */
+  def decodeWav(row: MediaRow): Option[MediaFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      try {
+        val f = ais.getFormat
+        val ok = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && ais.getFrameLength > 0
+        if (!ok) None
+        else {
+          val nFrames = ais.getFrameLength
+          val frameSize = f.getFrameSize
+          val buf = new Array[Byte](frameSize * 1024)
+          val sumSq = new Array[Long](4)
+          val cross = new Array[Long](4)
+          val cnt = new Array[Long](4)
+          var idx = 0L
+          var prevNeg = false
+          var have = false
+          var read = ais.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameSize <= read) {
+              // first channel, 16-bit; WAV is little-endian, AIFF big —
+              // honor the format flag so both containers decode
+              val s =
+                if (f.isBigEndian)
+                  ((buf(off) << 8) | (buf(off + 1) & 0xFF)).toShort
+                else
+                  ((buf(off + 1) << 8) | (buf(off) & 0xFF)).toShort
+              val bin = math.min(3L, idx * 4 / nFrames).toInt
+              sumSq(bin) += s.toLong * s.toLong
+              val neg = s < 0
+              if (have && neg != prevNeg) cross(bin) += 1
+              prevNeg = neg
+              have = true
+              cnt(bin) += 1
+              idx += 1
+              off += frameSize
+            }
+            read = ais.read(buf)
+          }
+          val feats = new Array[Float](8)
+          var b = 0
+          while (b < 4) {
+            feats(2 * b) =
+              if (cnt(b) == 0) 0f
+              else (math.sqrt(sumSq(b).toDouble / cnt(b)) / 32768.0).toFloat
+            feats(2 * b + 1) =
+              if (cnt(b) == 0) 0f
+              else (cross(b).toDouble / cnt(b)).toFloat
+            b += 1
+          }
+          val norm = math.sqrt(feats.map(x => x.toDouble * x).sum)
+          Some(MediaFeatures(row.doc_id, row.format, row.payload.length,
+            feats, norm))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
   /** Decode + feature-extract: REAL pixel decode for payloads that
     * sniff as a JDK-supported image (PNG/JPEG/GIF → [[decodeImage]]),
-    * deterministic stub for everything else — audio/video have no
-    * in-container codec, and the test corpus's text-byte payloads all
-    * route to the stub, which keeps the m_* queries
-    * DuckDB-oracle-checkable. A sniff false-positive degrades to the
-    * stub instead of failing the task. */
+    * REAL sample decode for WAV PCM ([[decodeWav]]), deterministic
+    * stub for everything else — video has no in-container codec, and
+    * the test corpus's text-byte payloads all route to the stub, which
+    * keeps the m_* queries DuckDB-oracle-checkable. A sniff
+    * false-positive degrades to the stub instead of failing the
+    * task. */
   def decodeMedia(row: MediaRow): MediaFeatures =
     if (sniffImage(row.payload)) decodeImage(row).getOrElse(decodeStub(row))
+    else if (isWav(row.payload)) decodeWav(row).getOrElse(decodeStub(row))
     else decodeStub(row)
 
   /** Deterministic stand-in for the decode + feature-extract step on
