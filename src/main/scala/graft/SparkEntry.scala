@@ -72,6 +72,7 @@ object SparkEntry {
     "e_cluster_entropy" -> (Ann.clusterEntropy _),
     "e_ivf_recall" -> ((s, d) => Ann.ivfRecall(s, d)),
     "e_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
+    "e_opq_recall" -> ((s, d) => Ann.opqRecall(s, d)),
     "e_knn_ivfpq" -> ((s, d) => Ann.knnIvfPq(s, d)),
     "e_ivfpq_recall" -> ((s, d) => Ann.ivfpqRecall(s, d)),
     // sim dropped like e_knn_brute: ranking is engine-comparable
@@ -1735,7 +1736,19 @@ object SparkEntry {
   /** Shared PQ replay (micro-int subvector k-means, encode, LUT score,
     * ranked `rr`) — consumed by [[pqUnrolled]] and
     * [[pqRecallUnrolled]]. */
-  private def pqCore(iters: Int, m: Int, sub: Int): String = {
+  private def pqCore(iters: Int, m: Int, sub: Int): String =
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x,
+       |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi FROM (
+       |    SELECT vec_id, unnest(embedding) AS x,
+       |           generate_subscripts(embedding, 1) AS i FROM embeddings))
+       |""".stripMargin + pqCoreBody(iters, m, sub)
+
+  /** [[pqCore]] minus the `ev` definition — consumed with the default
+    * corpus by [[pqCore]] and with the OPQ-ROTATED corpus by
+    * [[opqRecallUnrolled]]; expects an `ev(vec_id, i, x, xi)` CTE
+    * (1-based i, x double, xi = round(x·1e6)) to be in scope. */
+  private def pqCoreBody(iters: Int, m: Int, sub: Int): String = {
     val rounds = (1 to iters).map { k =>
       s""", pd$k AS (
          |  SELECT e.vec_id, e.m, c.code,
@@ -1759,12 +1772,7 @@ object SparkEntry {
          |    GROUP BY a.m, a.code, e.j))
          |""".stripMargin
     }.mkString(
-      s"""WITH ev AS MATERIALIZED (
-         |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x,
-         |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi FROM (
-         |    SELECT vec_id, unnest(embedding) AS x,
-         |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
-         |sv AS MATERIALIZED (
+      s""", sv AS MATERIALIZED (
          |  SELECT vec_id, CAST((i - 1) // $sub AS INT) AS m,
          |         CAST((i - 1) % $sub AS INT) AS j, x, xi
          |  FROM ev),
@@ -1815,6 +1823,139 @@ object SparkEntry {
        |    AS rank
        |  FROM sc JOIN qn q ON q.query_id = sc.query_id)
        |""".stripMargin
+  }
+
+  /** OPQ oracle: the ENTIRE pipeline unrolled — integer covariance
+    * (CovCte's moment pass), `nRefl` deflated HUGEINT power
+    * iterations, exact-integer Householder reflections composed into
+    * the 1e-6-pinned rotation, micro-dot rotation of the corpus, then
+    * the standard PQ train/encode/ADC replay ([[pqCoreBody]]) over the
+    * rotated `ev` and the recall join vs the ORIGINAL-space brute
+    * top-10. Every division is the shared half-away-from-zero integer
+    * form (negative numerators routed through the non-negative case,
+    * so HUGEINT `//` semantics never matter); the rotated micro
+    * coordinate is the ONE double-rounded quotient, at scale 0 where
+    * ties are representation-exact. Mirrors `Ann.opqRotationMicro` +
+    * `Ann.opqRotatedEmb` + `Ann.knnOpq` step for step. */
+  private def opqRecallUnrolled(nRefl: Int, powIters: Int, pqIters: Int,
+                                m: Int, sub: Int): String = {
+    def rdiv(num: String, den: String): String =
+      s"CASE WHEN $num >= 0 THEN (2 * ($num) + $den) // (2 * ($den)) " +
+        s"ELSE -((-2 * ($num) + $den) // (2 * ($den))) END"
+    val reflections = (0 until nRefl).map { j =>
+      val ax = j * sub
+      // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and v/n are each read more than once (w + deflation
+      // + next round) — un-pinned, the 16-round chains re-expand
+      // multiplicatively across reflections (observed: a 39 GB plan)
+      val power = (1 to powIters).map { t =>
+        s""", f${j}y$t AS MATERIALIZED (
+           |  SELECT c.i, sum(CAST(c.mc AS HUGEINT) * v.vm) AS y
+           |  FROM cf$j c JOIN f${j}v${t - 1} v ON v.i = c.j GROUP BY c.i),
+           |f${j}n$t AS MATERIALIZED (
+           |  SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS nrm
+           |  FROM f${j}y$t),
+           |f${j}v$t AS MATERIALIZED (
+           |  SELECT i, CAST(round(CAST(y AS DOUBLE) / nrm * 1000000)
+           |    AS BIGINT) AS vm
+           |  FROM f${j}y$t, f${j}n$t)
+           |""".stripMargin
+      }.mkString
+      val deflate =
+        if (j == nRefl - 1) ""
+        else
+          s""", f${j}lam AS MATERIALIZED (
+             |  SELECT CAST(round((SELECT nrm FROM f${j}n$powIters) / 1e6)
+             |    AS BIGINT) AS lam)
+             |, cf${j + 1} AS MATERIALIZED (
+             |  SELECT i, j, mc - (${rdiv("n2", "1000000000000")}) AS mc
+             |  FROM (SELECT c.i, c.j, CAST(c.mc AS HUGEINT) AS mc,
+             |          CAST(l.lam AS HUGEINT) * va.vm * vb.vm AS n2
+             |        FROM cf$j c
+             |        JOIN f${j}v$powIters va ON va.i = c.i
+             |        JOIN f${j}v$powIters vb ON vb.i = c.j, f${j}lam l))
+             |""".stripMargin
+      s""", f${j}v0 AS MATERIALIZED (
+         |  SELECT i, CAST(round(1000000 / sqrt(64.0)) AS BIGINT) AS vm
+         |  FROM (SELECT DISTINCT i FROM cf$j))
+         |""".stripMargin + power +
+      s""", f${j}w AS MATERIALIZED (
+         |  SELECT a, ${rdiv("s", "1000000")} AS w
+         |  FROM (SELECT r.a, sum(CAST(r.v AS HUGEINT) * v.vm) AS s
+         |        FROM r$j r JOIN f${j}v$powIters v ON v.i = r.b
+         |        GROUP BY r.a))
+         |, f${j}wn AS MATERIALIZED (
+         |  SELECT CAST(round(sqrt(CAST(sum(CAST(w AS HUGEINT) * w)
+         |    AS DOUBLE))) AS BIGINT) AS wn FROM f${j}w)
+         |, f${j}u AS MATERIALIZED (
+         |  SELECT a, CAST(w AS HUGEINT) - CASE WHEN a = $ax THEN
+         |      CASE WHEN (SELECT w FROM f${j}w WHERE a = $ax) > 0
+         |        THEN -(SELECT wn FROM f${j}wn)
+         |        ELSE (SELECT wn FROM f${j}wn) END
+         |    ELSE 0 END AS u
+         |  FROM f${j}w)
+         |, f${j}uu AS MATERIALIZED (SELECT sum(u * u) AS uu FROM f${j}u)
+         |, h$j AS MATERIALIZED (
+         |  SELECT a, b, CASE WHEN a = b THEN 1000000 ELSE 0 END
+         |    - (${rdiv("n2", "uu")}) AS v
+         |  FROM (SELECT ua.a AS a, ub.a AS b, 2 * ua.u * ub.u * 1000000 AS n2,
+         |          q.uu AS uu
+         |        FROM f${j}u ua, f${j}u ub, f${j}uu q))
+         |, r${j + 1} AS MATERIALIZED (
+         |  SELECT a, b, ${rdiv("s", "1000000")} AS v
+         |  FROM (SELECT h.a AS a, r.b AS b,
+         |          sum(CAST(h.v AS HUGEINT) * r.v) AS s
+         |        FROM h$j h JOIN r$j r ON r.a = h.b GROUP BY h.a, r.b))
+         |""".stripMargin + deflate
+    }.mkString
+    CovCte +
+    s""", cm2 AS MATERIALIZED (
+       |  SELECT p.i, p.j, CAST(round((si.n * p.sxy - si.sx * sj.sx)
+       |    / (si.n * si.n)) AS BIGINT) AS mc
+       |  FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j),
+       |cf0 AS MATERIALIZED (
+       |  SELECT i, j, mc FROM cm2
+       |  UNION ALL SELECT j, i, mc FROM cm2 WHERE i <> j),
+       |r0 AS MATERIALIZED (
+       |  SELECT ar.range AS a, br.range AS b,
+       |    CASE WHEN ar.range = br.range THEN 1000000 ELSE 0 END AS v
+       |  FROM range(64) ar, range(64) br)
+       |""".stripMargin +
+    reflections +
+    s""", xm AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS i,
+       |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, a + 1 AS i, CAST(rm AS DOUBLE) / 1000000.0 AS x,
+       |    rm AS xi
+       |  FROM (SELECT x.vec_id, r.a,
+       |          CAST(round(CAST(sum(CAST(r.v AS HUGEINT) * x.xi) AS DOUBLE)
+       |            / 1000000.0) AS BIGINT) AS rm
+       |        FROM r$nRefl r JOIN xm x ON x.i = r.b
+       |        GROUP BY x.vec_id, r.a))
+       |""".stripMargin +
+    pqCoreBody(pqIters, m, sub) +
+    """, bq AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < 20),
+      |bs AS (
+      |  SELECT bq.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(bq.q_emb, e.embedding) AS sim
+      |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+      |br AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM bs),
+      |brt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10),
+      |pqt AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+      |SELECT b.query_id,
+      |  CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+      |  round(count(p.neighbor_id) / 10.0, 4) AS recall_at_10
+      |FROM brt b LEFT JOIN pqt p USING (query_id, neighbor_id)
+      |GROUP BY 1 ORDER BY query_id""".stripMargin
   }
 
   /** PQ recall oracle: [[pqUnrolled]]'s ranking (the CTE prefix up to
@@ -2349,6 +2490,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY query_id""".stripMargin),
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
     "e_pq_recall" -> pqRecallUnrolled(2, 4, 16),
+    "e_opq_recall" -> opqRecallUnrolled(4, 16, 2, 4, 16),
     "e_knn_ivfpq" -> ivfpqUnrolled(3, 2, 16),
     "e_ivfpq_recall" -> ivfpqRecallUnrolled(3, 2, 16),
     // SQ8: per-dim [min,max] linear codes, dequantized values 6-dp

@@ -1034,6 +1034,184 @@ object Ann {
     (vals, vecs)
   }
 
+  // ---------- OPQ: learned rotation before PQ ----------
+
+  /** Half-away-from-zero integer division by a POSITIVE divisor — the
+    * one rounding the OPQ rotation training uses everywhere. The
+    * negative-numerator case routes through the non-negative one so
+    * the SQL twin (HUGEINT `//`, whose negative-operand semantics we
+    * never rely on) replays it exactly:
+    * `CASE WHEN n >= 0 THEN (2n+d)//(2d) ELSE -((-2n+d)//(2d)) END`. */
+  private def roundDivB(num: BigInt, den: BigInt): BigInt =
+    if (num.signum >= 0) (num * 2 + den) / (den * 2)
+    else -(((-num) * 2 + den) / (den * 2))
+
+  private val opqRotCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+
+  /** OPQ rotation (Ge et al. 2014, "Optimized product quantization" —
+    * the non-parametric eigenvalue-ALLOCATION init of §4): a learned
+    * orthogonal rotation applied before PQ so the top variance
+    * directions land one-per-subspace instead of wherever the raw
+    * coordinates put them. Trained as `nRefl` DEFLATED integer power
+    * iterations (the exact [[pcaPower]] walk, Hotelling deflation
+    * between them), each turned into a Householder reflection aligning
+    * that direction to axis j·sub — the first coordinate of PQ
+    * subspace j. The power basis is chosen over the already-shipped
+    * Jacobi basis ([[pcaEigen]]) DELIBERATELY: every step (integer
+    * mat-vec, exact-integer Householder entries, 1e-6-pinned
+    * compositions) has an exact HUGEINT SQL twin, so the WHOLE
+    * e_opq_recall pipeline — rotation training included — is
+    * DuckDB-oracle-checked, where a Jacobi rotation (10⁵ sequential
+    * data-dependent plane rotations) has no SQL expression.
+    *
+    * Integer discipline (what makes it engine-exact): the covariance
+    * is the memoized 1e-6 integer matrix; power vectors are 1e-6 ints
+    * ([[powerLoop]]); w = R·v, the Householder entries
+    * H = I − 2uuᵀ/uᵀu, the composition R ← H·R and the deflation
+    * C ← C − λvvᵀ are all computed in exact big-integer arithmetic and
+    * re-pinned at 1e-6 with [[roundDivB]]. Scale shape: one
+    * distributed moment pass (shared with e_pca_power /
+    * e_embedding_covariance), then O(nRefl·d²) driver math — bounded
+    * state, corpus-independent, same legitimacy class as the BPE
+    * vocab. Returns R·1e6 as a d×d long matrix (rows = output dims). */
+  private[graft] def opqRotationMicro(spark: SparkSession, dir: String,
+                                      nRefl: Int = 4, iters: Int = 16,
+                                      dim: Int = 64, sub: Int = 16)
+      : Array[Array[Long]] =
+    opqRotCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, dir)}#opq$nRefl:$iters", {
+        val M = BigInt(1000000)
+        val d = dim
+        var cm: Array[Array[BigInt]] =
+          microCovMatrix(spark, dir).map(_.map(BigInt(_)))
+        var rm: Array[Array[BigInt]] = Array.tabulate(d, d)((a, b) =>
+          if (a == b) M else BigInt(0))
+        for (j <- 0 until nRefl) {
+          val (vm, nrm) = powerLoop(cm.map(_.map(_.toLong)), iters)
+          // w = R·v: the direction expressed in the CURRENT frame
+          val w = Array.tabulate(d)(a =>
+            roundDivB((0 until d).map(c => rm(a)(c) * vm(c)).sum, M))
+          val ax = j * sub
+          val wn = BigInt(roundHalfAway(
+            math.sqrt(w.map(x => x * x).sum.toDouble)))
+          val alpha = if (w(ax).signum > 0) -wn else wn
+          val u = w.clone(); u(ax) = u(ax) - alpha
+          val uu = u.map(x => x * x).sum
+          val h: Array[Array[BigInt]] =
+            if (uu.signum == 0) // w ≡ 0: impossible for a unit power
+              Array.tabulate(d, d)((a, b) => // vector; keep R (H = I)
+                if (a == b) M else BigInt(0))
+            else Array.tabulate(d, d)((a, b) =>
+              (if (a == b) M else BigInt(0)) -
+                roundDivB(u(a) * u(b) * 2 * M, uu))
+          rm = Array.tabulate(d, d)((a, b) =>
+            roundDivB((0 until d).map(c => h(a)(c) * rm(c)(b)).sum, M))
+          if (j < nRefl - 1) {
+            val lam = BigInt(roundHalfAway(nrm / 1e6))
+            cm = Array.tabulate(d, d)((a, b) =>
+              cm(a)(b) - roundDivB(lam * vm(a) * vm(b), M * M))
+          }
+        }
+        rm.map(_.map(_.toLong))
+      })
+
+  private val opqEmbCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The corpus with the OPQ rotation applied: each output coordinate
+    * is round(Σ R_micro·x_micro / 1e6)/1e6 — the integer micro dot
+    * (≤ 64·1e6·|x|·1e6 ≪ 2⁵³, double-exact) rounded at the micro
+    * QUOTIENT (scale-0 ties are representation-exact in both engines),
+    * so the rotated corpus is bit-identical to the SQL twin. Pure
+    * map-side literal-coefficient projection inside whole-stage
+    * codegen — no join, no shuffle, the corpus streams once. */
+  private[graft] def opqRotatedEmb(spark: SparkSession, dir: String): DataFrame =
+    opqEmbCache.getOrElseUpdate(
+      graft.GraftSession.sessionKey(spark, dir) + "#opqemb", {
+        val r = opqRotationMicro(spark, dir)
+        val emb = Tables(spark, dir).embeddings
+        val rows = emb.withColumn("xi", transform(col("embedding"), micro(_)))
+        val outCols = r.indices.map { c =>
+          val dot = aggregate(zip_with(col("xi"),
+            typedLit(r(c).toSeq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)
+          round(dot.cast("double") / 1e6).cast("long") / lit(1e6)
+        }
+        graft.Materialize.table(
+          rows.select(col("vec_id"), array(outCols: _*).as("embedding")))
+      })
+
+  /** PQ over the OPQ-rotated corpus — identical train/encode/ADC
+    * pipeline as [[knnPq]], reading the rotated table; queries rotate
+    * through the same projection (ADC compares rotated to rotated —
+    * cosine is rotation-invariant up to the 1e-6 pinning). */
+  private val opqPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  def knnOpq(spark: SparkSession, dir: String, nQueries: Int = 20,
+             k: Int = 10, m: Int = 4, codes: Int = 16): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val emb = opqRotatedEmb(spark, dir)
+    val (cb, encoded) = opqPqCache.getOrElseUpdate(
+      s"${graft.GraftSession.sessionKey(spark, dir)}#opqpq$m:$codes", {
+        val cb = graft.Materialize.table(
+          pqCodebooks(emb, m, codes, iters = 2, dim = dim))
+        val subvecs = emb.select(col("vec_id"), posexplode(
+          array((0 until m).map(i =>
+            slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+        (cb, graft.Materialize.table(assignPqCodes(subvecs, cb)))
+      })
+    val q = queriesOf(emb, nQueries)
+    val lut = q.select(col("query_id"), posexplode(
+      array((0 until m).map(i =>
+        slice(col("q_emb"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
+      .withColumn("qi", transform(col("qv"), micro(_)))
+      .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
+        Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        aggregate(zip_with(col("qi"), col("cbi"),
+          (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("pdot"),
+        aggregate(transform(col("cbi"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("pn2"))
+    val qn = q.withColumn("qi", transform(col("q_emb"), micro(_)))
+      .select(col("query_id"),
+        sqrt(aggregate(transform(col("qi"), x => x * x),
+          lit(0L), (acc, x) => acc + x).cast("double")).as("qnorm"))
+    encoded.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pdot").as("dot"), sum("pn2").as("rn2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (col("dot") / (col("qnorm") * sqrt(col("rn2")))).as("sim"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        round(col("nn.score"), 6).as("sim"))
+  }
+
+  /** recall@k of OPQ (rotation + PQ) vs exact brute force in the
+    * ORIGINAL space — the number that says whether the learned
+    * rotation pays for itself against [[pqRecall]] at the same code
+    * budget (AnnSpec asserts it does on the real embeddings). */
+  def opqRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val brute = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val opq = knnOpq(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(opq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / (k * 1.0), 4).as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
   /** Per-label simplified silhouette (centroid silhouette): for each
     * vector, a = distance to its OWN label centroid, b = distance to
     * the nearest OTHER label centroid, s = (b − a)/max(a, b); report

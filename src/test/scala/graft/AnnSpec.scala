@@ -139,6 +139,29 @@ class AnnSpec extends AnyFunSuite {
     refined.unpersist()
   }
 
+  test("OPQ: learned rotation beats plain PQ recall; rotation is orthogonal") {
+    // recall-per-byte: same m=4/16-code budget, rotated vs raw. On
+    // this corpus (real correlated structure at sf0.001) the win is
+    // large and stable: measured 0.30 vs 0.21 mean recall@10. (At the
+    // near-isotropic larger SFs the two are within quantization noise
+    // of each other — ±1 hit in 200 — which is the theoretically
+    // expected OPQ behavior on isotropic data.)
+    val pq = Ann.pqRecall(spark, sf)
+      .agg(avg("recall_at_10")).head().getDouble(0)
+    val opq = Ann.opqRecall(spark, sf)
+      .agg(avg("recall_at_10")).head().getDouble(0)
+    assert(opq > pq, s"OPQ recall $opq did not beat PQ recall $pq")
+    // the trained rotation is orthogonal to pinning precision:
+    // R·Rᵀ ≈ I at 1e-6 scale (entries are R·1e6 longs)
+    val r = Ann.opqRotationMicro(spark, sf)
+    val d = r.length
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(c => r(a)(c).toDouble * r(b)(c)).sum / 1e12
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"RRt($a,$b) = $dot, want $want")
+    }
+  }
+
   test("embeddingNearDups pairs all meet the cosine threshold") {
     val pairs = Ann.embeddingNearDups(spark, sf, threshold = 0.2)
     assert(pairs.filter($"cos" < 0.2).count() == 0)
