@@ -126,7 +126,11 @@ object Bench {
         "sq_table" -> (() =>
           { graft.operators.Ann.sqDecoded(spark, sfDir).count(); () }),
         "bq_codes" -> (() =>
-          { graft.operators.Ann.bqCodes(spark, sfDir).count(); () })
+          { graft.operators.Ann.bqCodes(spark, sfDir).count(); () }),
+        // r10: the OPQ rotation training + rotated-corpus PQ index —
+        // attributed so e_opq_recall reads as the thin recall join
+        "opq_index" -> (() =>
+          { graft.operators.Ann.knnOpq(spark, sfDir).count(); () })
       )
     }
     val builds = sharedBuilds.map { case (name, f) =>
