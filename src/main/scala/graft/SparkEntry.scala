@@ -73,6 +73,7 @@ object SparkEntry {
     "e_ivf_recall" -> ((s, d) => Ann.ivfRecall(s, d)),
     "e_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
     "e_opq_recall" -> ((s, d) => Ann.opqRecall(s, d)),
+    "e_kcenter_coreset" -> ((s, d) => Ann.kcenterCoreset(s, d)),
     "e_knn_ivfpq" -> ((s, d) => Ann.knnIvfPq(s, d)),
     "e_ivfpq_recall" -> ((s, d) => Ann.ivfpqRecall(s, d)),
     // sim dropped like e_knn_brute: ranking is engine-comparable
@@ -1825,6 +1826,48 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** k-center greedy coreset oracle (exactly `Ann.kcenterCoreset`):
+    * farthest-point traversal from vec 0, min-dist² maintained
+    * incrementally (one join per pick to the previous pick's vector),
+    * argmax with the smaller-id tie-break, selected ids excluded. All
+    * distances are exact BIGINT sums of micro-int squared diffs. */
+  private def kcenterUnrolled(k: Int): String = {
+    val steps = (1 until k).map { r =>
+      val centerSel = if (r == 1) "0" else s"(SELECT vec_id FROM p${r - 1})"
+      val mBody =
+        if (r == 1) "SELECT vec_id, d2 FROM d1"
+        else s"SELECT m.vec_id, least(m.d2, d.d2) AS d2 " +
+          s"FROM m${r - 1} m JOIN d$r d ON d.vec_id = m.vec_id"
+      val excluded = "0" +
+        (1 until r).map(i => s", (SELECT vec_id FROM p$i)").mkString
+      s""", c$r AS MATERIALIZED (
+         |  SELECT i, xi FROM xm WHERE vec_id = $centerSel)
+         |, d$r AS MATERIALIZED (
+         |  SELECT a.vec_id, CAST(sum((a.xi - b.xi) * (a.xi - b.xi))
+         |    AS BIGINT) AS d2
+         |  FROM xm a JOIN c$r b ON b.i = a.i
+         |  GROUP BY a.vec_id)
+         |, m$r AS MATERIALIZED ($mBody)
+         |, p$r AS MATERIALIZED (
+         |  SELECT vec_id, d2 FROM m$r
+         |  WHERE vec_id NOT IN ($excluded)
+         |  ORDER BY d2 DESC, vec_id ASC LIMIT 1)
+         |""".stripMargin
+    }.mkString
+    val rows = Seq(
+      "SELECT 0 AS rank, CAST(0 AS BIGINT) AS vec_id, " +
+        "CAST(0 AS BIGINT) AS radius_d2") ++
+      (1 until k).map(r =>
+        s"SELECT $r, (SELECT vec_id FROM p$r), (SELECT d2 FROM p$r)")
+    """WITH xm AS MATERIALIZED (
+      |  SELECT vec_id, i,
+      |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |        generate_subscripts(embedding, 1) AS i FROM embeddings))
+      |""".stripMargin + steps +
+      s"SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank"
+  }
+
   /** OPQ oracle: the ENTIRE pipeline unrolled — integer covariance
     * (CovCte's moment pass), `nRefl` deflated HUGEINT power
     * iterations, exact-integer Householder reflections composed into
@@ -2491,6 +2534,7 @@ object SparkEntry {
     "e_knn_pq" -> pqUnrolled(2, 4, 16),
     "e_pq_recall" -> pqRecallUnrolled(2, 4, 16),
     "e_opq_recall" -> opqRecallUnrolled(4, 16, 2, 4, 16),
+    "e_kcenter_coreset" -> kcenterUnrolled(16),
     "e_knn_ivfpq" -> ivfpqUnrolled(3, 2, 16),
     "e_ivfpq_recall" -> ivfpqRecallUnrolled(3, 2, 16),
     // SQ8: per-dim [min,max] linear codes, dequantized values 6-dp

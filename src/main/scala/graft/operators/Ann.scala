@@ -1034,6 +1034,55 @@ object Ann {
     (vals, vecs)
   }
 
+  // ---------- k-center coreset selection ----------
+
+  /** k-center greedy coreset (Gonzalez 1985 farthest-point traversal —
+    * the 2-approximation behind coreset-based data pruning and active
+    * learning, Sener & Savarese 2018): start from vec 0, repeatedly
+    * select the point FARTHEST from the selected set. Returns
+    * (rank, vec_id, radius_d2) — the selection order plus each pick's
+    * min-distance² at selection time (the coverage-radius sequence, in
+    * exact micro² integer units, so the whole output hash-checks with
+    * no float anywhere).
+    *
+    * Scale shape: one corpus aggregation per pick — min-dist² to the
+    * (driver-tiny, broadcast-literal) selected set is a map-side
+    * integer expression, and the argmax is max(struct(d2, −id)), a
+    * 1-row aggregate with the deterministic smaller-id tie-break —
+    * never a global sort. k passes over the corpus is the canonical
+    * k-center cost; distances are exact long sums of micro-int squared
+    * diffs (≤ 64·(4·10¹²) ≪ 2⁶³). Already-selected ids are excluded
+    * explicitly, so an all-duplicates tail cannot re-pick a center. */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), transform(col("embedding"), micro(_)).as("xi"))
+    val rows = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    val d2To = (center: Array[Long]) =>
+      aggregate(zip_with(col("xi"), typedLit(center.toSeq),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val first = rows.filter(col("vec_id") === 0L)
+      .select(col("xi")).head().getSeq[Long](0).toArray
+    var selected = Vector((0L, first, 0L)) // (vec_id, micro vec, radius)
+    for (_ <- 1 until k) {
+      val mind = selected.map { case (_, c, _) => d2To(c) }.reduce(least(_, _))
+      val best = rows
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .agg(max(struct(mind.as("d2"), (-col("vec_id")).as("nid"))).as("b"))
+        .select(col("b.d2"), (-col("b.nid")).as("vec_id"))
+        .head()
+      val id = best.getLong(1)
+      val vec = rows.filter(col("vec_id") === id)
+        .select(col("xi")).head().getSeq[Long](0).toArray
+      selected :+= ((id, vec, best.getLong(0)))
+    }
+    rows.unpersist(blocking = false)
+    selected.zipWithIndex.map { case ((id, _, r), rank) =>
+      (rank, id, r)
+    }.toDF("rank", "vec_id", "radius_d2").orderBy("rank")
+  }
+
   // ---------- OPQ: learned rotation before PQ ----------
 
   /** Half-away-from-zero integer division by a POSITIVE divisor — the

@@ -139,6 +139,36 @@ class AnnSpec extends AnyFunSuite {
     refined.unpersist()
   }
 
+  test("kcenterCoreset == brute-force Gonzalez replay; radii non-increasing") {
+    val k = 8
+    val got = Ann.kcenterCoreset(spark, sf, k)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until k))
+    assert(got.map(_._2).distinct.length == k, "re-picked a center")
+    // driver-side exact replay on the same micro-int grid
+    val vecs = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.round(x.toDouble * 1e6))
+      }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var sel = Vector((0L, 0L))
+    for (_ <- 1 until k) {
+      val cand = vecs.filter(v => !sel.exists(_._1 == v._1))
+        .map { case (id, x) =>
+          (sel.map(s => d2(vecs.find(_._1 == s._1).get._2, x)).min, id)
+        }
+      val best = cand.maxBy { case (d, id) => (d, -id) }
+      sel :+= ((best._2, best._1))
+    }
+    assert(got.map(t => (t._2, t._3)).toSeq == sel,
+      s"selection diverged: got=${got.toSeq} want=$sel")
+    // coverage radii are non-increasing after the seed row
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("OPQ: learned rotation beats plain PQ recall; rotation is orthogonal") {
     // recall-per-byte: same m=4/16-code budget, rotated vs raw. On
     // this corpus (real correlated structure at sf0.001) the win is
