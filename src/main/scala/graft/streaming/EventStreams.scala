@@ -251,6 +251,48 @@ object EventStreams {
       .select(col("doc_id"), col("ts"), col("est_jaccard"))
   }
 
+  /** Ingest-time SEMANTIC near-dup probe — the embedding twin of
+    * [[indexProbeStream]], and the streaming face of SemDeDup
+    * (`Ann.semanticDedup`): each arriving vector is assigned its IVF
+    * cell MAP-SIDE (argmax over the broadcast-literal trained
+    * centroids — the same (sim, cell) struct-max as the batch
+    * `assignCells`, so stream and index agree on the cell), then
+    * stream-static joins ONLY that cell's members from the
+    * session-trained index and emits one row per arrival that has a
+    * cosine-similar corpus member at ≥ threshold — (vec_id, ts,
+    * max_cos, n_matches), finalized by the watermark like the band
+    * probe. Probe cost ∝ batch size × cell size (the corpus enters
+    * through the cell-partitioned index only — at scale the static
+    * side is the stored IVF layout, and a probe reads 1/cells of it);
+    * state is the watermark-bounded aggregation only. */
+  def semanticProbeStream(vecs: DataFrame,
+                          spark: org.apache.spark.sql.SparkSession,
+                          dir: String, threshold: Double = 0.35,
+                          watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val (emb, centroids, assigned) =
+      graft.operators.Ann.ivfIndex(spark, dir)
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val best = greatest(cents.map { case (cell, v) =>
+      struct(cosineSim(col("embedding"), typedLit(v)).as("sim"),
+        lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    val withCell = vecs.withWatermark("ts", watermark)
+      .withColumn("cell", best.getField("cell"))
+    val members = assigned.join(emb, "vec_id")
+      .select(col("cell"), col("vec_id").as("member_id"),
+        col("embedding").as("memb"))
+    withCell.join(members, Seq("cell"))
+      .filter(col("member_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("ts"),
+        cosineSim(col("embedding"), col("memb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"), col("ts"))
+      .agg(round(max(col("cos")), 6).as("max_cos"),
+        count(lit(1)).as("n_matches"))
+  }
+
   /** Generation rotation for the streaming probe — the nightly index
     * swap WITHOUT a stream gap: stop the running query (it commits its
     * offsets), re-load the live generation set from the `gen=N` layout
