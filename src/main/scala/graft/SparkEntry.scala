@@ -89,6 +89,8 @@ object SparkEntry {
     "m_avg_hash" -> (Multimodal.avgHashBuckets _),
     "m_media_neardup" -> ((s, d) => Multimodal.mediaNearDups(s, d)),
     "d_bigram_logprob" -> (TextAnalysis.bigramLogProb _),
+    "d_dup_modality_agreement" -> ((s, d) =>
+      graft.operators.Dedup.dupModalityAgreement(s, d)),
     "d_embedding_neardup" -> ((s, d) =>
       Ann.embeddingNearDups(s, d).orderBy("a", "b")),
     "q_events_sessions" -> (Relational.qEventsSessions _),
@@ -1285,6 +1287,43 @@ object SparkEntry {
       |  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
       |  GROUP BY c.a, c.b)
       |""".stripMargin
+
+  /** Hyperplane-LSH embedding near-dup pipeline (CTE list, no WITH /
+    * leading comma): portable md5-parity planes, 8-bit band buckets,
+    * candidate pairs, norms and exact pair dots — shared by
+    * d_embedding_neardup and d_dup_modality_agreement. */
+  private val EmbNearDupBody: String =
+    """ev AS MATERIALIZED (
+      |  SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+      |    SELECT vec_id, unnest(embedding) AS x,
+      |           generate_subscripts(embedding, 1) AS i
+      |    FROM embeddings)),
+      |planes AS MATERIALIZED (
+      |  SELECT b.b, i.i,
+      |    CASE WHEN ('0x' || substr(md5(b.b || '_' || (i.i - 1)), 1, 1))::INT >= 8
+      |      THEN 1.0 ELSE -1.0 END AS p
+      |  FROM range(48) b(b) CROSS JOIN (SELECT DISTINCT i FROM ev) i),
+      |dots AS MATERIALIZED (
+      |  SELECT ev.vec_id, pl.b, sum(ev.x * pl.p) AS dot
+      |  FROM ev JOIN planes pl ON pl.i = ev.i
+      |  GROUP BY ev.vec_id, pl.b),
+      |bkts AS MATERIALIZED (
+      |  SELECT vec_id, CAST(b // 8 AS INT) AS band,
+      |    CAST(sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END * (1 << (b % 8))) AS BIGINT)
+      |      AS bucket
+      |  FROM dots GROUP BY vec_id, b // 8),
+      |ecand AS MATERIALIZED (
+      |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |  FROM bkts x JOIN bkts y ON x.band = y.band AND x.bucket = y.bucket
+      |  WHERE x.vec_id < y.vec_id),
+      |norms AS MATERIALIZED (
+      |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+      |pairdot AS MATERIALIZED (
+      |  SELECT c.a, c.b, sum(ea.x * eb.x) AS dot
+      |  FROM ecand c
+      |  JOIN ev ea ON ea.vec_id = c.a
+      |  JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
+      |  GROUP BY c.a, c.b)""".stripMargin
 
   /** Nearest-centroid assignment pipeline shared by e_centroid_assign
     * and e_cluster_entropy: 6-dp float-pinned label centroids, cosine
@@ -4246,43 +4285,43 @@ object SparkEntry {
     // signature bits, band buckets, candidate set and double-precision
     // cosine all reproduce in SQL
     "d_embedding_neardup" ->
-      """WITH ev AS MATERIALIZED (
-        |  SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
-        |    SELECT vec_id, unnest(embedding) AS x,
-        |           generate_subscripts(embedding, 1) AS i
-        |    FROM embeddings)),
-        |planes AS MATERIALIZED (
-        |  SELECT b.b, i.i,
-        |    CASE WHEN ('0x' || substr(md5(b.b || '_' || (i.i - 1)), 1, 1))::INT >= 8
-        |      THEN 1.0 ELSE -1.0 END AS p
-        |  FROM range(48) b(b) CROSS JOIN (SELECT DISTINCT i FROM ev) i),
-        |dots AS MATERIALIZED (
-        |  SELECT ev.vec_id, pl.b, sum(ev.x * pl.p) AS dot
-        |  FROM ev JOIN planes pl ON pl.i = ev.i
-        |  GROUP BY ev.vec_id, pl.b),
-        |bkts AS MATERIALIZED (
-        |  SELECT vec_id, CAST(b // 8 AS INT) AS band,
-        |    CAST(sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END * (1 << (b % 8))) AS BIGINT)
-        |      AS bucket
-        |  FROM dots GROUP BY vec_id, b // 8),
-        |ecand AS MATERIALIZED (
-        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM bkts x JOIN bkts y ON x.band = y.band AND x.bucket = y.bucket
-        |  WHERE x.vec_id < y.vec_id),
-        |norms AS MATERIALIZED (
-        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
-        |pairdot AS MATERIALIZED (
-        |  SELECT c.a, c.b, sum(ea.x * eb.x) AS dot
-        |  FROM ecand c
-        |  JOIN ev ea ON ea.vec_id = c.a
-        |  JOIN ev eb ON eb.vec_id = c.b AND eb.i = ea.i
-        |  GROUP BY c.a, c.b)
+      ("WITH " + EmbNearDupBody +
+      """
         |SELECT p.a, p.b, round(p.dot / (na.nrm * nb.nrm), 6) AS cos
         |FROM pairdot p
         |JOIN norms na ON na.vec_id = p.a
         |JOIN norms nb ON nb.vec_id = p.b
         |WHERE p.dot / (na.nrm * nb.nrm) >= 0.35
-        |ORDER BY a, b""".stripMargin,
+        |ORDER BY a, b""".stripMargin),
+    // text-LSH vs embedding-LSH agreement: both shared pipelines, one
+    // full join on the canonical pair key, scale-0 micro-quotient ratio
+    "d_dup_modality_agreement" -> (MinhashCte + ", " + EmbNearDupBody +
+      """, eids AS (SELECT DISTINCT vec_id FROM embeddings),
+        |tp AS (
+        |  SELECT a, b FROM est
+        |  WHERE est >= 0.8 AND a IN (SELECT vec_id FROM eids)
+        |    AND b IN (SELECT vec_id FROM eids)),
+        |ep AS (
+        |  SELECT p.a, p.b FROM pairdot p
+        |  JOIN norms na ON na.vec_id = p.a
+        |  JOIN norms nb ON nb.vec_id = p.b
+        |  WHERE p.dot / (na.nrm * nb.nrm) >= 0.35),
+        |u AS (
+        |  SELECT CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS t,
+        |         CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM tp t FULL JOIN ep e ON e.a = t.a AND e.b = t.b),
+        |agr AS (
+        |  SELECT CAST(sum(CASE WHEN t = 1 AND e = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_text_only,
+        |         CAST(sum(CASE WHEN t = 0 AND e = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_emb_only,
+        |         CAST(sum(CASE WHEN t = 1 AND e = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_both
+        |  FROM u)
+        |SELECT n_text_only, n_emb_only, n_both,
+        |  round(10000.0 * n_both / (n_text_only + n_emb_only + n_both))
+        |    / 10000.0 AS agreement_jaccard
+        |FROM agr""".stripMargin),
     // stricter levels are pure filters of the shared est table —
     // banding fixed, the retention curve replays level by level
     "d_threshold_sweep" -> (MinhashCte + dedupSweepCtes(80, 16) +

@@ -916,6 +916,45 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Cross-MODALITY dedup agreement: the MinHash near-dup pair set
+    * (text modality, est ≥ 0.8, endpoints restricted to docs that have
+    * embeddings) against the hyperplane-LSH embedding near-dup pair
+    * set (semantic modality, cos ≥ 0.35) — one row of
+    * (n_text_only, n_emb_only, n_both, agreement_jaccard). The
+    * diagnostic a curation stack reads before choosing its dedup
+    * recipe: high agreement ⇒ one modality suffices; a large
+    * emb-only mass ⇒ paraphrase duplication that text shingles miss;
+    * a large text-only mass ⇒ boilerplate the encoder ignores.
+    *
+    * Scale shape: both sides ride existing LSH candidate pipelines
+    * (session pair cache + banded hyperplane join — never |D|²); the
+    * agreement is ONE full-outer join on the canonical pair key at
+    * pair volume, then a 1-row aggregate. The agreement ratio is
+    * rounded at the scale-0 micro quotient (×10⁴), where ties are
+    * representation-exact in both engines. */
+  def dupModalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val emb = Tables(spark, dir).embeddings
+    val text = cachedMinhashPairs(dir, docs, 0.8)
+      .join(emb.select(col("vec_id").as("a")), Seq("a"), "left_semi")
+      .join(emb.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"), lit(1).as("t"))
+    val sem = graft.operators.Ann.embeddingNearDups(spark, dir, 0.35)
+      .select(col("a"), col("b"), lit(1).as("e"))
+    text.join(sem, Seq("a", "b"), "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull && col("e").isNull, 1L)
+          .otherwise(0L)).as("n_text_only"),
+        sum(when(col("t").isNull && col("e").isNotNull, 1L)
+          .otherwise(0L)).as("n_emb_only"),
+        sum(when(col("t").isNotNull && col("e").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_text_only"), col("n_emb_only"), col("n_both"),
+        (round(lit(10000.0) * col("n_both") /
+          (col("n_text_only") + col("n_emb_only") + col("n_both")))
+          .cast("long") / 10000.0).as("agreement_jaccard"))
+  }
+
   /** Dedup token-savings report: per source, how many tokens the
     * near-dup pipeline would REMOVE (the non-survivor members of
     * multi-doc clusters, min-id retention) against the source's total
