@@ -549,4 +549,43 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(exchanges.size <= 1, plan.treeString)
   }
+
+  test("opq rotated corpus: literal-coefficient projection, zero shuffles") {
+    // the 64x64 rotation applies as a map-side micro-dot over the
+    // memoized table — any exchange here means the projection
+    // regressed into a join
+    val plan = graft.operators.Ann.opqRotatedEmb(spark, sf)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, plan.treeString)
+  }
+
+  test("nn-descent refinement: candidate expansion is equi-joined, never a product") {
+    // the co-neighbor self-join must key on the shared center vertex;
+    // (the upstream ivfIndex cell ASSIGNMENT legitimately broadcast-
+    // crosses 16 centroid rows, so the full-query plan is asserted
+    // only product-free in its |V|-scaled stage, not end-to-end)
+    val init = graft.operators.Ann.nnDescentInitGraph(spark, sf, 5, 3)
+    val plan = graft.operators.Ann.nnDescentCandidates(init)
+      .queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
+  test("kcenter coreset result is sort-free per pick (agg-based argmax)") {
+    // the selection loop's per-pick argmax is max(struct(d2, -id)) — a
+    // 1-row aggregate; the ONLY sort anywhere is the 16-row output
+    // ordering, never a corpus-sized ranking. The result frame is a
+    // local relation of driver-collected picks, so its plan has no
+    // scan, no exchange, no corpus sort.
+    val plan = graft.operators.Ann.kcenterCoreset(spark, sf, k = 4)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, plan.treeString)
+    assert(!plan.treeString.contains("FileSourceScan"), plan.treeString)
+  }
 }
