@@ -169,6 +169,9 @@ object SparkEntry {
     "d_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
     "d_doc_chunking" -> ((s, d) => Curation.docChunks(s, d)),
     "d_chunk_dedup" -> ((s, d) => Curation.chunkDedupReport(s, d)),
+    "d_line_dedup" -> ((s, d) => Curation.lineDedup(s, d)),
+    "d_source_divergence" ->
+      ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.qKmvDistinct(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
@@ -4782,6 +4785,87 @@ object SparkEntry {
         |  CAST(round((count(*) - count(DISTINCT h)) * 10000.0 / count(*))
         |    AS BIGINT) AS dup_per_10k
         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+    // "line" = non-overlapping 3-token segment (corpus has no
+    // newlines); boilerplate = segment text in >= 3 distinct docs;
+    // kept_md5 value-checks the rebuilt text, not just the counts
+    "d_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST((start - 1) / 3 AS BIGINT) AS seg,
+        |    array_to_string(list_slice(t, start, start + 2), ' ')
+        |      AS segtext,
+        |    least(3, len(t) - start + 1) AS seglen, len(t) AS n_tokens
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 3))
+        |          AS start FROM toks)),
+        |boiler AS (
+        |  SELECT segtext FROM segs WHERE seglen = 3
+        |  GROUP BY segtext HAVING count(DISTINCT doc_id) >= 3),
+        |flag AS (
+        |  SELECT s.doc_id, s.seg, s.segtext, s.seglen, s.n_tokens,
+        |    (b.segtext IS NOT NULL AND s.seglen = 3) AS is_boiler
+        |  FROM segs s LEFT JOIN boiler b ON s.segtext = b.segtext)
+        |SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE seglen = 3) AS BIGINT)
+        |    AS n_segments,
+        |  CAST(count(*) FILTER (WHERE is_boiler) AS BIGINT)
+        |    AS n_boiler_segments,
+        |  CAST(coalesce(sum(seglen) FILTER (WHERE NOT is_boiler), 0)
+        |    AS BIGINT) AS tokens_kept,
+        |  md5(coalesce(string_agg(segtext, ' ' ORDER BY seg)
+        |    FILTER (WHERE NOT is_boiler), '')) AS kept_md5
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // common-token JS terms are non-rational (rational only when
+    // p1 = p2, where they are exactly 0) -> 1e-6 micro quantization is
+    // tie-safe; the rational EXCLUSIVE mass rounds at scale 0 in micro
+    // units. Expression trees mirror the Spark side node for node.
+    "d_source_divergence" ->
+      """WITH tf AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tf WHERE token <> '' GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM tfc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, a.t AS ta, a.vocab AS vocab_a,
+        |    b.source AS source_b, b.t AS tb, b.vocab AS vocab_b
+        |  FROM tot a, tot b WHERE a.source < b.source),
+        |j AS (
+        |  SELECT p.source_a, p.source_b, x.c AS c1, y.c AS c2,
+        |    CAST(round((
+        |      x.c / CAST(p.ta AS DOUBLE)
+        |        * log2(x.c / CAST(p.ta AS DOUBLE) * 2.0
+        |          / (x.c / CAST(p.ta AS DOUBLE)
+        |             + y.c / CAST(p.tb AS DOUBLE)))
+        |      + y.c / CAST(p.tb AS DOUBLE)
+        |        * log2(y.c / CAST(p.tb AS DOUBLE) * 2.0
+        |          / (x.c / CAST(p.ta AS DOUBLE)
+        |             + y.c / CAST(p.tb AS DOUBLE)))
+        |    ) * 0.5 * 1000000.0) AS BIGINT) AS u
+        |  FROM tfc x
+        |  JOIN tfc y ON x.token = y.token AND x.source < y.source
+        |  JOIN pairs p ON p.source_a = x.source AND p.source_b = y.source),
+        |common AS (
+        |  SELECT source_a, source_b, CAST(count(*) AS BIGINT)
+        |      AS vocab_common,
+        |    CAST(sum(c1) AS BIGINT) AS ca, CAST(sum(c2) AS BIGINT) AS cb,
+        |    CAST(sum(u) AS BIGINT) AS uc
+        |  FROM j GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.vocab_a, p.vocab_b,
+        |  CAST(coalesce(c.vocab_common, 0) AS BIGINT) AS vocab_common,
+        |  round((
+        |    CAST(round((p.ta - coalesce(c.ca, 0)) * 500000.0 / p.ta)
+        |      AS BIGINT)
+        |    + CAST(round((p.tb - coalesce(c.cb, 0)) * 500000.0 / p.tb)
+        |      AS BIGINT)
+        |    + coalesce(c.uc, 0)) / 1000000.0, 6) AS js_bits
+        |FROM pairs p LEFT JOIN common c USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
     // the md5 IS the randomness: the KMV estimate replays bit-for-bit
     // ((k-1)*2^60 is exactly representable; final round at scale 0)
     "q_kmv_distinct" ->

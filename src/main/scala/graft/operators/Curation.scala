@@ -422,6 +422,71 @@ object Curation {
       .orderBy("source")
   }
 
+  /** CCNet-style LINE-frequency boilerplate removal (Wenzek et al.
+    * 2019 §3.1 dedups paragraphs by hash across the whole crawl;
+    * RefinedWeb/Gopher drop lines that repeat across many documents —
+    * nav bars, cookie banners, license footers). The corpus has no
+    * newlines, so a "line" is a fixed non-overlapping `w`-token
+    * segment (the same row-local segmentation as [[chunkRows]], stride
+    * = window): a segment is boilerplate iff its exact text occurs in
+    * ≥ `minDocs` DISTINCT documents. Output per doc: token count,
+    * full-segment count, boilerplate-segment count, tokens kept after
+    * removal, and the md5 of the REBUILT text (kept segments in
+    * original order — the hash a downstream exact-dedup would key on),
+    * so the whole removal is value-checked, not just counted.
+    * Tail segments (< w tokens) are never boilerplate-eligible and are
+    * always kept, matching the line-dedup convention that only full
+    * lines are dropped.
+    *
+    * Scale shape: segmentation is row-local (posexplode of a stride
+    * sequence); the frequency table is ONE segment-keyed aggregate
+    * with map-side partials (the hottest boilerplate keys are exactly
+    * the ones partial agg collapses before the shuffle — a banner in
+    * 10M docs ships one (key, count) per task, and countDistinct's
+    * first stage keys by (segtext, doc_id), which repeated segments
+    * within one doc collapse map-side too); the flag-back is an
+    * equi-join against the ≥ minDocs survivors, a set SHRUNK by the
+    * frequency filter (≤ |segments|/minDocs keys, AQE broadcasts it
+    * when small); the rebuild is one doc-keyed aggregate whose state
+    * is bounded by a single document's length. No global sort — the
+    * final orderBy is the deterministic report order. */
+  def lineDedup(spark: SparkSession, dir: String,
+                w: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(w >= 1 && minDocs >= 2, s"need w>=1 minDocs>=2, got $w $minDocs")
+    val docs = Tables(spark, dir).documents
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(w)))
+          .as(Seq("seg", "start")))
+      .select(col("doc_id"), col("n_tokens"), col("seg"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(w)))
+          .as("segtext"),
+        least(lit(w), col("n_tokens") - col("start") + lit(1)).as("seglen"))
+    val boiler = segs.filter(col("seglen") === w)
+      .groupBy("segtext")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("segtext")
+      .withColumn("boiler_key", lit(true))
+    segs.join(boiler, Seq("segtext"), "left")
+      .withColumn("is_boiler",
+        col("boiler_key").isNotNull && col("seglen") === w)
+      .groupBy("doc_id")
+      .agg(
+        max("n_tokens").cast("long").as("n_tokens"),
+        sum(when(col("seglen") === w, 1L).otherwise(0L)).as("n_segments"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L))
+          .as("n_boiler_segments"),
+        coalesce(sum(when(!col("is_boiler"), col("seglen").cast("long"))),
+          lit(0L)).as("tokens_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("is_boiler"),
+            struct(col("seg"), col("segtext"))))),
+          x => x.getField("segtext")))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic token-weighted subsample: systematic resampling
     * (the particle-filter / data-mixing standard) over an md5-shuffled
     * doc order — k evenly spaced points on the cumulative TOKEN line

@@ -564,6 +564,74 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of every source pair — the domain-shift number a
+    * data-mixing recipe reads before weighting sources (DoReMi /
+    * domain-reweighting literature): JS = 0 means two crawls are
+    * lexically interchangeable, 1 bit means disjoint. Complements
+    * [[graft.operators.Dedup.sourceOverlap]] (which counts literal
+    * near-dup pairs): two sources can share zero duplicates yet be
+    * distributionally identical, and vice versa.
+    *
+    * Determinism across engines: common-token JS terms are
+    * non-rational (a term is rational only when p1 = p2 and then it is
+    * exactly 0), so each is quantized to 1e-6 micro-units and summed
+    * as exact longs; the EXCLUSIVE-token mass — whose closed form
+    * 0.5·(1 − C/T) IS rational and would hit the engine tie-rounding
+    * trap at 1e-6 scale — is rounded at scale 0 in micro-units
+    * ((T−C)·500000/T), the decimal-tie-safe idiom.
+    *
+    * Scale shape: ONE map-side-combined (source, token) count
+    * (vocab×|sources| rows, never corpus rows), a token-keyed
+    * self-join producing every pair in one shuffle, totals broadcast;
+    * state bounded by vocabulary and |sources|², independent of corpus
+    * size. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOf(Tables(spark, dir).documents)
+
+  /** Core over any (source, text) frame — spec entry point. */
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("source")
+      .agg(sum("c").as("t"), count(lit(1)).as("vocab"))
+    val pairs = tot
+      .select(col("source").as("source_a"), col("t").as("ta"),
+        col("vocab").as("vocab_a"))
+      .crossJoin(tot.select(col("source").as("source_b"),
+        col("t").as("tb"), col("vocab").as("vocab_b")))
+      .filter(col("source_a") < col("source_b"))
+    val common = tf
+      .select(col("source").as("source_a"), col("token"), col("c").as("c1"))
+      .join(tf.select(col("source").as("source_b"), col("token"),
+        col("c").as("c2")), "token")
+      .filter(col("source_a") < col("source_b"))
+      .join(broadcast(pairs.select("source_a", "source_b", "ta", "tb")),
+        Seq("source_a", "source_b"))
+      .withColumn("p1", col("c1") / col("ta").cast("double"))
+      .withColumn("p2", col("c2") / col("tb").cast("double"))
+      .select(col("source_a"), col("source_b"), col("c1"), col("c2"),
+        round((col("p1") * log2(col("p1") * 2.0 / (col("p1") + col("p2")))
+          + col("p2") * log2(col("p2") * 2.0 / (col("p1") + col("p2"))))
+          * 0.5 * 1e6).cast("long").as("u"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("vocab_common"), sum("c1").as("ca"),
+        sum("c2").as("cb"), sum("u").as("uc"))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("vocab_a"),
+        col("vocab_b"),
+        coalesce(col("vocab_common"), lit(0L)).as("vocab_common"),
+        round((
+          round((col("ta") - coalesce(col("ca"), lit(0L))) * 500000.0
+            / col("ta")).cast("long")
+          + round((col("tb") - coalesce(col("cb"), lit(0L))) * 500000.0
+            / col("tb")).cast("long")
+          + coalesce(col("uc"), lit(0L))) / 1e6, 6).as("js_bits"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Zipf-slope lexical statistic: fit ln(freq) ~ ln(rank) over the
     * top-`k` corpus token frequencies by least squares — natural text
     * sits near slope −1; synthetic/templated corpora flatten. The

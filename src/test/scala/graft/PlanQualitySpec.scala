@@ -574,6 +574,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
   }
 
+  test("line dedup: docs scan pruned to id+text, flag-back is an equi-join") {
+    val df = graft.operators.Curation.lineDedup(spark, sf)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.forall(_.requiredSchema.fieldNames.toSet
+      .subsetOf(Set("doc_id", "text"))),
+      s.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
+  test("source divergence: docs scan pruned, token self-join is an equi-join") {
+    // the only corpus-scaled stage is the vocab-keyed self-join; the
+    // |sources|-row totals cross is a deliberate bounded nested loop
+    val df = graft.operators.TextAnalysis.sourceDivergence(spark, sf)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.forall(_.requiredSchema.fieldNames.toSet
+      .subsetOf(Set("source", "text"))),
+      s.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+    val plan = df.queryExecution.sparkPlan.treeString
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("kcenter coreset result is sort-free per pick (agg-based argmax)") {
     // the selection loop's per-pick argmax is max(struct(d2, -id)) — a
     // 1-row aggregate; the ONLY sort anywhere is the 16-row output

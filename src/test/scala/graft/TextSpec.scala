@@ -370,6 +370,69 @@ class TextSpec extends AnyFunSuite {
     assert(r.select("chunk_md5").distinct().count() > 1)
   }
 
+  test("line dedup: exact driver-side replay of boilerplate removal") {
+    val got = graft.operators.Curation.lineDedup(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toMap
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+    val segsByDoc = docs.map { case (id, toks) =>
+      (id, toks.length, toks.grouped(3).toSeq)
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, _, segs) <- segsByDoc; g <- segs if g.length == 3) {
+      val k = g.mkString(" ")
+      freq(k) = freq.getOrElse(k, Set.empty) + id
+    }
+    val boiler = freq.collect { case (k, ids) if ids.size >= 3 => k }.toSet
+    assert(boiler.nonEmpty, "corpus should contain repeated segments")
+    var removedSomewhere = false
+    for ((id, nTok, segs) <- segsByDoc) {
+      val kept = segs.filter(g => g.length < 3 || !boiler(g.mkString(" ")))
+      if (kept.length != segs.length) removedSomewhere = true
+      val keptText = kept.map(_.mkString(" ")).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(keptText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val exp = (nTok.toLong, segs.count(_.length == 3).toLong,
+        (segs.length - kept.length).toLong,
+        kept.map(_.length.toLong).sum, md)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, want $exp")
+    }
+    assert(removedSomewhere, "removal should fire on this corpus")
+    assert(got.size == docs.length)
+  }
+
+  test("source divergence: identical, disjoint and hand-computed mixed pairs") {
+    def js(corpus: Seq[(String, String)]): Map[(String, String), Double] =
+      TextAnalysis.sourceDivergenceOf(
+        corpus.toDF("source", "text"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // identical distributions -> 0; disjoint vocabularies -> 1 bit
+    val r1 = js(Seq("A" -> "a a b", "B" -> "a a b", "C" -> "x y z"))
+    assert(r1(("A", "B")) == 0.0)
+    assert(r1(("A", "C")) == 1.0 && r1(("B", "C")) == 1.0)
+    // mixed pair, expected value from the same quantization replayed
+    val r2 = js(Seq("A" -> "a a b", "B" -> "a b b"))
+    def term(p1: Double, p2: Double): Long =
+      math.round((p1 * (math.log(p1 * 2.0 / (p1 + p2)) / math.log(2.0))
+        + p2 * (math.log(p2 * 2.0 / (p1 + p2)) / math.log(2.0)))
+        * 0.5 * 1e6)
+    val micro = term(2.0 / 3, 1.0 / 3) + term(1.0 / 3, 2.0 / 3)
+    assert(r2(("A", "B")) ==
+      BigDecimal(micro / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // real corpus: C(S,2) rows, all within [0,1], symmetric key order
+    val full = TextAnalysis.sourceDivergence(spark, sf).cache()
+    val nSrc = Tables(spark, sf).documents.select("source")
+      .distinct().count()
+    assert(full.count() == nSrc * (nSrc - 1) / 2)
+    assert(full.filter($"js_bits" < 0 || $"js_bits" > 1).count() == 0)
+    assert(full.filter($"vocab_common" >
+      least($"vocab_a", $"vocab_b")).count() == 0)
+  }
+
   test("curated-corpus sink: language-partitioned parquet round-trips the kept set") {
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
     try {
