@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -454,38 +454,82 @@ object Curation {
                 w: Int = 3, minDocs: Int = 3): DataFrame = {
     require(w >= 1 && minDocs >= 2, s"need w>=1 minDocs>=2, got $w $minDocs")
     val docs = Tables(spark, dir).documents
-    val segs = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"),
+    val segs = lineSegments(docs, w)
+    val boiler = boilerSegments(segs, w, minDocs).select("segtext")
+    flagBoiler(segs, boiler, w)
+      .groupBy("doc_id")
+      .agg(lineDedupAggs(w).head, lineDedupAggs(w).tail: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Row-local fixed-window segmentation shared by [[lineDedup]], the
+    * boiler-index writer and the streaming gate (ONE definition — the
+    * three consumers cannot drift). `carry` threads extra columns
+    * (e.g. the stream's event time) through the explode. */
+  private[graft] def lineSegments(docs: DataFrame, w: Int,
+                                  carry: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ carry).map(col)
+    docs
+      .select(keep :+ split(col("text"), "\\s+").as("toks"): _*)
+      .select(keep ++ Seq(size(col("toks")).as("n_tokens"), col("toks"),
         posexplode(sequence(lit(1), size(col("toks")), lit(w)))
-          .as(Seq("seg", "start")))
-      .select(col("doc_id"), col("n_tokens"), col("seg"),
+          .as(Seq("seg", "start"))): _*)
+      .select(keep ++ Seq(col("n_tokens"), col("seg"),
         concat_ws(" ", slice(col("toks"), col("start"), lit(w)))
           .as("segtext"),
-        least(lit(w), col("n_tokens") - col("start") + lit(1)).as("seglen"))
-    val boiler = segs.filter(col("seglen") === w)
+        least(lit(w), col("n_tokens") - col("start") + lit(1))
+          .as("seglen")): _*)
+  }
+
+  /** The boilerplate-frequency table: full segments occurring in
+    * ≥ minDocs distinct docs. ONE map-side-combined aggregate. */
+  private[graft] def boilerSegments(segs: DataFrame, w: Int,
+                                    minDocs: Int): DataFrame =
+    segs.filter(col("seglen") === w)
       .groupBy("segtext")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("segtext")
-      .withColumn("boiler_key", lit(true))
-    segs.join(boiler, Seq("segtext"), "left")
+
+  /** Left-join flag against a boilerplate segment set. */
+  private[graft] def flagBoiler(segs: DataFrame, boiler: DataFrame,
+                                w: Int): DataFrame =
+    segs.join(boiler.select(col("segtext"))
+        .withColumn("boiler_key", lit(true)), Seq("segtext"), "left")
       .withColumn("is_boiler",
         col("boiler_key").isNotNull && col("seglen") === w)
-      .groupBy("doc_id")
-      .agg(
-        max("n_tokens").cast("long").as("n_tokens"),
-        sum(when(col("seglen") === w, 1L).otherwise(0L)).as("n_segments"),
-        sum(when(col("is_boiler"), 1L).otherwise(0L))
-          .as("n_boiler_segments"),
-        coalesce(sum(when(!col("is_boiler"), col("seglen").cast("long"))),
-          lit(0L)).as("tokens_kept"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(when(!col("is_boiler"),
-            struct(col("seg"), col("segtext"))))),
-          x => x.getField("segtext")))).as("kept_md5"))
-      .orderBy("doc_id")
+
+  /** The per-doc removal report aggregates — shared verbatim by the
+    * batch report and the streaming gate so the two cannot drift. */
+  private[graft] def lineDedupAggs(w: Int): Seq[Column] = Seq(
+    max("n_tokens").cast("long").as("n_tokens"),
+    sum(when(col("seglen") === w, 1L).otherwise(0L)).as("n_segments"),
+    sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_segments"),
+    coalesce(sum(when(!col("is_boiler"), col("seglen").cast("long"))),
+      lit(0L)).as("tokens_kept"),
+    md5(concat_ws(" ", transform(
+      array_sort(collect_list(when(!col("is_boiler"),
+        struct(col("seg"), col("segtext"))))),
+      x => x.getField("segtext")))).as("kept_md5"))
+
+  /** Persist the boilerplate-frequency artifact (the nightly output a
+    * CCNet-style deployment computes over the full crawl, then applies
+    * at ingest time — the line-dedup analog of the LSH band index):
+    * (segtext, nd) parquet. Returns the number of boilerplate
+    * segments written. */
+  def writeBoilerIndex(docs: DataFrame, out: String,
+                       w: Int = 3, minDocs: Int = 3): Long = {
+    boilerSegments(lineSegments(docs, w), w, minDocs)
+      .write.mode("overwrite").parquet(out)
+    docs.sparkSession.read.parquet(out).count()
   }
+
+  /** Corpus-directory convenience of [[writeBoilerIndex]]. */
+  def writeBoilerIndex(spark: SparkSession, dir: String, out: String):
+      Long = writeBoilerIndex(Tables(spark, dir).documents, out)
+
+  /** Load a persisted boiler index for batch or stream-static use. */
+  def loadBoilerIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Deterministic token-weighted subsample: systematic resampling
     * (the particle-filter / data-mixing standard) over an md5-shuffled

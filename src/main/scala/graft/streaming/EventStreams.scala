@@ -207,6 +207,30 @@ object EventStreams {
   def qualityGateStream(docs: DataFrame): DataFrame =
     docs.filter(graft.operators.TextAnalysis.gopherKeep(col("text")))
 
+  /** Ingest-time LINE-level boilerplate gate — the streaming twin of
+    * `d_line_dedup`, and the deployment shape of CCNet-style line
+    * dedup: the boilerplate-frequency artifact is computed nightly
+    * over the full crawl ([[graft.operators.Curation.writeBoilerIndex]])
+    * and each arriving doc is scrubbed against the LOADED set at
+    * ingest. Segmentation is the SAME row-local explode as the batch
+    * report ([[graft.operators.Curation.lineSegments]] — one
+    * definition, no drift), the flag-back is a stream-static join on
+    * segment text (broadcast when the index is small), and the per-doc
+    * report re-assembles through the SAME aggregate list as batch
+    * ([[graft.operators.Curation.lineDedupAggs]]), keyed by
+    * (doc_id, ts) under the watermark — state is watermark-bounded,
+    * emission is append-mode once event time passes. Output matches
+    * the batch report doc-for-doc plus the event time. */
+  def boilerGateStream(docs: DataFrame, boiler: DataFrame, w: Int = 3,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val segs = graft.operators.Curation.lineSegments(
+      docs.withWatermark("ts", watermark), w, carry = Seq("ts"))
+    graft.operators.Curation.flagBoiler(segs, boiler, w)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(graft.operators.Curation.lineDedupAggs(w).head,
+        graft.operators.Curation.lineDedupAggs(w).tail: _*)
+  }
+
   /** Streaming delta-vs-PERSISTED-INDEX near-dup probe — the streaming
     * twin of the r9 `Dedup.deltaDupPairs` nightly operation, and the
     * production shape for ingest-time corpus dedup: each arriving doc
