@@ -116,6 +116,13 @@ object Bench {
         // as the thin delta-vs-loaded-index probe it is
         "band_index" -> (() =>
           { Dedup.incrementalDedup(spark, sfDir).limit(1).count(); () }),
+        // r10: the default-cap sweep's GATED distributed-CC rollup —
+        // sf0.1 carries one 3.5k-member template component (memberCap
+        // 707), so the gate fires even at the 250k default and its
+        // one-time memoized build (r10) otherwise lands unattributed
+        // on the d_threshold_sweep query line (read 17 s there)
+        "sweep_gated_cc" -> (() =>
+          { Dedup.dedupThresholdSweep(spark, sfDir).limit(1).count(); () }),
         // ANN index trainings are session memos too (r8): without
         // attribution the alphabetically-first consumer (e_knn_pq /
         // e_knn_sq / e_bq_codes) absorbs the whole build
