@@ -172,6 +172,7 @@ object SparkEntry {
     "d_line_dedup" -> ((s, d) => Curation.lineDedup(s, d)),
     "d_source_divergence" ->
       ((s, d) => TextAnalysis.sourceDivergence(s, d)),
+    "d_lsh_plan" -> ((s, d) => Dedup.lshPlan(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.qKmvDistinct(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
@@ -4334,6 +4335,37 @@ object SparkEntry {
     "d_minhash_lsh_dups" -> (MinhashCte +
       """SELECT a, b, round(est, 4) AS est_jaccard FROM est
         |WHERE est >= 0.9 ORDER BY a, b""".stripMargin),
+    // S-curve terms are non-rational powers (micro-quantized, exact
+    // long sums; k=0/128 endpoints are exactly 0/1 - no .5 micro tie);
+    // the caught-rate is a scale-0 micro-quotient round
+    "d_lsh_plan" -> (MinhashCte +
+      """, hist AS (
+        |  SELECT CAST(round(est * 128) AS INT) AS k, count(*) AS cnt
+        |  FROM est WHERE est >= 0.8 GROUP BY 1),
+        |cfg AS (
+        |  SELECT * FROM (VALUES (4, 32), (8, 16), (16, 8), (32, 4),
+        |    (64, 2)) AS t(bands, rows_per_band)),
+        |caught AS (
+        |  SELECT bands, rows_per_band,
+        |    CAST(sum(CAST(round((1.0 - pow(1.0 - pow(k / 128.0,
+        |      rows_per_band), bands)) * cnt * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS cp,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM cfg, hist GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT bands, rows_per_band,
+        |    CAST(sum(CAST(round((1.0 - pow(1.0 - pow(k / 128.0,
+        |      rows_per_band), bands)) / 128.0 * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS fpm
+        |  FROM cfg, range(103) t(k) GROUP BY 1, 2)
+        |SELECT c.bands, c.rows_per_band,
+        |  round(pow(1.0 / c.bands, 1.0 / c.rows_per_band), 6)
+        |    AS threshold_50,
+        |  CAST(round(c.cp / (c.n * 100.0)) AS BIGINT)
+        |    AS exp_caught_per_10k,
+        |  f.fpm AS fp_area_ppm
+        |FROM caught c JOIN fp f USING (bands, rows_per_band)
+        |ORDER BY bands""".stripMargin),
     "d_ngram_jaccard" -> (MinhashCte +
       """, ds AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

@@ -177,6 +177,57 @@ object Dedup {
         m
       })
 
+  /** LSH banding-parameter PLANNER — the question every MinHash
+    * deployment answers before choosing (bands, rows): for each
+    * config with b·r = 128 permutations, where does the S-curve
+    * 1−(1−sʳ)ᵇ sit, what fraction of the corpus's OBSERVED ≥ threshold
+    * dup pairs would it catch (expected recall against the product's
+    * real similarity histogram, not a textbook prior), and how much
+    * sub-threshold false-accept area does it buy (uniform-prior
+    * integral on the 1/128 grid below the threshold). The observed
+    * histogram rides the session pair cache — marginal cost is a
+    * 129-bucket aggregate; everything after is |configs|-row
+    * arithmetic.
+    *
+    * Determinism: est values are exact multiples of 1/128 (the 4-dp
+    * rounding radius 5e-5·128 ≪ 0.5 recovers k exactly), S-curve
+    * values are non-rational powers (micro-quantized per term, summed
+    * as exact longs; the k = 0 and k = 128 endpoints are exactly 0/1
+    * — no .5 micro tie exists), and the final caught-rate is a
+    * scale-0 micro-quotient round (the decimal-tie-safe idiom). */
+  def lshPlan(spark: SparkSession, dir: String,
+              threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val pairs = cachedMinhashPairs(dir, docs, threshold)
+    val hist = pairs
+      .groupBy(round(col("est_jaccard") * 128).cast("int").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val cfg = Seq((4, 32), (8, 16), (16, 8), (32, 4), (64, 2))
+      .toDF("bands", "rows_per_band")
+    def collide(kc: Column): Column = lit(1.0) -
+      pow(lit(1.0) - pow(kc / 128.0, col("rows_per_band")), col("bands"))
+    val caught = cfg.crossJoin(hist)
+      .select(col("bands"), col("rows_per_band"), col("cnt"),
+        round(collide(col("k")) * col("cnt") * 1e6).cast("long").as("u"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum("u").as("cp"), sum("cnt").as("n"))
+    val kCut = math.ceil(128 * threshold).toInt
+    val fp = cfg.crossJoin(spark.range(0, kCut).toDF("k"))
+      .select(col("bands"), col("rows_per_band"),
+        round(collide(col("k")) / 128.0 * 1e6).cast("long").as("u"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum("u").as("fpm"))
+    caught.join(fp, Seq("bands", "rows_per_band"))
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")),
+          6).as("threshold_50"),
+        round(col("cp") / (col("n") * 100.0)).cast("long")
+          .as("exp_caught_per_10k"),
+        col("fpm").as("fp_area_ppm"))
+      .orderBy("bands")
+  }
+
   /** Exact n-gram (unigram-shingle) Jaccard verification on the LSH
     * candidates — the verify stage of the dedup pipeline. */
   def ngramJaccardPairs(docs: DataFrame, candThreshold: Double = 0.8,

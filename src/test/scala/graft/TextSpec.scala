@@ -403,6 +403,35 @@ class TextSpec extends AnyFunSuite {
     assert(got.size == docs.length)
   }
 
+  test("lsh plan: exact replay of the S-curve scoring on the cached pairs") {
+    val got = Dedup.lshPlan(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val ests = Dedup.cachedMinhashPairs(sf, Tables(spark, sf).documents, 0.8)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(ests.nonEmpty)
+    val hist = ests.groupBy(e => math.round(e * 128).toInt)
+      .view.mapValues(_.length.toLong).toMap
+    def p(k: Int, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(k / 128.0, r), b)
+    val n = hist.values.sum
+    for ((b, r) <- Seq((4, 32), (8, 16), (16, 8), (32, 4), (64, 2))) {
+      val cp = hist.map { case (k, c) => math.round(p(k, r, b) * c * 1e6) }.sum
+      val fpm = (0 until 103).map(k => math.round(p(k, r, b) / 128.0 * 1e6)).sum
+      val t50 = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val caught = math.round(cp / (n * 100.0))
+      assert(got((b, r)) == ((t50, caught, fpm)),
+        s"($b,$r): got ${got((b, r))}, want ($t50, $caught, $fpm)")
+    }
+    // the structural tradeoff: more bands -> lower midpoint, more
+    // caught, more false-accept area — monotone along the config list
+    val byBands = got.toSeq.sortBy(_._1._1).map(_._2)
+    assert(byBands.map(_._1) == byBands.map(_._1).sorted.reverse)
+    assert(byBands.map(_._2) == byBands.map(_._2).sorted)
+    assert(byBands.map(_._3) == byBands.map(_._3).sorted)
+  }
+
   test("source divergence: identical, disjoint and hand-computed mixed pairs") {
     def js(corpus: Seq[(String, String)]): Map[(String, String), Double] =
       TextAnalysis.sourceDivergenceOf(
