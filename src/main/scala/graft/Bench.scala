@@ -49,13 +49,12 @@ object Bench {
     math.round(samples.sorted.apply(2) * 100.0) / 100.0
   }
 
-  /** Fast-mode cutoff for `host_mode`, in ms. First observation
-    * (r10): probe ≈ 113-116 ms alongside a 403 s suite total (the slow
-    * cluster); the ~15% mode gap puts the fast mode near ~99 ms, so
-    * the cutoff sits between the hypothesized modes. `calib_ms` is
-    * always recorded raw, so a mislabeled mode is recoverable and the
-    * constant can be pinned exactly once both modes have been
-    * sampled. */
+  /** Fast-mode cutoff for `host_mode`, in ms. Both modes sampled in
+    * r10: slow runs measured 113-132 ms (suite totals 371-403 s), a
+    * fast run measured 99.09 ms (345 s) — the predicted ~99 ms fast
+    * mode landed exactly, and the cutoff splits the observed clusters
+    * cleanly. `calib_ms` is always recorded raw, so a mislabeled mode
+    * stays recoverable if a new cluster appears. */
   private val FastCutoffMs = 107.0
 
   def main(args: Array[String]): Unit = {
