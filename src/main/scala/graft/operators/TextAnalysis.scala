@@ -564,6 +564,16 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** The (source, token) count stage of [[sourceDivergenceOf]] — the
+    * only corpus-scaled pass; exposed so the plan gate can assert its
+    * scan pruning directly (the full query scope-materializes this
+    * table and seals a |pairs|-row local result, leaving no file scan
+    * in the final plan by design). */
+  private[graft] def sourceTf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+
   /** Pairwise Jensen–Shannon divergence between the unigram
     * distributions of every source pair — the domain-shift number a
     * data-mixing recipe reads before weighting sources (DoReMi /
@@ -589,12 +599,14 @@ object TextAnalysis {
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
     sourceDivergenceOf(Tables(spark, dir).documents)
 
-  /** Core over any (source, text) frame — spec entry point. */
+  /** Core over any (source, text) frame — spec entry point. The
+    * (source, token) count table feeds BOTH sides of the self-join
+    * and the totals, so it is scope-materialized once (vocab-bounded
+    * rows) instead of re-running the corpus scan per consumer; the
+    * |pairs|-row result seals the scope. */
   def sourceDivergenceOf(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("source"), explode(toks).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val scope = new graft.Materialize.Scoped
+    val tf = scope.table(sourceTf(docs))
     val tot = tf.groupBy("source")
       .agg(sum("c").as("t"), count(lit(1)).as("vocab"))
     val pairs = tot
@@ -619,7 +631,7 @@ object TextAnalysis {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("vocab_common"), sum("c1").as("ca"),
         sum("c2").as("cb"), sum("u").as("uc"))
-    pairs.join(common, Seq("source_a", "source_b"), "left")
+    scope.seal(pairs.join(common, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"), col("vocab_a"),
         col("vocab_b"),
         coalesce(col("vocab_common"), lit(0L)).as("vocab_common"),
@@ -629,7 +641,7 @@ object TextAnalysis {
           + round((col("tb") - coalesce(col("cb"), lit(0L))) * 500000.0
             / col("tb")).cast("long")
           + coalesce(col("uc"), lit(0L))) / 1e6, 6).as("js_bits"))
-      .orderBy("source_a", "source_b")
+      .orderBy("source_a", "source_b"))
   }
 
   /** Zipf-slope lexical statistic: fit ln(freq) ~ ln(rank) over the

@@ -586,18 +586,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
   }
 
-  test("source divergence: docs scan pruned, token self-join is an equi-join") {
-    // the only corpus-scaled stage is the vocab-keyed self-join; the
-    // |sources|-row totals cross is a deliberate bounded nested loop
-    val df = graft.operators.TextAnalysis.sourceDivergence(spark, sf)
-    val s = scans(df)
+  test("source divergence: tf scan pruned; sealed result re-reads no file") {
+    // the ONLY corpus-scaled pass is the (source, token) count — its
+    // scan must prune to exactly the two columns; the full query
+    // scope-materializes that table once and seals a |pairs|-row local
+    // result, so consuming the report can never re-scan the corpus
+    val tf = graft.operators.TextAnalysis.sourceTf(
+      Tables(spark, sf).documents)
+    val s = scans(tf)
     assert(s.nonEmpty)
     assert(s.forall(_.requiredSchema.fieldNames.toSet
       .subsetOf(Set("source", "text"))),
       s.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
-    val plan = df.queryExecution.sparkPlan.treeString
-    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    val sealed0 = graft.operators.TextAnalysis.sourceDivergence(spark, sf)
+    assert(scans(sealed0).isEmpty,
+      sealed0.queryExecution.sparkPlan.treeString)
   }
 
   test("kcenter coreset result is sort-free per pick (agg-based argmax)") {
