@@ -173,6 +173,8 @@ object SparkEntry {
     "d_source_divergence" ->
       ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "d_lsh_plan" -> ((s, d) => Dedup.lshPlan(s, d)),
+    "e_knn_filtered" -> ((s, d) => Ann.knnFiltered(s, d)),
+    "e_filtered_recall" -> ((s, d) => Ann.filteredRecall(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.qKmvDistinct(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
@@ -2551,6 +2553,66 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // sim dropped like e_knn_brute; the label filter applies BEFORE
+    // ranking (pre-filter semantics), short labels yield short lists
+    "e_knn_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id AND e.label = q.q_label),
+        |r AS (
+        |  SELECT query_id, q_label AS label, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, label, rank, neighbor_id
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exact integer counting; the rate is a scale-0 quotient round
+    // against the DATA's true-list size (short labels shrink it)
+    "e_filtered_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS MATERIALIZED (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    (e.label = q.q_label) AS mt,
+        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |tt AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+        |      AS rk
+        |    FROM s WHERE mt) WHERE rk <= 10),
+        |uf AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+        |      AS rank
+        |  FROM s),
+        |j AS (
+        |  SELECT t.query_id, t.neighbor_id, u.rank
+        |  FROM tt t LEFT JOIN uf u USING (query_id, neighbor_id)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS h10,
+        |    CAST(sum(CASE WHEN rank <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS h20,
+        |    CAST(sum(CASE WHEN rank <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS h40,
+        |    CAST(sum(CASE WHEN rank <= 80 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS h80
+        |  FROM j)
+        |SELECT v.fetch_k, v.hits,
+        |  CAST(round(v.hits * 10000.0 / a.total) AS BIGINT)
+        |    AS recall_per_10k
+        |FROM a, LATERAL (VALUES (10, a.h10), (20, a.h20), (40, a.h40),
+        |  (80, a.h80)) AS v(fetch_k, hits)
+        |ORDER BY v.fetch_k""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
     // recall@10 of the IVF probe against exact brute force — BOTH
     // pipelines replayed in one statement from the shared ev/evn CTEs

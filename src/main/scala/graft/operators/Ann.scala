@@ -98,6 +98,88 @@ object Ann {
       .orderBy("label", "assigned_label")
   }
 
+  /** FILTERED vector search, exact pre-filter baseline — the
+    * metadata-predicate + vector-similarity combination every vector
+    * store ships (multi-tenant search, per-category retrieval): per
+    * query, top-k cosine among ONLY the vectors whose label matches
+    * the query's own label, self excluded. The filter applies BEFORE
+    * any distance is computed (the pre-filter design point — at scale
+    * the predicate prunes the scan, it never post-drops results), so
+    * the result is exact at any selectivity, including labels with
+    * fewer than k members (short result lists, never padding). Same
+    * broadcast-queries + map-side bounded top-k shape as [[knnBrute]]
+    * — k·|queries| state, no score matrix. */
+  def knnFiltered(spark: SparkSession, dir: String,
+                  nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(queriesOf(emb, nQueries)
+      .join(Tables(spark, dir).embeddings
+        .select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        "query_id"))
+    emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id", "q_label")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), col("q_label").as("label"),
+        posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), col("label"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The POST-filter recall-loss curve — the number that decides the
+    * over-fetch factor in every filtered-ANN deployment: retrieving
+    * the UNFILTERED top-`fetch_k` and then dropping non-matching
+    * labels loses exactly the true filtered neighbors that sit below
+    * rank fetch_k. Per fetch_k ∈ {k, 2k, 4k, 8k}: how many of the true
+    * pre-filter top-k (the [[knnFiltered]] result) survive, as an
+    * exact per-10k rate against the true list size (which is < k for
+    * thin labels — the denominator is the data's, not k·|queries|).
+    * One scored table serves the true list and the over-fetch list;
+    * all counting is exact integers, the rate a scale-0 micro-quotient
+    * round. */
+  def filteredRecall(spark: SparkSession, dir: String,
+                     nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = broadcast(queriesOf(emb, nQueries)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id"))
+    val fetches = Seq(k, 2 * k, 4 * k, 8 * k)
+    val scope = new graft.Materialize.Scoped
+    val scored = scope.table(emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("label") === col("q_label")).as("match"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim")))
+    val trueTop = scored.filter(col("match"))
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("nn"))
+      .select(col("query_id"), col("nn.neighbor_id").as("neighbor_id"))
+    val unf = scored
+      .groupBy("query_id")
+      .agg(topK(col("vec_id"), col("sim"), fetches.max).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"))
+    val joined = trueTop
+      .join(unf, Seq("query_id", "neighbor_id"), "left")
+    val aggCols = count(lit(1)).as("total") +: fetches.map(f =>
+      sum(when(col("rank") <= f, 1L).otherwise(0L)).as(s"h$f"))
+    val agg = joined.agg(aggCols.head, aggCols.tail: _*)
+    val row = scope.seal(agg).head()
+    val total = row.getLong(0)
+    import spark.implicits._
+    fetches.zipWithIndex.map { case (f, i) =>
+      val hits = row.getLong(i + 1)
+      (f, hits, math.round(hits * 10000.0 / total))
+    }.toDF("fetch_k", "hits", "recall_per_10k")
+      .orderBy("fetch_k")
+  }
+
   def knnBrute(spark: SparkSession, dir: String,
                nQueries: Int = 20, k: Int = 10): DataFrame = {
     val emb = Tables(spark, dir).embeddings

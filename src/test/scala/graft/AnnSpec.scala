@@ -430,6 +430,49 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
   }
 
+  test("filtered knn: exact driver replay, pre-filter semantics, recall curve") {
+    val emb = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val byId = emb.map(e => e._1 -> e).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Ann.knnFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    val queries = emb.filter(_._1 < 20)
+    var anyShort = false
+    queries.foreach { case (qid, qe, ql) =>
+      val want = emb.filter(e => e._1 != qid && e._3 == ql)
+        .map(e => (e._1, cos(qe, e._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      if (want.length < 10) anyShort = true
+      want.zipWithIndex.foreach { case ((nid, _), i) =>
+        assert(got((qid, i + 1)) == nid, s"query $qid rank ${i + 1}")
+      }
+      // pre-filter semantics: every returned neighbor matches the label
+      (1 to want.length).foreach { r =>
+        assert(byId(got((qid, r)))._3 == ql)
+      }
+    }
+    // recall curve: hits nondecreasing in fetch_k, bounded by total
+    val curve = Ann.filteredRecall(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == Seq(10, 20, 40, 80))
+    assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq)
+    assert(curve.forall(c => c._3 >= 0 && c._3 <= 10000))
+    // post-filtering at fetch_k = k must lose recall on this corpus
+    // (labels are 1/10 of the data: the unfiltered top-10 is mostly
+    // other labels), and over-fetch must strictly help
+    assert(curve.head._3 < curve.last._3,
+      s"over-fetch should improve recall: $curve")
+  }
+
   test("matryoshka and mips rankings: right shape, self excluded") {
     val mat = Ann.matryoshkaRecall(spark, sf, dims = 16, nQueries = 5)
       .collect()
