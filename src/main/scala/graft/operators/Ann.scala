@@ -113,9 +113,8 @@ object Ann {
                   nQueries: Int = 20, k: Int = 10): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val q = broadcast(queriesOf(emb, nQueries)
-      .join(Tables(spark, dir).embeddings
-        .select(col("vec_id").as("query_id"), col("label").as("q_label")),
-        "query_id"))
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id"))
     emb.crossJoin(q)
       .filter(col("vec_id") =!= col("query_id") &&
         col("label") === col("q_label"))
