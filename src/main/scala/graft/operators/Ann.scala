@@ -23,7 +23,7 @@ import org.apache.spark.storage.StorageLevel
 object Ann {
 
   /** Default query set: a small deterministic slice of the corpus. */
-  private def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
+  private[graft] def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
     emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
@@ -43,7 +43,7 @@ object Ann {
     * representable, and the engines land on opposite sides — Spark's
     * round() rounds the shortest-decimal string of the double (up),
     * DuckDB rounds the binary value (down). */
-  private def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c.cast("double") * 1e6).cast("long")
 
   /** Exact cosine top-k. Output: (query_id, rank, neighbor_id, sim). */
@@ -572,7 +572,7 @@ object Ann {
   /** Nearest-code assignment per (vector, subspace): (vec_id, m, code).
     * L2 on the subvector, ties → smaller code — mirrored exactly by
     * the SQL oracle. */
-  private def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame =
     // micro-int L2: elements quantized to value×10⁶ longs ONCE per
     // array (hoisted out of the per-code distance lambda — quantizing
     // inside it re-ran the conversion |codes| times per element), so
