@@ -174,7 +174,10 @@ object SparkEntry {
       ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "d_lsh_plan" -> ((s, d) => Dedup.lshPlan(s, d)),
     "e_knn_filtered" -> ((s, d) => Ann.knnFiltered(s, d)),
+    "e_knn_filtered_ivf" -> ((s, d) => Ann.knnFilteredIvf(s, d)),
     "e_filtered_recall" -> ((s, d) => Ann.filteredRecall(s, d)),
+    "e_incremental_semdedup" -> ((s, d) =>
+      graft.operators.AnnIndex.incrementalSemDedup(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.qKmvDistinct(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
@@ -1529,7 +1532,7 @@ object SparkEntry {
     * (vec_id → cell) — shared by the e_knn_ivf and d_semantic_dedup
     * oracles, which are two consumers of the one trained index just
     * like the Spark side's shared `ivfIndex`. */
-  private def ivfTrainedCtes(iters: Int): String = {
+  private def ivfTrainedCtes(iters: Int, where: String = "TRUE"): String = {
     val rounds = (1 to iters).map { k =>
       s""", d$k AS (
          |  SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot,
@@ -1551,11 +1554,12 @@ object SparkEntry {
          |  GROUP BY a.cell, e.i)
          |""".stripMargin
     }.mkString(
-      """WITH ev AS MATERIALIZED (
+      s"""WITH ev AS MATERIALIZED (
         |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x,
         |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi FROM (
         |    SELECT vec_id, unnest(embedding) AS x,
-        |           generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings
+        |    WHERE $where)),
         |evn AS MATERIALIZED (
         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
         |c0 AS MATERIALIZED (
@@ -2614,6 +2618,87 @@ object SparkEntry {
         |  (80, a.h80)) AS v(fetch_k, hits)
         |ORDER BY v.fetch_k""".stripMargin,
     "e_knn_ivf" -> ivfUnrolled(3),
+    // indexed filtered search: the label predicate lives INSIDE the
+    // probed-cell candidate join (pre-filter within the probed cells),
+    // exactly Ann.knnFilteredIvf; thin labels yield short lists
+    "e_knn_filtered_ivf" -> (ivfTrainedCtes(3) +
+      """, fq AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, label AS q_label
+        |  FROM embeddings WHERE vec_id < 20)
+        |, fprobes AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
+        |      PARTITION BY d.vec_id
+        |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
+        |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
+        |    WHERE d.vec_id < 20)
+        |  WHERE rk <= 4)
+        |, fcd AS (
+        |  SELECT p.query_id, f.q_label, x.vec_id AS neighbor_id,
+        |    sum(eq.x * ex.x) AS dot
+        |  FROM fprobes p
+        |  JOIN fq f ON f.query_id = p.query_id
+        |  JOIN idx x ON x.cell = p.cell
+        |  JOIN embeddings el ON el.vec_id = x.vec_id
+        |    AND el.label = f.q_label
+        |  JOIN ev eq ON eq.vec_id = p.query_id
+        |  JOIN ev ex ON ex.vec_id = x.vec_id AND ex.i = eq.i
+        |  WHERE x.vec_id <> p.query_id
+        |  GROUP BY p.query_id, f.q_label, x.vec_id)
+        |, frr AS (
+        |  SELECT c.query_id, c.q_label, c.neighbor_id, row_number() OVER (
+        |    PARTITION BY c.query_id
+        |    ORDER BY c.dot / (nq.nrm * nn.nrm) DESC, c.neighbor_id ASC)
+        |    AS rank
+        |  FROM fcd c JOIN evn nq ON nq.vec_id = c.query_id
+        |  JOIN evn nn ON nn.vec_id = c.neighbor_id)
+        |SELECT query_id, q_label AS label, rank, neighbor_id
+        |FROM frr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // the REAL nightly dataflow replayed: IVF trained on the BASE
+    // slice only (vec_id % 7 <> 3 — init is the base's first 16 ids),
+    // each delta vector assigned to its cell under the converged
+    // centroids (sim DESC, cell DESC — the assign tie-break), then
+    // compared against ONLY that cell's base members at cos >= 0.35
+    "e_incremental_semdedup" -> (ivfTrainedCtes(3, "vec_id % 7 <> 3") +
+      """, dev AS MATERIALIZED (
+        |  SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+        |    SELECT vec_id, unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings
+        |    WHERE vec_id % 7 = 3)),
+        |devn AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dev GROUP BY vec_id)
+        |, dd AS (
+        |  SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot,
+        |    sqrt(sum(c.c * c.c)) AS cn
+        |  FROM dev e JOIN c3 c ON c.i = e.i
+        |  GROUP BY e.vec_id, c.cell)
+        |, dassign AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT d.vec_id, d.cell, row_number() OVER (
+        |      PARTITION BY d.vec_id
+        |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell DESC) AS rn
+        |    FROM dd d JOIN devn n ON n.vec_id = d.vec_id)
+        |  WHERE rn = 1)
+        |, dp AS (
+        |  SELECT da.vec_id AS d, x.vec_id AS b, sum(ed.x * eb.x) AS dot
+        |  FROM dassign da
+        |  JOIN idx x ON x.cell = da.cell
+        |  JOIN dev ed ON ed.vec_id = da.vec_id
+        |  JOIN ev eb ON eb.vec_id = x.vec_id AND eb.i = ed.i
+        |  GROUP BY da.vec_id, x.vec_id)
+        |, sdups AS (
+        |  SELECT DISTINCT p.d FROM dp p
+        |  JOIN devn nd ON nd.vec_id = p.d
+        |  JOIN evn nb ON nb.vec_id = p.b
+        |  WHERE p.dot / (nd.nrm * nb.nrm) >= 0.35)
+        |SELECT e.label, count(*) AS n_new,
+        |  CAST(coalesce(sum(CASE WHEN du.d IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_dup,
+        |  round(coalesce(sum(CASE WHEN du.d IS NOT NULL THEN 1 END), 0)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+        |FROM embeddings e LEFT JOIN sdups du ON du.d = e.vec_id
+        |WHERE e.vec_id % 7 = 3
+        |GROUP BY e.label ORDER BY e.label""".stripMargin),
     // recall@10 of the IVF probe against exact brute force — BOTH
     // pipelines replayed in one statement from the shared ev/evn CTEs
     "e_ivf_recall" -> (ivfTopCtes(3) +

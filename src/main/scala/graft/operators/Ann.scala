@@ -103,12 +103,16 @@ object Ann {
     * store ships (multi-tenant search, per-category retrieval): per
     * query, top-k cosine among ONLY the vectors whose label matches
     * the query's own label, self excluded. The filter applies BEFORE
-    * any distance is computed (the pre-filter design point — at scale
-    * the predicate prunes the scan, it never post-drops results), so
-    * the result is exact at any selectivity, including labels with
-    * fewer than k members (short result lists, never padding). Same
-    * broadcast-queries + map-side bounded top-k shape as [[knnBrute]]
-    * — k·|queries| state, no score matrix. */
+    * any distance is computed (pre-filter SEMANTICS: no qualifying
+    * result is ever post-dropped), so the result is exact at any
+    * selectivity, including labels with fewer than k members (short
+    * result lists, never padding — a consumer reading exactly k rows
+    * per query would mis-join; AnnSpec pins the short-list case).
+    * This baseline still SCANS the whole corpus and filters rows
+    * before scoring — the production rung that prunes the scan itself
+    * is [[knnFilteredIvf]] (predicate inside the probed IVF cells).
+    * Same broadcast-queries + map-side bounded top-k shape as
+    * [[knnBrute]] — k·|queries| state, no score matrix. */
   def knnFiltered(spark: SparkSession, dir: String,
                   nQueries: Int = 20, k: Int = 10): DataFrame = {
     val emb = Tables(spark, dir).embeddings
@@ -116,6 +120,54 @@ object Ann {
       .join(emb.select(col("vec_id").as("query_id"),
         col("label").as("q_label")), "query_id"))
     emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id", "q_label")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), col("q_label").as("label"),
+        posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), col("label"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** INDEXED filtered vector search — the production rung above the
+    * exact [[knnFiltered]] baseline (r11, VERDICT r10 "Next #3"): the
+    * label predicate is pushed INSIDE the IVF cell scan, so per query
+    * only the nProbe probed cells' members are touched and
+    * non-matching members are dropped BEFORE any full-vector distance
+    * is computed. Semantics stay pre-filter (no qualifying candidate
+    * is post-dropped within the probed cells; thin labels yield short
+    * lists), accuracy is the usual IVF partition loss — measured by
+    * comparing against [[knnFiltered]], with [[filteredRecall]]'s
+    * curve quantifying the alternative (post-filter over-fetch) this
+    * design avoids.
+    *
+    * Scale shape: with the persisted index ([[AnnIndex]]) the cell is
+    * the STORAGE partition, so the probe is a directory prune and the
+    * label filter rides the parquet scan of nProbe/cells of the
+    * corpus; here the session index serves the same plan from the
+    * cell-keyed memo. Scoring is the [[knnBrute]] map-side bounded
+    * top-k — k·|queries| state. */
+  def knnFilteredIvf(spark: SparkSession, dir: String,
+                     nQueries: Int = 20, k: Int = 10,
+                     cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (emb, centroids, assigned) = ivfIndex(spark, dir, cells)
+    val index = assigned.join(emb, "vec_id")
+    val q = queriesOf(emb, nQueries)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_label"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "q_label", "q_emb", "cell")
+    probes.join(index, "cell")
       .filter(col("vec_id") =!= col("query_id") &&
         col("label") === col("q_label"))
       .select(col("query_id"), col("q_label"), col("vec_id"),
@@ -172,9 +224,12 @@ object Ann {
     val row = scope.seal(agg).head()
     val total = row.getLong(0)
     import spark.implicits._
+    // no query has a same-label neighbor ⇒ the sum aggregates are null
+    // and the recall quotient is 0/0: report the zero-hit curve
+    // explicitly instead of NPE-ing on getLong (ADVICE r10)
     fetches.zipWithIndex.map { case (f, i) =>
-      val hits = row.getLong(i + 1)
-      (f, hits, math.round(hits * 10000.0 / total))
+      val hits = if (total == 0L) 0L else row.getLong(i + 1)
+      (f, hits, if (total == 0L) 0L else math.round(hits * 10000.0 / total))
     }.toDF("fetch_k", "hits", "recall_per_10k")
       .orderBy("fetch_k")
   }

@@ -473,6 +473,51 @@ class AnnSpec extends AnyFunSuite {
       s"over-fetch should improve recall: $curve")
   }
 
+  test("filtered knn: a thin label (< k members) yields a SHORT list") {
+    // a consumer reading exactly k rows per query would mis-join on
+    // thin labels — pin the short-list contract explicitly (r11,
+    // VERDICT r10 "Next #7") for BOTH the exact baseline and the
+    // indexed variant
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-thin-label").toString
+    val rows = (0L until 30L).map { i =>
+      val lab = if (i == 0 || i == 21 || i == 22) 7 else 1
+      (i, Array.tabulate(64)(j => math.sin(i.toDouble * 64 + j).toFloat), lab)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val q0 = Ann.knnFiltered(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(q0.map(_.getLong(3)).toSet == Set(21L, 22L),
+      s"label 7 has exactly 2 non-self members: ${q0.toSeq}")
+    assert(q0.map(r => r.getAs[Number](2).longValue).sorted.toSeq
+      == Seq(1L, 2L), "short list must rank 1..2, never pad to k")
+    assert(q0.forall(_.getInt(1) == 7))
+    // the indexed variant inherits the contract: never more rows than
+    // members, never a label mismatch (cell probing may shrink further)
+    val ivf0 = Ann.knnFilteredIvf(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(ivf0.map(_.getLong(3)).toSet.subsetOf(Set(21L, 22L)),
+      s"indexed filtered search leaked a non-matching row: ${ivf0.toSeq}")
+  }
+
+  test("knnFilteredIvf: label-pure results, decent recall vs exact baseline") {
+    val exact = Ann.knnFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val idx = Ann.knnFilteredIvf(spark, sf).collect()
+    val lab = Tables(spark, sf).embeddings
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // pre-filter purity within the probed cells
+    idx.foreach { r =>
+      assert(lab(r.getLong(3)) == r.getInt(1),
+        s"non-matching label in ${r}")
+    }
+    val hits = idx.count(r => exact.contains((r.getLong(0), r.getLong(3))))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"indexed filtered recall collapsed: $hits/${exact.size}")
+  }
+
   test("matryoshka and mips rankings: right shape, self excluded") {
     val mat = Ann.matryoshkaRecall(spark, sf, dims = 16, nQueries = 5)
       .collect()
