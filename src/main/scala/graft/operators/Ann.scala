@@ -1193,28 +1193,44 @@ object Ann {
     import spark.implicits._
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), transform(col("embedding"), micro(_)).as("xi"))
-    val rows = emb.persist(StorageLevel.MEMORY_AND_DISK)
-    rows.count()
     val d2To = (center: Array[Long]) =>
       aggregate(zip_with(col("xi"), typedLit(center.toSeq),
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-    val first = rows.filter(col("vec_id") === 0L)
+    val first = emb.filter(col("vec_id") === 0L)
       .select(col("xi")).head().getSeq[Long](0).toArray
-    var selected = Vector((0L, first, 0L)) // (vec_id, micro vec, radius)
-    for (_ <- 1 until k) {
-      val mind = selected.map { case (_, c, _) => d2To(c) }.reduce(least(_, _))
-      val best = rows
+    // INCREMENTAL min-dist² (r11, VERDICT r10 "Next #4"): carry a
+    // materialized (vec_id, xi, mind2) table and fold in ONLY the
+    // newest center per pick — one `least` against one d2 expression,
+    // O(k·n·d) total work — instead of rebuilding the k-term min
+    // expression chain each pick (O(k²·n·d), and a linearly growing
+    // codegen expression). Identical semantics: least over the same
+    // set, so selection order and radii are unchanged (the oracle
+    // already replays exactly this incremental form). Each round's
+    // table goes through Materialize.table — plan stays a leaf, no
+    // lineage growth across picks.
+    var cur = graft.Materialize.table(
+      emb.select(col("vec_id"), col("xi"), d2To(first).as("mind2")))
+    var selected = Vector((0L, 0L)) // (vec_id, radius at selection)
+    for (r <- 1 until k) {
+      val best = cur
         .filter(!col("vec_id").isin(selected.map(_._1): _*))
-        .agg(max(struct(mind.as("d2"), (-col("vec_id")).as("nid"))).as("b"))
+        .agg(max(struct(col("mind2").as("d2"), (-col("vec_id")).as("nid")))
+          .as("b"))
         .select(col("b.d2"), (-col("b.nid")).as("vec_id"))
         .head()
       val id = best.getLong(1)
-      val vec = rows.filter(col("vec_id") === id)
-        .select(col("xi")).head().getSeq[Long](0).toArray
-      selected :+= ((id, vec, best.getLong(0)))
+      selected :+= ((id, best.getLong(0)))
+      if (r < k - 1) {
+        val vec = cur.filter(col("vec_id") === id)
+          .select(col("xi")).head().getSeq[Long](0).toArray
+        val next = graft.Materialize.table(cur.select(col("vec_id"),
+          col("xi"), least(col("mind2"), d2To(vec)).as("mind2")))
+        cur.unpersist(blocking = false)
+        cur = next
+      }
     }
-    rows.unpersist(blocking = false)
-    selected.zipWithIndex.map { case ((id, _, r), rank) =>
+    cur.unpersist(blocking = false)
+    selected.zipWithIndex.map { case ((id, r), rank) =>
       (rank, id, r)
     }.toDF("rank", "vec_id", "radius_d2").orderBy("rank")
   }
