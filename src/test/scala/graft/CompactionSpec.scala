@@ -100,4 +100,70 @@ class CompactionSpec extends AnyFunSuite {
     }
     assert(checksum(frag) == checksum(out))
   }
+
+  test("tasksPerDay without saltCols defaults to an all-column salt (no silent no-op)") {
+    val frag = java.nio.file.Files
+      .createTempDirectory("graft-compact-salt-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-compact-salt-out").toString
+    val ev = Tables(spark, sf).events
+      .withColumn("event_date", to_date(col("ts")))
+    ev.repartition(col("event_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(frag)
+    // r10 behavior: tasksPerDay=4 with default saltCols silently
+    // compacted at 1 task/day. Now the salt defaults to all columns:
+    // a day with >1 distinct row must spread across MULTIPLE files
+    // even though rows-per-day is far below the records target.
+    val report = Compaction.compactDayLayout(spark, frag, out,
+        maxRecordsPerFile = 1000000, tasksPerDay = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(report.values.exists(_ > 1),
+      s"default salt produced no split anywhere: $report")
+    assert(report.values.forall(_ <= 4))
+    assert(checksum(frag) == checksum(out))
+  }
+
+  test("in-place compaction is rejected up front") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-compact-self").toString
+    intercept[IllegalArgumentException] {
+      Compaction.compactDayLayout(spark, p, p, maxRecordsPerFile = 10)
+    }
+  }
+
+  test("bytes mode derives records-per-file and lands in the size envelope") {
+    val frag = java.nio.file.Files
+      .createTempDirectory("graft-compact-bytes-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-compact-bytes-out").toString
+    val ev = Tables(spark, sf).events
+      .withColumn("event_date", to_date(col("ts")))
+    ev.repartition(8)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(frag)
+    val target = 64L * 1024 // 64 KB target files
+    Compaction.compactDayLayoutBytes(spark, frag, out, target)
+    assert(checksum(frag) == checksum(out))
+    val after = Compaction.partitionFiles(spark, out)
+    // every day collapses to few files, and each day's MEAN file size
+    // sits inside a generous codec-variation envelope of the target;
+    // the final file of a day is a remainder and may be small, so the
+    // envelope is per-day mean, lower-bounded only for days with >1
+    // file (a 1-file day just didn't reach the target)
+    after.foreach { p =>
+      val mean = p.bytes.toDouble / p.files
+      assert(mean <= target * 3,
+        s"${p.partition}: mean file ${mean.toLong} far above target")
+      if (p.files > 1)
+        assert(mean >= target / 4,
+          s"${p.partition}: ${p.files} files, mean ${mean.toLong} — " +
+            "over-fragmented vs the byte target")
+    }
+    // the byte mode must actually defragment the fixture
+    val before = Compaction.partitionFiles(spark, frag)
+    assert(after.map(_.files).sum < before.map(_.files).sum,
+      s"bytes mode did not compact: ${before.map(_.files).sum} -> " +
+        s"${after.map(_.files).sum}")
+  }
 }
