@@ -136,7 +136,14 @@ object Bench {
         // r10: the OPQ rotation training + rotated-corpus PQ index —
         // attributed so e_opq_recall reads as the thin recall join
         "opq_index" -> (() =>
-          { graft.operators.Ann.knnOpq(spark, sfDir).count(); () })
+          { graft.operators.Ann.knnOpq(spark, sfDir).count(); () }),
+        // r11: the persisted vector-index WRITE (train + model + gen-1
+        // members parquet) is a once-per-session artifact build — the
+        // band_index precedent; without it e_incremental_semdedup
+        // absorbs the whole training+write
+        "vector_index" -> (() =>
+          { graft.operators.AnnIndex.incrementalSemDedup(spark, sfDir)
+            .limit(1).count(); () })
       )
     }
     val builds = sharedBuilds.map { case (name, f) =>
@@ -183,14 +190,33 @@ object Bench {
         .selectExpr("id AS src", s"(id * 2654435761) % $n AS dst")
       val chords2 = spark.range(n)
         .selectExpr("id AS src", s"(id * 40503 + 12345) % $n AS dst")
-      val edges = ring.union(chords1).union(chords2)
+      val rawEdges = ring.union(chords1).union(chords2)
         .selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
         .filter("src <> dst").distinct()
-      val g = Graph(spark.range(n).toDF("id"), edges)
-      // the probes are only probes if the graph really clears the gate
-      require(g.vertexCount > Graph.broadcastVertexGate,
-        s"probe graph (${g.vertexCount}) must exceed the broadcast gate")
+      // r11 (VERDICT r10 "Next #8"): the synthetic 1.8M-row edge build
+      // + distinct used to land inside the FIRST probe's line
+      // (confounding fb_square_count_wide — the one r10 "regression",
+      // which re-measures within noise once attributed). The build now
+      // WRITES the edge set to parquet, timed as its own line, and the
+      // probes scan that file — stable plan leaf with real statistics.
+      // Both cache variants were tried and REVERTED on measurement: a
+      // raw .persist() InMemoryRelation read ~2× slower than
+      // recomputing per probe (ProbeFbTriangle: 8.5 s vs 4.1 warm),
+      // and a Materialize.table flat leaf — fastest in a fresh session
+      // (2.3 s) — degraded to 110 s at the END of the bench session,
+      // where ~20 memoized tables already hold the storage memory and
+      // evicted probe-graph blocks recompute per partition.
+      var g: Graph = null
       Seq[(String, () => Unit)](
+        "fb_graph_build" -> (() => {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-bench-probe-graph").toString
+          rawEdges.write.mode("overwrite").parquet(tmp)
+          g = Graph(spark.range(n).toDF("id"), spark.read.parquet(tmp))
+          // the probes are only probes if the graph clears the gate
+          require(g.vertexCount > Graph.broadcastVertexGate,
+            s"probe graph (${g.vertexCount}) must exceed the broadcast gate")
+        }),
         "fb_square_count_wide" ->
           (() => { g.squareCountPlan.head(); () }),
         "fb_clique4_shuffle" ->
@@ -210,7 +236,7 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
         (name, (System.nanoTime() - t0) / 1e9, err)
-      }
+      } // no unpersist: spark.stop() follows immediately
     } catch { case e: Throwable =>
       // a probe-graph build failure must never cost the whole bench
       // artifact — record it as one failed probe line instead
