@@ -375,8 +375,13 @@ class TextSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5))).toMap
+    // limit -1 split: Java's String.split drops TRAILING empty tokens
+    // while the product's Spark split (and DuckDB string_split_regex)
+    // keep them — a doc with trailing whitespace would make this
+    // replay disagree with both engines (ADVICE r10)
+    val ws = java.util.regex.Pattern.compile("\\s+")
     val docs = Tables(spark, sf).documents.select("doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+      .collect().map(r => r.getLong(0) -> ws.split(r.getString(1), -1).toSeq)
     val segsByDoc = docs.map { case (id, toks) =>
       (id, toks.length, toks.grouped(3).toSeq)
     }
