@@ -136,6 +136,33 @@ object AnnIndex {
       union("vectors"), union("codes"))
   }
 
+  /** Periodic generation COMPACTION — the vector twin of
+    * [[Dedup.compactIndexGenerations]]: rewrite the union of every
+    * generation's members as a single fresh `gen=1` under `outRoot`,
+    * with the model COPIED UNCHANGED (generations share one coarse
+    * quantizer by construction, so compaction is a pure re-layout —
+    * no re-assignment, no re-encoding, no retraining; cells and codes
+    * are carried as stored). What it reclaims at scale: per-probe file
+    * fan-out — a cell spread over g generations is g directory reads
+    * per probe, one after compaction. Probe and ADC-search semantics
+    * are identical before/after (spec-pinned). */
+  def compactGenerations(spark: SparkSession, root: String,
+                         outRoot: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(root) !=
+      new org.apache.hadoop.fs.Path(outRoot),
+      "compact into a fresh root, then swap directories atomically")
+    val idx = loadVectorIndex(spark, root)
+    idx.centroids.write.mode("overwrite")
+      .parquet(s"$outRoot/model/centroids")
+    idx.codebooks.write.mode("overwrite")
+      .parquet(s"$outRoot/model/codebooks")
+    idx.vectors.select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outRoot/gen=1/vectors")
+    idx.codes.select(col("cell"), col("vec_id"), col("m"), col("code"))
+      .write.mode("overwrite").parquet(s"$outRoot/gen=1/codes")
+  }
+
   /** Semantic near-dup pairs of a DELTA against a LOADED index — the
     * nightly embedding-side operation (the ANN twin of
     * [[Dedup.deltaDupPairs]]): each delta vector is assigned its cell

@@ -878,6 +878,52 @@ object Dedup {
       spark.read.parquet(gens.map(_ + "/members"): _*))
   }
 
+  /** Periodic generation COMPACTION (r11 — previously only promised in
+    * prose above): re-collapse the rep groups ACROSS generations into a
+    * single fresh `gen=1` artifact under `outRoot`, entirely FROM THE
+    * STORED INDEX STATE — no document is ever re-read or re-signed.
+    * The global rep of a signature is min(per-generation reps), which
+    * equals the group's global min doc_id (each generation's rep is
+    * already its slice's min); buckets re-key by the rep mapping and
+    * collapse duplicates (a signature indexed in g generations shrinks
+    * from g bucket rows per band to ONE — the growth that makes the
+    * nightly probe join wider is exactly what compaction reclaims);
+    * members and sigs re-key the same way. Probe semantics are
+    * IDENTICAL before and after (candidacy and est-Jaccard are
+    * signature-determined; member expansion yields the same union —
+    * BandIndexCompactionSpec pins probe equality and the bucket-row
+    * shrink). Cost ∝ index size — the artifact, not the corpus.
+    *
+    * Precondition: doc ids are globally unique across generations (the
+    * normal production case). The (gen, rep) keying exists to defend
+    * OVERLAPPING id spaces — merging generations necessarily gives
+    * that defense up, so an overlapping-id deployment keeps its
+    * generations and skips compaction. */
+  def compactIndexGenerations(spark: SparkSession, root: String,
+                              outRoot: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(root) !=
+      new org.apache.hadoop.fs.Path(outRoot),
+      "compact into a fresh root, then swap directories atomically")
+    val idx = loadBandIndexGenerations(spark, root)
+    val sigs = idx.sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = sigs.groupBy("sig").agg(min("rep").as("nrep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repMap = sigs.select("gen", "rep", "sig").join(groups, "sig")
+      .select("gen", "rep", "nrep")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val g1 = lit(1L).as("gen")
+    groups.select(g1, col("nrep").as("rep"), col("sig"))
+      .write.mode("overwrite").parquet(s"$outRoot/gen=1/sigs")
+    idx.buckets.join(repMap, Seq("gen", "rep"))
+      .select(col("band"), col("bucket"), col("nrep")).distinct()
+      .select(g1, col("nrep").as("rep"), col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$outRoot/gen=1/buckets")
+    idx.members.join(repMap, Seq("gen", "rep"))
+      .select(g1, col("nrep").as("rep"), col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$outRoot/gen=1/members")
+    Seq(sigs, groups, repMap).foreach(_.unpersist(blocking = false))
+  }
+
   /** Near-dup pairs of a DELTA against a LOADED band index — the
     * nightly operation: band the delta's signatures, equi-join the
     * index buckets (candidates only — never |delta|×|corpus|), verify

@@ -359,6 +359,73 @@ object EventStreams {
         count(lit(1)).as("n_matches"))
   }
 
+  /** Streaming VECTOR SEARCH over the persisted index (r11): arriving
+    * query vectors get their IVF-PQ ADC top-k against the LOADED
+    * artifact — the online-serving face of the nightly index, next to
+    * the dedup-facing [[semanticProbeStreamIndexed]]. Probe-cell
+    * selection is MAP-SIDE (the centroid table is collected once —
+    * cells×dim — and the top-nProbe cells come out of one
+    * array_sort(struct(−sim, cell)) expression: sim desc, cell asc,
+    * exactly [[graft.operators.AnnIndex.knnIndexed]]'s ranking, with
+    * no window function, which streams don't allow). Scoring is the
+    * same broadcast-LUT ADC sum over the loaded 4-byte code stream;
+    * two chained watermark-bounded aggregations (per-candidate d2 sum,
+    * then the bounded TopKByScore) finalize each query once its event
+    * time passes — the windowedKmvUsers chained-stateful precedent.
+    * Output (query_id, ts, rank, neighbor_id, adc_d2) — batch-twin
+    * equal to knnIndexed on the same queries (spec-pinned). */
+  def adcSearchStream(queries: DataFrame,
+                      index: graft.operators.AnnIndex.VectorIndex,
+                      k: Int = 10, m: Int = 4, nProbe: Int = 4,
+                      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val dim = 64
+    val sub = dim / m
+    val cents = index.centroids.collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("centroid"))))
+      .sortBy(_._1)
+    // top-nProbe cells as one expression: array_sort on (−sim, cell)
+    // ascending == sim desc with the cell-asc tie-break
+    val ranked = array_sort(array(cents.map { case (cell, v) =>
+      struct((-cosineSim(col("embedding"), typedLit(v))).as("nsim"),
+        lit(cell).as("cell"))
+    }.toIndexedSeq: _*))
+    val probes = queries.withWatermark("ts", watermark)
+      .select(col("vec_id").as("query_id"), col("ts"), col("embedding"),
+        explode(slice(ranked, 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("ts"), col("embedding"),
+        col("pc.cell").as("cell"))
+      .join(broadcast(index.centroids), "cell")
+    val qsub = probes
+      .select(col("query_id"), col("ts"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c.cast("double")).as("qr"))
+      .select(col("query_id"), col("ts"), col("cell"), posexplode(
+        array((0 until m).map(i =>
+          slice(col("qr"), i * sub + 1, sub)): _*)).as(Seq("m", "qv")))
+      .withColumn("qi", transform(col("qv"), graft.operators.Ann.micro(_)))
+    val lut = qsub
+      .join(broadcast(index.codebooks.withColumn("cbi",
+        transform(col("centroid"), graft.operators.Ann.micro(_)))), Seq("m"))
+      .select(col("query_id"), col("ts"), col("cell"), col("m"), col("code"),
+        aggregate(zip_with(col("qi"), col("cbi"),
+          (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    lut.join(index.codes, Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("ts"), col("vec_id"))
+      .agg(sum("d2").as("adc_d2"))
+      .groupBy(col("query_id"), col("ts"))
+      .agg(graft.functions.TopKByScore
+        .topK(col("vec_id"), -col("adc_d2").cast("double"), k).as("nn"))
+      .select(col("query_id"), col("ts"),
+        posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), col("ts"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"),
+        (-col("nn.score")).cast("long").as("adc_d2"))
+  }
+
   /** Generation rotation for the SEMANTIC probe — the vector twin of
     * [[rotateIndexProbe]], same contract: stop the running query (its
     * offsets commit), re-load the live generation set of the vector

@@ -145,4 +145,42 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.writeVectorGeneration(synthCorpus(0L until 4L), empty)
     }
   }
+
+  test("generation compaction: single gen, unchanged model, same results") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vec-compact").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-vec-compact-out").toString
+    AnnIndex.writeVectorIndex(synthCorpus(0L until 40L), root)
+    assert(AnnIndex.writeVectorGeneration(
+      synthCorpus(200L until 210L), root) == 2L)
+    AnnIndex.compactGenerations(spark, root, out)
+    assert(graft.operators.Dedup.latestGeneration(spark, out) == 1L)
+    val before = AnnIndex.loadVectorIndex(spark, root)
+    val after = AnnIndex.loadVectorIndex(spark, out)
+    // model copied unchanged (compaction never retrains)
+    def cents(i: AnnIndex.VectorIndex) = i.centroids.collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("centroid")))).toMap
+    assert(cents(before) == cents(after))
+    // members preserved across the re-layout
+    assert(before.vectors.count() == after.vectors.count())
+    assert(before.codes.count() == after.codes.count())
+    // probe and ADC search identical before/after
+    import SparkTestSession.spark.implicits._
+    val probes = Seq((300L, synthVec(205L)), (301L, synthVec(11L)))
+      .toDF("vec_id", "embedding")
+    def hits(i: AnnIndex.VectorIndex) =
+      AnnIndex.deltaSemanticPairs(i, probes, threshold = 0.999)
+        .select("delta_id", "base_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(before) == hits(after))
+    val queries = Seq((0L, synthVec(0L)), (7L, synthVec(7L)))
+      .toDF("query_id", "q_emb")
+    def search(i: AnnIndex.VectorIndex) =
+      AnnIndex.knnIndexed(i, queries).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getLong(2), r.getLong(3))).toSeq
+    assert(search(before) == search(after))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -46,6 +47,58 @@ class SemanticIndexStreamSpec extends AnyFunSuite {
     assert(session.nonEmpty)
     assert(loaded == session,
       s"loaded-index probe diverges:\n got=$loaded\n want=$session")
+  }
+
+  test("adcSearchStream == knnIndexed batch twin; streams end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-adc-stream").toString
+    graft.operators.AnnIndex.writeVectorIndex(
+      Tables(spark, sf).embeddings, root)
+    val idx = graft.operators.AnnIndex.loadVectorIndex(spark, root)
+    val corpus = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val qids = Seq(3L, 7L, 12L)
+    // batch reference: the loaded-index ADC search
+    val want = graft.operators.AnnIndex.knnIndexed(idx,
+        qids.map(q => (q, corpus(q))).toDF("query_id", "q_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(want.size == qids.size * 10)
+    // batch-mode twin of the stream dataflow (same expressions)
+    val probeDf = qids.map(q => (q, t0, corpus(q)))
+      .toDF("vec_id", "ts", "embedding")
+    val batchTwin = graft.streaming.EventStreams
+      .adcSearchStream(probeDf, idx)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batchTwin == want,
+      s"stream dataflow diverges from knnIndexed:\n got=$batchTwin\n want=$want")
+    // and the real stream emits the same rows once the watermark passes
+    val in = MemoryStream[(Long, Timestamp, Array[Float])]
+    in.addData(qids.map(q => (q, t0, corpus(q))): _*)
+    val q = graft.streaming.EventStreams.adcSearchStream(
+        in.toDF().toDF("vec_id", "ts", "embedding"), idx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("adc_search_out").start()
+    q.processAllAvailable()
+    in.addData((9999L, Timestamp.valueOf("2024-01-01 11:30:00"),
+      Array.fill(64)(0.0f)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("adc_search_out")
+      .filter($"query_id".isin(qids: _*))
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"stream diverged from batch:\n got=$got\n want=$want")
   }
 
   test("generation rotation: restart probes gen-2, reprocesses nothing") {
