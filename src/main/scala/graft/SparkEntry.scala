@@ -176,8 +176,11 @@ object SparkEntry {
     "e_knn_filtered" -> ((s, d) => Ann.knnFiltered(s, d)),
     "e_knn_filtered_ivf" -> ((s, d) => Ann.knnFilteredIvf(s, d)),
     "e_filtered_recall" -> ((s, d) => Ann.filteredRecall(s, d)),
+    "e_filtered_recall_ivf" -> ((s, d) => Ann.filteredIvfRecall(s, d)),
+    "e_cell_sizes" -> ((s, d) => Ann.cellSizes(s, d)),
     "e_incremental_semdedup" -> ((s, d) =>
       graft.operators.AnnIndex.incrementalSemDedup(s, d)),
+    "d_lsh_bucket_stats" -> ((s, d) => Dedup.lshBucketStats(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.qKmvDistinct(s, d)),
     "d_curation_report" -> (Curation.curationReport _),
     "m_byte_resize" -> ((s, d) => Multimodal.byteResize(s, d)),
@@ -1582,6 +1585,44 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The filtered-IVF probe pipeline (exactly `Ann.knnFilteredIvf`):
+    * queries carry their label, probe the 4 nearest cells, and the
+    * label predicate joins INSIDE the probed-cell candidate set —
+    * ranked `frr` is shared by e_knn_filtered_ivf and its recall
+    * report. */
+  private lazy val filteredIvfCtes: String = ivfTrainedCtes(3) +
+    """, fq AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, label AS q_label
+      |  FROM embeddings WHERE vec_id < 20)
+      |, fprobes AS MATERIALIZED (
+      |  SELECT query_id, cell FROM (
+      |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
+      |      PARTITION BY d.vec_id
+      |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
+      |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
+      |    WHERE d.vec_id < 20)
+      |  WHERE rk <= 4)
+      |, fcd AS (
+      |  SELECT p.query_id, f.q_label, x.vec_id AS neighbor_id,
+      |    sum(eq.x * ex.x) AS dot
+      |  FROM fprobes p
+      |  JOIN fq f ON f.query_id = p.query_id
+      |  JOIN idx x ON x.cell = p.cell
+      |  JOIN embeddings el ON el.vec_id = x.vec_id
+      |    AND el.label = f.q_label
+      |  JOIN ev eq ON eq.vec_id = p.query_id
+      |  JOIN ev ex ON ex.vec_id = x.vec_id AND ex.i = eq.i
+      |  WHERE x.vec_id <> p.query_id
+      |  GROUP BY p.query_id, f.q_label, x.vec_id)
+      |, frr AS (
+      |  SELECT c.query_id, c.q_label, c.neighbor_id, row_number() OVER (
+      |    PARTITION BY c.query_id
+      |    ORDER BY c.dot / (nq.nrm * nn.nrm) DESC, c.neighbor_id ASC)
+      |    AS rank
+      |  FROM fcd c JOIN evn nq ON nq.vec_id = c.query_id
+      |  JOIN evn nn ON nn.vec_id = c.neighbor_id)
+      |""".stripMargin
+
   /** The IVF probe query on top of the trained index (exactly
     * `Ann.knnIvf`): probe the 4 nearest cells per query, rank
     * candidates by exact cosine. */
@@ -2621,39 +2662,45 @@ object SparkEntry {
     // indexed filtered search: the label predicate lives INSIDE the
     // probed-cell candidate join (pre-filter within the probed cells),
     // exactly Ann.knnFilteredIvf; thin labels yield short lists
-    "e_knn_filtered_ivf" -> (ivfTrainedCtes(3) +
-      """, fq AS MATERIALIZED (
-        |  SELECT vec_id AS query_id, label AS q_label
-        |  FROM embeddings WHERE vec_id < 20)
-        |, fprobes AS MATERIALIZED (
-        |  SELECT query_id, cell FROM (
-        |    SELECT d.vec_id AS query_id, d.cell, row_number() OVER (
-        |      PARTITION BY d.vec_id
-        |      ORDER BY d.dot / (n.nrm * d.cn) DESC, d.cell ASC) AS rk
-        |    FROM dx d JOIN evn n ON n.vec_id = d.vec_id
-        |    WHERE d.vec_id < 20)
-        |  WHERE rk <= 4)
-        |, fcd AS (
-        |  SELECT p.query_id, f.q_label, x.vec_id AS neighbor_id,
+    "e_knn_filtered_ivf" -> (filteredIvfCtes +
+      """SELECT query_id, q_label AS label, rank, neighbor_id
+        |FROM frr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // per-query recall of the indexed filtered search vs the exact
+    // pre-filter baseline — denominator is the DATA's true-list size
+    // (thin labels shrink it); rate is the scale-0 ×10⁴ quotient
+    "e_filtered_recall_ivf" -> (filteredIvfCtes +
+      """, xcd AS (
+        |  SELECT f.query_id, el.vec_id AS neighbor_id,
         |    sum(eq.x * ex.x) AS dot
-        |  FROM fprobes p
-        |  JOIN fq f ON f.query_id = p.query_id
-        |  JOIN idx x ON x.cell = p.cell
-        |  JOIN embeddings el ON el.vec_id = x.vec_id
-        |    AND el.label = f.q_label
-        |  JOIN ev eq ON eq.vec_id = p.query_id
-        |  JOIN ev ex ON ex.vec_id = x.vec_id AND ex.i = eq.i
-        |  WHERE x.vec_id <> p.query_id
-        |  GROUP BY p.query_id, f.q_label, x.vec_id)
-        |, frr AS (
-        |  SELECT c.query_id, c.q_label, c.neighbor_id, row_number() OVER (
+        |  FROM fq f
+        |  JOIN embeddings el ON el.label = f.q_label
+        |    AND el.vec_id <> f.query_id
+        |  JOIN ev eq ON eq.vec_id = f.query_id
+        |  JOIN ev ex ON ex.vec_id = el.vec_id AND ex.i = eq.i
+        |  GROUP BY f.query_id, el.vec_id)
+        |, xrr AS (
+        |  SELECT c.query_id, c.neighbor_id, row_number() OVER (
         |    PARTITION BY c.query_id
         |    ORDER BY c.dot / (nq.nrm * nn.nrm) DESC, c.neighbor_id ASC)
         |    AS rank
-        |  FROM fcd c JOIN evn nq ON nq.vec_id = c.query_id
+        |  FROM xcd c JOIN evn nq ON nq.vec_id = c.query_id
         |  JOIN evn nn ON nn.vec_id = c.neighbor_id)
-        |SELECT query_id, q_label AS label, rank, neighbor_id
-        |FROM frr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+        |, xtop AS (SELECT query_id, neighbor_id FROM xrr WHERE rank <= 10)
+        |, itop AS (SELECT query_id, neighbor_id FROM frr WHERE rank <= 10)
+        |SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+        |  CAST(round(count(i.neighbor_id) * 10000.0 / count(*)) AS BIGINT)
+        |    AS recall_per_10k
+        |FROM xtop x LEFT JOIN itop i USING (query_id, neighbor_id)
+        |GROUP BY x.query_id ORDER BY query_id""".stripMargin),
+    // IVF cell-occupancy: member count + exact ×10⁴ corpus share per
+    // cell of the shared trained index
+    "e_cell_sizes" -> (ivfTrainedCtes(3) +
+      """, tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM idx)
+        |SELECT i.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(round(count(*) * 10000.0 / tot.t) AS BIGINT)
+        |    AS share_per_10k
+        |FROM idx i, tot GROUP BY i.cell, tot.t ORDER BY i.cell""".stripMargin),
     // the REAL nightly dataflow replayed: IVF trained on the BASE
     // slice only (vec_id % 7 <> 3 — init is the base's first 16 ids),
     // each delta vector assigned to its cell under the converged
@@ -6108,6 +6155,22 @@ object SparkEntry {
     // delta = doc_id % 7 == 3 (coprime with the 20-source cycle, so
     // every source contributes); dup iff a ≥0.8 pair links it to a
     // base doc or an earlier delta doc — the est pair set IS the oracle
+    // shuffle-width forecast of the band join over REP-collapSED
+    // buckets: per band, bucket count / largest bucket / Σ C(s,2)
+    "d_lsh_bucket_stats" -> (MinhashCte +
+      """, bsfsig AS MATERIALIZED (
+        |  SELECT doc_id, list(s ORDER BY i) AS fs FROM sig GROUP BY doc_id),
+        |bsgrp AS (SELECT min(doc_id) AS rep FROM bsfsig GROUP BY fs),
+        |bsrb AS (
+        |  SELECT g.rep, b.band, b.bsig
+        |  FROM bsgrp g JOIN bands b ON b.doc_id = g.rep),
+        |bssz AS (
+        |  SELECT band, bsig, CAST(count(*) AS BIGINT) AS s
+        |  FROM bsrb GROUP BY band, bsig)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(s) AS BIGINT) AS max_bucket,
+        |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+        |FROM bssz GROUP BY band ORDER BY band""".stripMargin),
     "d_incremental_dedup" -> (MinhashCte +
       """, symp AS (
         |  SELECT a AS d, b AS x FROM est WHERE est >= 0.8

@@ -181,6 +181,46 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-query recall of the INDEXED filtered search against the exact
+    * pre-filter baseline — the accuracy sheet of [[knnFilteredIvf]]
+    * (partition loss under a predicate; thin labels shrink the
+    * denominator to the DATA's true-list size, never k·|queries|).
+    * Both sides ride their memoized/trained pipelines; the compare is
+    * a k·|queries|-row left join. The rate is the scale-0 ×10⁴
+    * micro-quotient (the filteredRecall convention). */
+  def filteredIvfRecall(spark: SparkSession, dir: String,
+                        nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val exact = knnFiltered(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val idx = knnFilteredIvf(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(idx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        count(col("hit")).as("n_hits"),
+        round(count(col("hit")) * 10000.0 / count(lit(1))).cast("long")
+          .as("recall_per_10k"))
+      .orderBy("query_id")
+  }
+
+  /** IVF cell-occupancy report — the index-health number every ANN
+    * deployment watches (a cell holding half the corpus means the
+    * coarse quantizer needs retraining or the cell needs splitting;
+    * at 100 TB cell sizes ARE the storage-partition sizes, so this is
+    * also the layout-skew report): per cell, member count and corpus
+    * share in exact ×10⁴ units. Rides the shared trained index; one
+    * |cells|-row aggregate. */
+  def cellSizes(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, assigned) = ivfIndex(spark, dir)
+    val t = broadcast(assigned.agg(count(lit(1)).as("t")))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(t)
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") * 10000.0 / col("t")).cast("long")
+          .as("share_per_10k"))
+      .orderBy("cell")
+  }
+
   /** The POST-filter recall-loss curve — the number that decides the
     * over-fetch factor in every filtered-ANN deployment: retrieving
     * the UNFILTERED top-`fetch_k` and then dropping non-matching

@@ -735,6 +735,30 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** LSH band bucket-size report — the SHUFFLE-WIDTH FORECAST of the
+    * candidate band join, per band: bucket count, largest bucket, and
+    * the candidate-pair volume Σ C(s, 2) the join will emit. This is
+    * the operational guardrail a 100 TB dedup run reads BEFORE
+    * launching the pair join (a viral bucket shows up here as
+    * max_bucket, and candidate_pairs ≈ the join's output rows —
+    * straight off the rep-collapsed bucket table, so copy counts
+    * never inflate it, exactly like the real join). One signature
+    * pass + a (band, bucket)-keyed count + an 8-row rollup. */
+  def lshBucketStats(spark: SparkSession, dir: String,
+                     numPerm: Int = 128, bands: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val reps = minhashSignatures(docs, numPerm)
+      .groupBy("sig").agg(min("doc_id").as("rep"))
+    reps.select(bandKeys(col("sig"), numPerm, bands)
+        .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("s"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("s").as("max_bucket"),
+        sum(expr("s * (s - 1) div 2")).as("candidate_pairs"))
+      .orderBy("band")
+  }
+
   // ---------- persisted band index (the daily-crawl artifact) ----------
 
   /** Loaded handles of a persisted LSH band index (see
