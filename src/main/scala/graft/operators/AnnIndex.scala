@@ -58,7 +58,12 @@ object AnnIndex {
     * session-memoized [[Ann.knnIvfPq]] bit-for-bit (spec-pinned). */
   def writeVectorIndex(emb: DataFrame, root: String, cells: Int = 16,
                        m: Int = 4, codes: Int = 16): Unit = {
-    val e = graft.Materialize.table(emb.select("vec_id", "embedding"))
+    require(!emb.columns.contains("cell"),
+      "'cell' is the index's partition column — rename the input column")
+    // ALL input columns ride into the vectors table (r11): metadata
+    // like `label` persists next to each member, which is what makes
+    // filtered search over the stored layout possible (knnIndexedFiltered)
+    val e = graft.Materialize.table(emb)
     val centroids = graft.Materialize.table(Ann.kmeansCentroids(e, cells))
     centroids.write.mode("overwrite").parquet(s"$root/model/centroids")
     val assigned = graft.Materialize.table(Ann.assignCells(e, centroids))
@@ -80,9 +85,11 @@ object AnnIndex {
     val next = Dedup.latestGeneration(spark, root) + 1L
     require(next >= 2L,
       s"no model under $root — write the base index with writeVectorIndex first")
+    require(!newVecs.columns.contains("cell"),
+      "'cell' is the index's partition column — rename the input column")
     val centroids = spark.read.parquet(s"$root/model/centroids")
     val cb = spark.read.parquet(s"$root/model/codebooks")
-    val e = graft.Materialize.table(newVecs.select("vec_id", "embedding"))
+    val e = graft.Materialize.table(newVecs)
     val assigned = graft.Materialize.table(Ann.assignCells(e, centroids))
     writeMembers(e, assigned, centroids, cb, root, next, m)
     Seq(e, assigned).foreach(_.unpersist(blocking = false))
@@ -106,7 +113,7 @@ object AnnIndex {
                            centroids: DataFrame, cb: DataFrame,
                            root: String, gen: Long, m: Int): Unit = {
     e.join(assigned, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(e.columns.map(col) :+ col("cell"): _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/gen=$gen/vectors")
     val resid = residuals(e, assigned, centroids)
@@ -156,7 +163,8 @@ object AnnIndex {
       .parquet(s"$outRoot/model/centroids")
     idx.codebooks.write.mode("overwrite")
       .parquet(s"$outRoot/model/codebooks")
-    idx.vectors.select(col("vec_id"), col("embedding"), col("cell"))
+    idx.vectors
+      .select(idx.vectors.columns.filter(_ != "gen").map(col): _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outRoot/gen=1/vectors")
     idx.codes.select(col("cell"), col("vec_id"), col("m"), col("code"))
@@ -230,6 +238,42 @@ object AnnIndex {
       .select(col("query_id"), (col("rank0") + 1).as("rank"),
         col("nn.neighbor_id").as("neighbor_id"),
         (-col("nn.score")).cast("long").as("adc_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** FILTERED search over the STORED layout — the artifact-side twin
+    * of [[Ann.knnFilteredIvf]] (r11): the `label` metadata persisted
+    * next to each member (see [[writeVectorIndex]]) lets the
+    * predicate apply at the index SCAN stage — per query only the
+    * nProbe probed cells' members are read, non-matching members drop
+    * before any full-vector distance, and the base corpus never
+    * enters (spec: index-files-only scans; row-identical to the
+    * session `knnFilteredIvf` when the artifact is written from the
+    * same corpus). Queries: (query_id, q_emb, q_label). Thin labels
+    * yield short lists — the shared filtered-search contract. */
+  def knnIndexedFiltered(index: VectorIndex, queries: DataFrame,
+                         k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("q_label"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("centroid")).as("csim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "q_label", "q_emb", "cell")
+    probes.join(index.vectors
+        .select(col("cell"), col("vec_id"), col("embedding"), col("label")),
+      "cell")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("query_id", "q_label")
+      .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
+      .select(col("query_id"), col("q_label").as("label"),
+        posexplode(col("nn")).as(Seq("rank0", "nn")))
+      .select(col("query_id"), col("label"), (col("rank0") + 1).as("rank"),
+        col("nn.neighbor_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 

@@ -146,6 +146,42 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search over the stored layout == session knnFilteredIvf") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vec-filtered").toString
+    val emb = Tables(spark, sf).embeddings
+    AnnIndex.writeVectorIndex(emb, root)
+    val idx = AnnIndex.loadVectorIndex(spark, root)
+    // the artifact carries the metadata column next to each member
+    assert(idx.vectors.columns.contains("label"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val out = AnnIndex.knnIndexedFiltered(idx, queries)
+    // the artifact is the ONLY data source: queries aside, every
+    // scanned file must live under the index root
+    val canon = java.nio.file.Paths.get(root).toRealPath().toString
+    val files = out.inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val p = f.replaceFirst("^file:/+", "/")
+      assert(p.startsWith(canon) || p.startsWith(root) ||
+        p.contains("/embeddings.parquet"),
+        s"plan scans non-index file: $f")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "label", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Number](2).longValue,
+          r.getLong(3))).toSeq
+    val loaded = rows(out)
+    val session = rows(graft.operators.Ann.knnFilteredIvf(spark, sf))
+    assert(loaded.nonEmpty)
+    assert(loaded == session,
+      s"stored-layout filtered search diverges: " +
+        s"only-loaded=${loaded.diff(session).take(5)}, " +
+        s"only-session=${session.diff(loaded).take(5)}")
+  }
+
   test("generation compaction: single gen, unchanged model, same results") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-vec-compact").toString
@@ -163,9 +199,11 @@ class AnnIndexSpec extends AnyFunSuite {
       .map(r => (r.getInt(r.fieldIndex("cell")),
         r.getSeq[Float](r.fieldIndex("centroid")))).toMap
     assert(cents(before) == cents(after))
-    // members preserved across the re-layout
+    // members preserved across the re-layout, schema included
     assert(before.vectors.count() == after.vectors.count())
     assert(before.codes.count() == after.codes.count())
+    assert(after.vectors.columns.sorted.toSeq ==
+      before.vectors.columns.sorted.toSeq)
     // probe and ADC search identical before/after
     import SparkTestSession.spark.implicits._
     val probes = Seq((300L, synthVec(205L)), (301L, synthVec(11L)))
