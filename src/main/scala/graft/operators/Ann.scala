@@ -154,19 +154,20 @@ object Ann {
   def knnFilteredIvf(spark: SparkSession, dir: String,
                      nQueries: Int = 20, k: Int = 10,
                      cells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (emb, centroids, assigned) = ivfIndex(spark, dir, cells)
-    val index = assigned.join(emb, "vec_id")
+    val (emb, centroids, _, index) = ivfIndex(spark, dir, cells)
     val q = queriesOf(emb, nQueries)
       .join(emb.select(col("vec_id").as("query_id"),
         col("label").as("q_label")), "query_id")
-    val probes = q.crossJoin(broadcast(centroids))
+    // broadcast probe list against the cell-keyed member leaf — same
+    // shuffle-free scan shape as knnIvf (r11)
+    val probes = broadcast(q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_label"), col("q_emb"), col("cell"),
         cosineSim(col("q_emb"), col("centroid")).as("csim"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("rk") <= nProbe)
-      .select("query_id", "q_label", "q_emb", "cell")
+      .select("query_id", "q_label", "q_emb", "cell"))
     probes.join(index, "cell")
       .filter(col("vec_id") =!= col("query_id") &&
         col("label") === col("q_label"))
@@ -211,7 +212,7 @@ object Ann {
     * share in exact ×10⁴ units. Rides the shared trained index; one
     * |cells|-row aggregate. */
   def cellSizes(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, assigned) = ivfIndex(spark, dir)
+    val (_, _, assigned, _) = ivfIndex(spark, dir)
     val t = broadcast(assigned.agg(count(lit(1)).as("t")))
     assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .crossJoin(t)
@@ -329,40 +330,54 @@ object Ann {
       .select(col("vec_id"), col("best.cell").as("cell"))
 
   /** One trained IVF index per (session, dir): the persisted embedding
-    * table, converged centroids and cell assignments are shared by
+    * table, converged centroids, cell assignments AND the cell-keyed
+    * member table (vec_id, cell, embedding, label) are shared by
     * [[knnIvf]] and [[semanticDedup]] — training runs once no matter
     * how many consumers probe it (same memoization pattern as
-    * GraphBuilder's graph caches). */
+    * GraphBuilder's graph caches).
+    *
+    * r11 (optimization): centroids/assigned/members are
+    * [[graft.Materialize.table]] PLAN LEAVES, not raw persists — the
+    * raw-persist memo embedded the 3-round Lloyd lineage in every
+    * consumer's logical plan (e_knn_ivf planned at ~1.8k formatted
+    * lines; Catalyst re-canonicalized the training DAG per action —
+    * the round-7 nested-memo stall, see Materialize). `members` is the
+    * materialized inverted index: every consumer used to re-join
+    * assigned⋈emb per query — one corpus-scale shuffle each for
+    * knnIvf / knnFilteredIvf / knnGraph / semanticDedup /
+    * ivfProbeSweep; at 100 TB this table IS the stored cell-keyed IVF
+    * layout ([[AnnIndex]] persists exactly it), built once. */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame, DataFrame)]
 
   private[graft] def ivfIndex(spark: SparkSession, dir: String,
-                       cells: Int = 16): (DataFrame, DataFrame, DataFrame) =
+                       cells: Int = 16): (DataFrame, DataFrame, DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s"${graft.GraftSession.sessionKey(spark, dir)}#$cells", {
       val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
-      val centroids = kmeansCentroids(emb, cells).persist(StorageLevel.MEMORY_AND_DISK)
-      centroids.count()
-      val assigned = assignCells(emb, centroids).persist(StorageLevel.MEMORY_AND_DISK)
-      assigned.count()
-      (emb, centroids, assigned)
+      val centroids = graft.Materialize.table(kmeansCentroids(emb, cells))
+      val assigned = graft.Materialize.table(assignCells(emb, centroids))
+      val members = graft.Materialize.table(assigned.join(emb, "vec_id"))
+      (emb, centroids, assigned, members)
     })
 
   /** IVF ANN: probe the `nProbe` nearest cells per query.
     * Output shape identical to [[knnBrute]]. */
   def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10,
              cells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (emb, centroids, assigned) = ivfIndex(spark, dir, cells)
-    val index = assigned
-      .join(emb, "vec_id") // inverted index rows: (cell, vec_id, embedding)
+    val (emb, centroids, _, index) = ivfIndex(spark, dir, cells)
     val q = queriesOf(emb, nQueries)
-    val probes = q.crossJoin(broadcast(centroids))
+    // the probe list is |queries|·nProbe rows — broadcast it so the
+    // cell-keyed member table streams with NO shuffle (the production
+    // shape: query batch broadcast against the stored IVF layout; the
+    // un-hinted plan sort-merge-joined on cell, shuffling the corpus)
+    val probes = broadcast(q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cell"),
         cosineSim(col("q_emb"), col("centroid")).as("csim"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("rk") <= nProbe)
-      .select("query_id", "q_emb", "cell")
+      .select("query_id", "q_emb", "cell"))
     probes.join(index, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -501,8 +516,7 @@ object Ann {
   }
 
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val (emb, _, assigned) = ivfIndex(spark, dir)
-    val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    val (_, _, _, members) = ivfIndex(spark, dir)
     val l = members.select(col("cell"), col("vec_id").as("a"),
       col("embedding").as("ea"))
     val r = members.select(col("cell"), col("vec_id").as("b"),
@@ -615,8 +629,7 @@ object Ann {
     * cluster co-locates each cell. */
   def semanticDedup(spark: SparkSession, dir: String,
                     threshold: Double = 0.35): DataFrame = {
-    val (emb, _, assigned) = ivfIndex(spark, dir)
-    val members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    val (_, _, assigned, members) = ivfIndex(spark, dir)
     val l = members.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
     val r = members.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
     val dupOf = l.join(r, Seq("cell"))
@@ -792,14 +805,16 @@ object Ann {
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     ivfpqCache.getOrElseUpdate(
       s"${graft.GraftSession.sessionKey(spark, dir)}#ivfpq$cells:$m:$codes", {
-        val (emb, centroids, assigned) = ivfIndex(spark, dir, cells)
+        val (_, centroids, assigned, members) = ivfIndex(spark, dir, cells)
         // residual stays a RAW double difference of two float-backed
         // values (IEEE-identical in any engine); quantization happens
         // exactly once, in micro() — an inner round(·, 6) here caused a
         // real observed flake (9/200 rows off by one micro) because
         // double-rounding near 7th-decimal ties resolves differently
-        // across engines
-        val resid = emb.join(assigned, "vec_id")
+        // across engines. r11: residuals read the materialized
+        // cell-keyed member leaf (one broadcast join) instead of
+        // re-joining emb⋈assigned.
+        val resid = members
           .join(broadcast(centroids), "cell")
           .select(col("vec_id"), zip_with(col("embedding"), col("centroid"),
             (x, c) => x.cast("double") - c.cast("double"))
@@ -810,7 +825,13 @@ object Ann {
         val subvecs = resid.select(col("vec_id"), posexplode(
           array((0 until m).map(i =>
             slice(col("embedding"), i * sub + 1, sub)): _*)).as(Seq("m", "sv")))
-        val enc = graft.Materialize.table(assignPqCodes(subvecs, cb))
+        // r11: the encoded corpus is materialized WITH its cell key —
+        // the (cell, vec_id, m, code) table the IVFPQ comment promises;
+        // searches used to re-join enc⋈assigned (a corpus-scale shuffle
+        // per consumer: knnIvfPq, ivfpqProbeSweep)
+        val enc = graft.Materialize.table(
+          assignPqCodes(subvecs, cb).join(assigned, "vec_id")
+            .select(col("cell"), col("vec_id"), col("m"), col("code")))
         (centroids, assigned, cb, enc)
       })
 
@@ -859,8 +880,9 @@ object Ann {
           lit(0L), (acc, x) => acc + x).as("d2"))
     // candidates = the probed cells' code streams; each candidate in a
     // probed cell matches exactly m LUT rows → one map-side-combined sum
-    enc.join(assigned, "vec_id")
-      .join(broadcast(lut), Seq("cell", "m", "code"))
+    // (enc carries its cell since r11 — no assigned re-join, the code
+    // stream is scanned once with zero shuffle before the topK agg)
+    enc.join(broadcast(lut), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d2").as("adc_d2"))
@@ -1836,8 +1858,7 @@ object Ann {
   def ivfProbeSweep(spark: SparkSession, dir: String,
                     probes: Seq[Int] = Seq(1, 2, 4, 8),
                     nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val (emb, centroids, assigned) = ivfIndex(spark, dir, 16)
-    val index = assigned.join(emb, "vec_id")
+    val (emb, centroids, _, index) = ivfIndex(spark, dir, 16)
     val q = queriesOf(emb, nQueries)
     val probeRank = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cell"),
@@ -1851,10 +1872,11 @@ object Ann {
     // a candidate lives in exactly one cell, so its cosine is
     // level-invariant — the probing rank of its cell rides along and
     // every sweep level is a pure filter of the one scored table
+    // (r11: probe list broadcast against the member leaf, like knnIvf)
     val maxP = probes.max
     val scope = new graft.Materialize.Scoped
-    val scoredAll = scope.table(probeRank.filter(col("rk") <= maxP)
-      .select("query_id", "q_emb", "cell", "rk")
+    val scoredAll = scope.table(broadcast(probeRank.filter(col("rk") <= maxP)
+      .select("query_id", "q_emb", "cell", "rk"))
       .join(index, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("rk"),
@@ -1931,7 +1953,7 @@ object Ann {
     // r9 first cut re-scored the code streams per level: 4 scans
     // where one suffices)
     val scope = new graft.Materialize.Scoped
-    val scoredAll = scope.table(enc.join(assigned, "vec_id")
+    val scoredAll = scope.table(enc // (cell, vec_id, m, code) since r11
       .join(broadcast(lut), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id", "rk")

@@ -294,7 +294,7 @@ object EventStreams {
                           dir: String, threshold: Double = 0.35,
                           watermark: String = "10 minutes"): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
-    val (emb, centroids, assigned) =
+    val (_, centroids, _, idx) =
       graft.operators.Ann.ivfIndex(spark, dir)
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -304,7 +304,9 @@ object EventStreams {
     }.toIndexedSeq: _*)
     val withCell = vecs.withWatermark("ts", watermark)
       .withColumn("cell", best.getField("cell"))
-    val members = assigned.join(emb, "vec_id")
+    // r11: the stream-static side reads the materialized cell-keyed
+    // member leaf directly (no per-batch assigned⋈emb re-join)
+    val members = idx
       .select(col("cell"), col("vec_id").as("member_id"),
         col("embedding").as("memb"))
     withCell.join(members, Seq("cell"))
