@@ -417,7 +417,12 @@ object Iterative {
     val nV = labels.count()
     val bcL: DataFrame => DataFrame =
       if (nV <= bcLimit) broadcast(_) else identity
-    var forest = edges.limit(0)
+    // r11: per-round selections accumulate in a driver list of already-
+    // checkpointed frames; the union+distinct that used to re-write the
+    // whole forest EVERY round (one extra action + a re-distinct of all
+    // prior rounds' edges) now runs ONCE after the loop. A re-selected
+    // already-forested edge dedups identically in the final distinct.
+    var picked = List.empty[DataFrame]
     var round = 0
     var done = false
     while (round < rounds && !done) {
@@ -447,9 +452,7 @@ object Iterative {
       if (!done) {
         val bcP: DataFrame => DataFrame =
           if (nSel <= bcLimit) broadcast(_) else identity
-        forest = forest
-          .union(sel.select("src", "dst", "weight")).distinct()
-          .localCheckpoint(true)
+        picked ::= sel.select("src", "dst", "weight")
         // selection pointer graph: comp → other; 2-cycles root at the
         // smaller id (p = self marks a root)
         val f = sel.select(col("comp"), col("other"))
@@ -473,7 +476,10 @@ object Iterative {
           .localCheckpoint(true)
       }
     }
-    forest.orderBy("src", "dst")
+    // sel frames are localCheckpointed leaves — the one distinct here
+    // sees every round's picks exactly once
+    picked.foldLeft(edges.limit(0))(_ union _)
+      .distinct().orderBy("src", "dst")
   }
 
   /** Distributed greedy graph coloring via rank-offset speculative
