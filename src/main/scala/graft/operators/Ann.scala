@@ -1898,18 +1898,33 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("rk"),
         cosineSim(col("q_emb"), col("embedding")).as("sim")))
-    val rows = probes.sorted.map { p =>
-      val cand = scoredAll.filter(col("rk") <= p)
-      val nCand = cand.count()
-      val top = cand
+    // r11: ALL levels in two actions instead of two per level — the
+    // candidate counts are |levels| conditional sums in one 1-row agg,
+    // and the per-level top-k tables union into ONE brute-join whose
+    // per-level hit counts come back as a |levels|-row collect (the
+    // counts and the math are identical to the former per-level loop).
+    val lv = probes.sorted
+    val candCols = lv.map(p =>
+      sum(when(col("rk") <= p, 1L).otherwise(0L)).as(s"c$p"))
+    val candRow = scoredAll.agg(candCols.head, candCols.tail: _*).head()
+    val nCandByLevel = lv.zipWithIndex.map { case (p, i) =>
+      p -> candRow.getLong(i)
+    }.toMap
+    val topByLevel = lv.map { p =>
+      scoredAll.filter(col("rk") <= p)
         .groupBy("query_id")
         .agg(topK(col("vec_id"), col("sim"), k).as("nn"))
-        .select(col("query_id"),
-          explode(col("nn.neighbor_id")).as("neighbor_id"),
-          lit(1).as("hit"))
-      val hits = brute.join(top, Seq("query_id", "neighbor_id"), "left")
-        .agg(count(col("hit"))).collect()(0).getLong(0)
-      (p, nCand, math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
+        .select(lit(p).as("n_probe"), col("query_id"),
+          explode(col("nn.neighbor_id")).as("neighbor_id"))
+    }.reduce(_ union _)
+    val hitsByLevel = brute
+      .join(topByLevel, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = lv.map { p =>
+      val hits = hitsByLevel.getOrElse(p, 0L)
+      (p, nCandByLevel(p),
+        math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
     }
     scope.free()
     import spark.implicits._
@@ -1975,17 +1990,32 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id", "rk")
       .agg(sum("d2").as("adc_d2")))
-    val rows = probes.sorted.map { p =>
-      val scored = scoredAll.filter(col("rk") <= p)
-      val nCand = scored.count()
-      val top = scored.groupBy("query_id")
+    // r11: two actions for the whole sweep (the ivfProbeSweep move) —
+    // |levels| conditional sums in one 1-row agg, per-level top-k
+    // tables unioned into one brute-join collect. Same counts, same
+    // rounding as the former per-level loop.
+    val lv = probes.sorted
+    val candCols = lv.map(p =>
+      sum(when(col("rk") <= p, 1L).otherwise(0L)).as(s"c$p"))
+    val candRow = scoredAll.agg(candCols.head, candCols.tail: _*).head()
+    val nCandByLevel = lv.zipWithIndex.map { case (p, i) =>
+      p -> candRow.getLong(i)
+    }.toMap
+    val topByLevel = lv.map { p =>
+      scoredAll.filter(col("rk") <= p)
+        .groupBy("query_id")
         .agg(topK(col("vec_id"), -col("adc_d2").cast("double"), k).as("nn"))
-        .select(col("query_id"),
-          explode(col("nn.neighbor_id")).as("neighbor_id"),
-          lit(1).as("hit"))
-      val hits = brute.join(top, Seq("query_id", "neighbor_id"), "left")
-        .agg(count(col("hit"))).collect()(0).getLong(0)
-      (p, nCand, math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
+        .select(lit(p).as("n_probe"), col("query_id"),
+          explode(col("nn.neighbor_id")).as("neighbor_id"))
+    }.reduce(_ union _)
+    val hitsByLevel = brute
+      .join(topByLevel, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = lv.map { p =>
+      val hits = hitsByLevel.getOrElse(p, 0L)
+      (p, nCandByLevel(p),
+        math.round(hits.toDouble / (nQueries * k) * 10000) / 10000.0)
     }
     scope.free()
     import spark.implicits._
