@@ -304,30 +304,81 @@ object Ann {
   def kmeansCentroids(emb: DataFrame, cells: Int = 16, iters: Int = 3): DataFrame = {
     var centroids = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(emb, centroids)
-      centroids = assigned
-        .join(emb, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
-          / 1e6).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+    // r11: each Lloyd round collects the (k·d tiny — the kmeansIterate
+    // convention) centroid table to the driver and fuses assignment
+    // into the mean pass as a row-local greatest(struct(sim, cell))
+    // over centroid LITERALS: the per-round |emb|·cells assignment
+    // shuffle and the assigned⋈emb re-join are gone — one corpus scan
+    // and one exploded-dimension aggregate per round. Identical math:
+    // same cosineSim inputs, same (sim, cell) max, same micro-mean.
+    // Gated on `cells` (literal expression width); a wide coarse
+    // quantizer keeps the broadcast-join path.
+    if (cells <= LiteralAssignMaxCells) {
+      for (_ <- 1 to iters) {
+        val cents = centroids.select("cell", "centroid").collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        centroids = emb
+          .select(bestCellLiteral(cents, col("embedding")).as("cell"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+            / 1e6).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")).as("centroid"))
+      }
+    } else {
+      for (_ <- 1 to iters) {
+        val assigned = assignCells(emb, centroids)
+        centroids = assigned
+          .join(emb, "vec_id")
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+            / 1e6).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")).as("centroid"))
+      }
     }
     centroids
   }
 
-  /** Nearest-centroid assignment: (vec_id, cell). */
-  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        struct(cosineSim(col("embedding"), col("centroid")).as("sim"),
-          col("cell")).as("sc"))
-      .groupBy("vec_id")
-      .agg(max("sc").as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
+  /** Cell counts up to which nearest-centroid assignment runs as ONE
+    * row-local greatest(struct) expression over collected centroid
+    * literals (zero shuffle — the [[graft.streaming.EventStreams]]
+    * semantic-probe pattern). Wider quantizers keep the broadcast
+    * crossJoin + max aggregation, whose cost is a |corpus|·cells
+    * shuffle but whose expression size is O(1). */
+  private val LiteralAssignMaxCells = 256
+
+  private def bestCellLiteral(cents: Array[(Int, Seq[Float])],
+                              emb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (cents.length == 1) lit(cents.head._1)
+    else greatest(cents.map { case (c, v) =>
+      struct(cosineSim(emb, typedLit(v)).as("sim"), lit(c).as("cell"))
+    }.toIndexedSeq: _*).getField("cell")
+
+  /** Nearest-centroid assignment: (vec_id, cell). Same (sim, cell)
+    * struct-max semantics on both paths; the literal path (bounded
+    * cell count — every shipped index: 16) is map-side with NO
+    * aggregation, so an assignment over N vectors is one scan. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    if (cents.nonEmpty && cents.length <= LiteralAssignMaxCells)
+      emb.select(col("vec_id"),
+        bestCellLiteral(cents, col("embedding")).as("cell"))
+    else
+      emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"),
+          struct(cosineSim(col("embedding"), col("centroid")).as("sim"),
+            col("cell")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max("sc").as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"))
+  }
 
   /** One trained IVF index per (session, dir): the persisted embedding
     * table, converged centroids, cell assignments AND the cell-keyed
