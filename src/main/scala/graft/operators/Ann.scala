@@ -318,7 +318,11 @@ object Ann {
         val cents = centroids.select("cell", "centroid").collect()
           .map(r => (r.getInt(0), r.getSeq[Float](1)))
         centroids = emb
+          // two selects — see the pqCodebooks note on generator
+          // extraction vs struct getField
           .select(bestCellLiteral(cents, col("embedding")).as("cell"),
+            col("embedding"))
+          .select(col("cell"),
             posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
           .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
@@ -713,41 +717,114 @@ object Ann {
     var cb = subvecs.filter(col("vec_id") < codes)
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sv").as("centroid"))
-    for (_ <- 1 to iters) {
-      val assignedCodes = assignPqCodes(subvecs, cb)
-      cb = assignedCodes
-        .join(subvecs, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("m", "code", "pos")
-        .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
-          / 1e6).as("mean"))
-        .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-          s => s.getField("mean").cast("float")).as("centroid"))
+    // r11: same fusion as the kmeansCentroids rounds — each iteration
+    // collects the (m·codes tiny) codebook WITH its micro longs
+    // (through Spark's own micro(), so no driver re-implementation of
+    // the rounding) and assigns codes as a row-local least(struct)
+    // over literals, feeding the mean pass directly: the per-round
+    // |corpus|·codes argmin shuffle and the assigned⋈subvecs re-join
+    // are gone. Gated on m·codes (expression width).
+    if (m * codes <= LiteralAssignMaxCells) {
+      for (_ <- 1 to iters) {
+        val lits = collectCodebookMicro(cb)
+        // two selects: Spark's generator extraction re-resolves sibling
+        // expressions and drops struct field aliases (FIELD_NOT_FOUND
+        // on the getField) when the pick shares a select with posexplode
+        cb = subvecs
+          .select(col("m"), bestCodeLiteral(lits,
+            transform(col("sv"), micro(_))).as("code"), col("sv"))
+          .select(col("m"), col("code"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+            / 1e6).as("mean"))
+          .groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+            s => s.getField("mean").cast("float")).as("centroid"))
+      }
+    } else {
+      for (_ <- 1 to iters) {
+        val assignedCodes = assignPqCodes(subvecs, cb)
+        cb = assignedCodes
+          .join(subvecs, Seq("vec_id", "m"))
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+            / 1e6).as("mean"))
+          .groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+            s => s.getField("mean").cast("float")).as("centroid"))
+      }
     }
     cb
   }
 
+  /** Collect a codebook as ((m, code) → micro-long centroid) literals,
+    * with the micro conversion done by Spark's OWN micro() expression
+    * in the collect query — bit-identical to the joined path, no
+    * driver-side re-implementation of round(x·1e6). */
+  private def collectCodebookMicro(cb: DataFrame)
+      : Map[Int, Array[(Int, Seq[Long])]] =
+    cb.select(col("m"), col("code"),
+        transform(col("centroid"), micro(_)).as("cbi")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+      .map { case (m, rows) =>
+        m -> rows.map(t => (t._2, t._3)).sortBy(_._1)
+      }
+
+  /** Row-local nearest-code pick for one subvector row: dispatch on the
+    * `m` column, least(struct(d2, code)) over that subspace's code
+    * literals — smallest exact-int L2, ties → smaller code, exactly
+    * the joined argmin's (d2, code) min. */
+  private def bestCodeLiteral(lits: Map[Int, Array[(Int, Seq[Long])]],
+                              svi: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def forM(m: Int): org.apache.spark.sql.Column = {
+      val terms = lits(m).map { case (code, cbi) =>
+        struct(
+          aggregate(zip_with(svi, typedLit(cbi), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(code).as("code"))
+      }
+      (if (terms.length == 1) terms.head else least(terms.toIndexedSeq: _*))
+        .getField("code")
+    }
+    val ms = lits.keys.toSeq.sorted
+    ms.tail.foldLeft(when(col("m") === ms.head, forM(ms.head))) {
+      (acc, m) => acc.when(col("m") === m, forM(m))
+    }
+  }
+
   /** Nearest-code assignment per (vector, subspace): (vec_id, m, code).
     * L2 on the subvector, ties → smaller code — mirrored exactly by
-    * the SQL oracle. */
-  private[graft] def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame =
-    // micro-int L2: elements quantized to value×10⁶ longs ONCE per
-    // array (hoisted out of the per-code distance lambda — quantizing
-    // inside it re-ran the conversion |codes| times per element), so
-    // the distance is an EXACT integer sum — order-free in both
-    // engines, and the (d2, code) tie-break can never flip on ulp noise
-    subvecs.withColumn("svi", transform(col("sv"), micro(_)))
-      .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
-        Seq("m"))
-      .select(col("vec_id"), col("m"), struct(
-        aggregate(zip_with(col("svi"), col("cbi"),
-          (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"),
-        col("code")).as("dc"))
-      .groupBy("vec_id", "m")
-      .agg(min("dc").as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    * the SQL oracle. r11: bounded codebooks (every shipped index:
+    * m·codes = 64) assign row-locally over collected literals — no
+    * argmin shuffle; wide codebooks keep the broadcast-join path. */
+  private[graft] def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame = {
+    val lits = collectCodebookMicro(cb)
+    if (lits.nonEmpty && lits.valuesIterator.map(_.length).sum
+        <= LiteralAssignMaxCells)
+      subvecs.select(col("vec_id"), col("m"),
+        bestCodeLiteral(lits, transform(col("sv"), micro(_))).as("code"))
+    else
+      // micro-int L2: elements quantized to value×10⁶ longs ONCE per
+      // array (hoisted out of the per-code distance lambda — quantizing
+      // inside it re-ran the conversion |codes| times per element), so
+      // the distance is an EXACT integer sum — order-free in both
+      // engines, and the (d2, code) tie-break can never flip on ulp noise
+      subvecs.withColumn("svi", transform(col("sv"), micro(_)))
+        .join(broadcast(cb.withColumn("cbi", transform(col("centroid"), micro(_)))),
+          Seq("m"))
+        .select(col("vec_id"), col("m"), struct(
+          aggregate(zip_with(col("svi"), col("cbi"),
+            (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          col("code")).as("dc"))
+        .groupBy("vec_id", "m")
+        .agg(min("dc").as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+  }
 
   /** PQ ANN via asymmetric distance computation (ADC): corpus vectors
     * are encoded once as `m` small codes; queries score candidates by
