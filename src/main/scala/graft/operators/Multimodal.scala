@@ -492,18 +492,31 @@ object Multimodal {
     * terms over band ints, and the top-k is a TakeOrdered, never a
     * global sort. Same structure as d_simhash_dups one modality over:
     * text → SimHash, embeddings → hyperplane LSH, media → aHash. */
+  /** One aHash pass per (session, dir): the (doc_id, ahash) table is a
+    * session memo shared by [[avgHashBuckets]] and [[mediaNearDups]] —
+    * r12 (VERDICT r11 #7): each query used to run its own aHash byte
+    * loop over every payload (the m_* family's dominant cost, and at
+    * 100 TB a full corpus scan each), and mediaNearDups' r9
+    * query-scoped cache predates the r11 memo-leaf rule. The memo is
+    * doc_id + a 64-char bit string — payload-free, negligible storage.
+    * Attributed as the `media_ahash` shared-build line in Bench. */
+  private val ahashCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def ahashTable(spark: SparkSession, dir: String): DataFrame =
+    ahashCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir),
+      graft.Materialize.table(mediaTable(spark, dir).toDF()
+        .select(col("doc_id"),
+          graft.functions.ByteColumns.avgHash64(col("payload")).as("ahash"))))
+
   def mediaNearDups(spark: SparkSession, dir: String,
                     k: Int = 10): DataFrame = {
-    val scope = new graft.Materialize.Scoped
-    // scoped cache (r9): both sides of the band self-join read the
-    // banded hashes — uncached, the aHash byte loop re-hashed every
-    // payload TWICE (measured ~4.5 s line; the hash is the cost)
-    val banded = scope.table(mediaTable(spark, dir).toDF()
-      .select(col("doc_id"),
-        graft.functions.ByteColumns.avgHash64(col("payload")).as("ahash"))
+    // both sides of the band self-join read the memoized hash leaf; the
+    // band explode is a map-side projection of the tiny cached table
+    val banded = ahashTable(spark, dir)
       .select(col("doc_id"), col("ahash"), posexplode(
         array((0 until 8).map(i =>
-          substring(col("ahash"), i * 8 + 1, 8)): _*)).as(Seq("band", "key"))))
+          substring(col("ahash"), i * 8 + 1, 8)): _*)).as(Seq("band", "key")))
     def bandInt(c: org.apache.spark.sql.Column, i: Int) =
       conv(substring(c, i * 8 + 1, 8), 2, 10).cast("int")
     val hamming = (0 until 8).map(i =>
@@ -523,16 +536,13 @@ object Multimodal {
       .orderBy(col("hdist"), col("a"), col("b")).limit(k)
     import spark.implicits._
     val rows = ranked.collect()
-    scope.free()
     rows.zipWithIndex.map { case (r, i) =>
       (i + 1, r.getLong(0), r.getLong(1), r.getLong(2))
     }.toSeq.toDF("rank", "a", "b", "hdist")
   }
 
   def avgHashBuckets(spark: SparkSession, dir: String): DataFrame =
-    mediaTable(spark, dir).toDF()
-      .select(col("doc_id"),
-        graft.functions.ByteColumns.avgHash64(col("payload")).as("ahash"))
+    ahashTable(spark, dir)
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("ahash")))

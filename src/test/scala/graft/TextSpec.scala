@@ -395,6 +395,11 @@ class TextSpec extends AnyFunSuite {
     // content keys: a doc with >= 2 chunks re-hashes its overlap — md5
     // keys are distinct unless token windows coincide
     assert(r.select("chunk_md5").distinct().count() > 1)
+    // r12: unpersist — suites share one session and run in parallel;
+    // leaving this exact plan cached makes PlanQualitySpec's
+    // doc-chunking scan test see an InMemoryRelation instead of the
+    // parquet scan (a pre-existing order-dependent flake)
+    r.unpersist()
   }
 
   test("line dedup: exact driver-side replay of boilerplate removal") {
