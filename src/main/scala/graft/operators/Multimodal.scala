@@ -512,26 +512,37 @@ object Multimodal {
   def mediaNearDups(spark: SparkSession, dir: String,
                     k: Int = 10): DataFrame = {
     // both sides of the band self-join read the memoized hash leaf; the
-    // band explode is a map-side projection of the tiny cached table
+    // band explode is a map-side projection of the tiny cached table.
+    // r12: the 64-bit hash is packed into TWO long halves ONCE PER
+    // DOCUMENT here (4·|docs| conv calls total) — the old plan ran 16
+    // conv(substring) terms per CANDIDATE PAIR (r9 had already moved
+    // them after the distinct; this hoists them out of the pair stream
+    // entirely) and shuffled two 64-char strings per candidate row
+    // through the distinct where four longs now ride (~8× fewer bytes,
+    // §2.3). Hamming over the two halves is bitwise-identical to the
+    // former 8-band sum.
+    def half(c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(c, i * 32 + 1, 32), 2, 10).cast("long")
+    // two selects — the pqCodebooks note on generator extraction vs
+    // sibling computed aliases
     val banded = ahashTable(spark, dir)
-      .select(col("doc_id"), col("ahash"), posexplode(
-        array((0 until 8).map(i =>
+      .select(col("doc_id"), col("ahash"),
+        half(col("ahash"), 0).as("h0"), half(col("ahash"), 1).as("h1"))
+      .select(col("doc_id"), col("h0"), col("h1"),
+        posexplode(array((0 until 8).map(i =>
           substring(col("ahash"), i * 8 + 1, 8)): _*)).as(Seq("band", "key")))
-    def bandInt(c: org.apache.spark.sql.Column, i: Int) =
-      conv(substring(c, i * 8 + 1, 8), 2, 10).cast("int")
-    val hamming = (0 until 8).map(i =>
-      bit_count(bandInt(col("ha"), i).bitwiseXOR(bandInt(col("hb"), i))))
-      .reduce(_ + _)
+    val hamming = bit_count(col("a0").bitwiseXOR(col("b0"))) +
+      bit_count(col("a1").bitwiseXOR(col("b1")))
     val ranked = banded.select(col("band"), col("key"), col("doc_id").as("a"),
-        col("ahash").as("ha"))
+        col("h0").as("a0"), col("h1").as("a1"))
       .join(banded.select(col("band"), col("key"), col("doc_id").as("b"),
-        col("ahash").as("hb")), Seq("band", "key"))
+        col("h0").as("b0"), col("h1").as("b1")), Seq("band", "key"))
       .filter(col("a") < col("b"))
-      // distinct BEFORE hamming (measured both ways r9: the reverse
-      // order read 11.1 s vs 4.7 — the 16 conv(substring) terms per
-      // CANDIDATE row dwarf the wide-string shuffle of the distinct,
-      // which collapses multi-band hits to one row per pair first)
-      .select("a", "b", "ha", "hb").distinct()
+      // distinct BEFORE hamming (r9 measurement), collapsing multi-band
+      // hits to one row per pair first; the halves are functionally
+      // determined by (a, b) so the distinct's key semantics are those
+      // of the old (a, b, ha, hb) distinct
+      .select("a", "b", "a0", "a1", "b0", "b1").distinct()
       .select(col("a"), col("b"), hamming.cast("long").as("hdist"))
       .orderBy(col("hdist"), col("a"), col("b")).limit(k)
     import spark.implicits._

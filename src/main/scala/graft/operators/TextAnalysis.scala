@@ -315,10 +315,13 @@ object TextAnalysis {
     val uni = docs.select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = uni.agg(sum("cnt").cast("double").as("total"))
+    // the LM table is materialized once (the same localCheckpoint move
+    // as `bigrams` above): the broadcast gate's count then reads the
+    // materialized table instead of re-running the aggregate, and the
+    // scoring join reuses it — the gate costs one cached count, not a
+    // second LM pass
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-    // count-gate the LM broadcast: one map-side-combined aggregate pass
-    // over the checkpointed bigram stream (the tokenization is never
-    // re-run) — the bounded price of never broadcasting an unbounded LM
+      .localCheckpoint(true)
     val biSmall = bi.count() <= BigramBroadcastMaxRows
     val scored = bigrams
       .join(if (biSmall) broadcast(bi) else bi, Seq("w1", "w2"))
