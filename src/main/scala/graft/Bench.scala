@@ -149,7 +149,12 @@ object Bench {
         // shared hash-table memo so the alphabetically-first consumer
         // does not absorb the payload scan
         "media_ahash" -> (() =>
-          { graft.operators.Multimodal.ahashTable(spark, sfDir).count(); () })
+          { graft.operators.Multimodal.ahashTable(spark, sfDir).count(); () }),
+        // r12: ONE first-arrival-month pair table now serves
+        // g_edge_arrival AND g_densification (each used to build the
+        // same pair-scale table itself) — attributed for the same reason
+        "first_seen_edges" -> (() =>
+          { GraphQueries.coPurchaseFirstSeen(spark, sfDir).count(); () })
       )
     }
     val builds = sharedBuilds.map { case (name, f) =>

@@ -1080,20 +1080,40 @@ object GraphQueries {
     * min-aggregate over its order months; the monthly rollup is tiny
     * (≈80 rows), so the cumulative window's single-partition sort is
     * over the AGGREGATE, never the data. */
+  /** First-arrival month per co-purchase edge — (src, dst, month) with
+    * month = min over the orders the pair co-occurs in. ONE session
+    * memo (r12) shared by [[edgeArrival]] and [[densification]]: each
+    * used to compute this same pair-scale table independently
+    * (edgeArrival via the sorted collect_list pair explode below,
+    * densification via a lineitem self-join — identical result sets:
+    * same src<dst pair universe, same per-pair min month), i.e. two
+    * full pair-table builds per session where one suffices. The memo is
+    * the pair-explode formulation: one shuffle keyed (orderkey, month)
+    * + map-side pair generation, no self-join of lineitem. Attributed
+    * as the `first_seen_edges` shared-build line in Bench. */
+  private val firstSeenCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def coPurchaseFirstSeen(spark: SparkSession,
+                                         dir: String): DataFrame =
+    firstSeenCache.getOrElseUpdate(graft.GraftSession.sessionKey(spark, dir), {
+      val t = graft.Tables(spark, dir)
+      val pe = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .join(t.orders.select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("m")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "m")
+        .agg(sort_array(collect_list("l_partkey")).as("ps"))
+        .select(col("m"), col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+        .select(col("m"), col("src"),
+          explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("dst"))
+        .filter(col("src") < col("dst"))
+      graft.Materialize.table(
+        pe.groupBy("src", "dst").agg(min("m").as("month")))
+    })
+
   def edgeArrival(spark: SparkSession, dir: String): DataFrame = {
-    val t = graft.Tables(spark, dir)
-    val pe = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(t.orders.select(col("o_orderkey"),
-        date_trunc("month", col("o_orderdate")).as("m")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_orderkey", "m")
-      .agg(sort_array(collect_list("l_partkey")).as("ps"))
-      .select(col("m"), col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
-      .select(col("m"), col("src"),
-        explode(slice(col("ps"), col("i") + 2, size(col("ps")))).as("dst"))
-      .filter(col("src") < col("dst"))
-    val firstSeen = pe.groupBy("src", "dst").agg(min("m").as("month"))
-    val monthly = firstSeen.groupBy("month")
+    val monthly = coPurchaseFirstSeen(spark, dir).groupBy("month")
       .agg(count(lit(1)).as("new_edges"))
     val w = Window.orderBy("month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1113,20 +1133,12 @@ object GraphQueries {
     * so the slope is partition-order-free and SQL-replayable. Monthly
     * table is tiny at any SF (bounded by calendar span, not data). */
   def densification(spark: SparkSession, dir: String): DataFrame = {
-    val t = graft.Tables(spark, dir)
-    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-    // query-local scope: the first-seen table feeds both the vertex-
-    // and edge-arrival branches, but nothing after this query — sealed
-    // (freed) once the 1-row regression report is computed
-    val scope = new graft.Materialize.Scoped
-    val fs = scope.table(li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .join(t.orders.select(col("o_orderkey"),
-        date_trunc("month", col("o_orderdate")).as("m")),
-        col("a.l_orderkey") === col("o_orderkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(min(col("m")).as("em")))
+    // r12: the first-seen table is the shared [[coPurchaseFirstSeen]]
+    // session memo (edgeArrival consumes the same table) — the
+    // query-local lineitem self-join + scoped cache that rebuilt it
+    // per call is gone; both branches below read the memo leaf.
+    val fs = coPurchaseFirstSeen(spark, dir)
+      .select(col("src"), col("dst"), col("month").as("em"))
     val vm = fs.select(col("src").as("id"), col("em"))
       .union(fs.select(col("dst").as("id"), col("em")))
       .groupBy("id").agg(min("em").as("vm"))
@@ -1141,17 +1153,16 @@ object GraphQueries {
       .select(round(log(col("vcum")) * 1e6).cast("long").as("x"),
         round(log(col("ecum")) * 1e6).cast("long").as("y"),
         col("vcum"), col("ecum"))
-    scope.seal(
-      cum.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          max("vcum").as("final_vertices"), max("ecum").as("final_edges"))
-        .select(col("n").as("n_months"), col("final_vertices"),
-          col("final_edges"),
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
-            .as("densification_exponent")))
+    cum.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        max("vcum").as("final_vertices"), max("ecum").as("final_edges"))
+      .select(col("n").as("n_months"), col("final_vertices"),
+        col("final_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("densification_exponent"))
   }
 
   /** In/out degrees of the directed purchase-sequence graph
